@@ -1,0 +1,26 @@
+"""delta_kernel_rs_spark — a PySpark-native engine with the query and
+data-processing capabilities of delta-io/delta-kernel-rs.
+
+The reference kernel (see SURVEY.md) turns Parquet files + a ``_delta_log/``
+transaction log into a consistent queryable table: snapshots, scans with
+file pruning, deletion vectors, change data feed, time travel, ACID writes,
+checkpoints.  The kernel delegates all physical data processing to a
+pluggable ``Engine`` (reference: kernel/src/lib.rs:1070-1107); here, Apache
+Spark *is* that engine — DataFrame/Catalyst is the expression evaluator,
+Parquet/JSON reader, and plan executor, while this package implements
+everything the kernel itself does (log replay, snapshot construction, data
+skipping, DV application, transforms, CDF, commits, checkpoints) as
+idiomatic PySpark.
+
+Layout:
+  sources/    delta log listing, snapshot, scan, table facade, CDF, writes
+  plans/      expression AST, log-replay plan shapes, data-skipping rewriter
+  functions/  schemaString codec, partition-value codec, stats, DV codec
+  operators/  LLM-data-pipeline operators (dedup, similarity, text, multimodal)
+  streaming/  incremental / streaming-shaped readers
+  queries/    oracle-checked query registry consumed by __spark_entry__.py
+"""
+
+__version__ = "0.1.0"
+
+from delta_kernel_rs_spark.session import get_spark  # noqa: F401

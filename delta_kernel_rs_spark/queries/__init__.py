@@ -1,0 +1,56 @@
+"""Oracle-checked query registry.
+
+``__spark_entry__.py`` re-exports :func:`queries` and :func:`oracle_sql`.
+Every entry maps to an operator in SURVEY.md §2 (kernel plan IR, scan
+machinery) or to a beyond-parity pipeline operator; each Spark
+implementation has a DuckDB-runnable ANSI-SQL twin with identical column
+names so the driver's order-insensitive value-hash comparison holds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = " ".join(oracle.split())
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # Import for registration side effects.
+    from delta_kernel_rs_spark.queries import analytics  # noqa: F401
+
+    try:
+        from delta_kernel_rs_spark.queries import delta_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from delta_kernel_rs_spark.queries import pipeline_queries  # noqa: F401
+    except ImportError:
+        pass
+    _LOADED = True

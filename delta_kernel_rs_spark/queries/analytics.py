@@ -1,0 +1,418 @@
+"""Relational-operator coverage queries over the synthetic tables.
+
+Each query exercises one node of the reference's declarative plan IR
+(reference: kernel/src/plans/ir/nodes.rs:29-46 — ScanParquet, ScanJson,
+Values, Project, Filter, Load, Aggregate, SemiJoin, UnionAll) or one of the
+expression ops (reference: kernel/src/expressions/mod.rs:464-559), expressed
+Spark-first so Catalyst gets full pushdown/pruning/codegen freedom.
+
+Determinism contract with the DuckDB oracle: double aggregations are
+computed on exact integer-scaled values (``ROUND(x*scale) -> BIGINT`` sums,
+then one float division), so results are bit-identical regardless of
+partitioning / summation order. Raw double columns pass through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.queries import register
+from delta_kernel_rs_spark.queries.tables import load_table
+
+
+def _money_sum(expr: Column, scale: int) -> Column:
+    """Order-independent exact sum of a fixed-point double expression."""
+    cents = F.round(expr * F.lit(float(scale)), 0).cast("long")
+    return (F.sum(cents) / F.lit(float(scale))).cast("double")
+
+
+def _money_sum_sql(expr_sql: str, scale: int) -> str:
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr_sql}) * {scale}.0, 0) AS BIGINT))"
+        f" / {scale}.0 AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q01 — Aggregate + Filter + Project (TPC-H Q1 shape).
+# Reference parity: Aggregate node (plans/ir/nodes.rs:474-571), Filter
+# (:323-328), Project (:281-321) over ScanParquet (:100-185).
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity"), 100).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            _money_sum(disc_price, 10000).alias("sum_disc_price"),
+            _money_sum(charge, 1000000).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q01_pricing_summary",
+    q01_pricing_summary,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_money_sum_sql('l_quantity', 100)} AS sum_qty,
+           {_money_sum_sql('l_extendedprice', 100)} AS sum_base_price,
+           {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS sum_disc_price,
+           {_money_sum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 1000000)} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q02 — newest-wins dedup, the kernel's flagship log-replay aggregate:
+# max_by(action, version) GROUP BY file_key (reference:
+# kernel/src/plans/mod.rs:16-25, Agg::MaxNonNullBy at
+# plans/ir/nodes.rs:639-672). Here: latest event per user by event_id.
+# ---------------------------------------------------------------------------
+def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+register(
+    "q02_latest_event_per_user",
+    q02_latest_event_per_user,
+    """
+    SELECT user_id,
+           max_by(event_type, event_id) AS last_event_type,
+           max_by(value, event_id) AS last_value,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q03 — SemiJoin (inverted=false): reference plans/ir/nodes.rs:790-829.
+# Orders having at least one heavy lineitem.
+# ---------------------------------------------------------------------------
+def q03_order_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+register(
+    "q03_order_exists_semi",
+    q03_order_exists_semi,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q04 — SemiJoin (inverted=true) = anti join: the checkpoint-arm shape of
+# the metadata scan (reference: kernel/src/scan/scan_plan.rs:49-80).
+# Customers with no orders.
+# ---------------------------------------------------------------------------
+def q04_customer_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+register(
+    "q04_customer_no_orders_anti",
+    q04_customer_no_orders_anti,
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q05 — UnionAll of N inputs with agreeing schemas (reference:
+# plans/ir/nodes.rs:831-865), plus a per-arm file-constant column exactly
+# like the kernel's per-file lit columns.
+# ---------------------------------------------------------------------------
+def q05_union_all_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value", F.lit("arm_click").alias("arm")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", F.lit("arm_purchase").alias("arm")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "value", F.lit("arm_error").alias("arm")
+    )
+    return clicks.unionByName(purchases).unionByName(errors)
+
+
+register(
+    "q05_union_all_arms",
+    q05_union_all_arms,
+    """
+    SELECT event_id, user_id, value, 'arm_click' AS arm FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, value, 'arm_purchase' AS arm FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, user_id, value, 'arm_error' AS arm FROM events WHERE event_type = 'error'
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q06 — Values node: inline literal rows (reference: plans/ir/nodes.rs:212-279).
+# ---------------------------------------------------------------------------
+_VALUES_ROWS = [
+    (1, "checkpoint", 10.5),
+    (2, "commit", 1.25),
+    (3, "compacted", 4.0),
+    (4, None, None),
+]
+
+
+def q06_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_VALUES_ROWS, "id INT, kind STRING, weight DOUBLE")
+    return df.select("id", "kind", "weight")
+
+
+register(
+    "q06_values_inline",
+    q06_values_inline,
+    """
+    SELECT CAST(id AS INTEGER) AS id, kind, CAST(weight AS DOUBLE) AS weight
+    FROM (VALUES (1, 'checkpoint', 10.5), (2, 'commit', 1.25),
+                 (3, 'compacted', 4.0), (4, NULL, NULL)) AS t(id, kind, weight)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q07 — ParseJson: permissive JSON-string -> struct (reference:
+# kernel/src/expressions/mod.rs:331-359; JsonHandler.parse_json
+# lib.rs:661-729). events.props is a JSON document.
+# ---------------------------------------------------------------------------
+def q07_parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_struct", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("props_struct.k")).alias("sum_k"),
+        F.count(F.col("props_struct.k")).alias("n_parsed"),
+    )
+
+
+register(
+    "q07_parse_json_props",
+    q07_parse_json_props,
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q08 — multi-join star query with broadcast dims (Load-node composition;
+# broadcast = the kernel's "file-constant columns are per-file broadcast"
+# idea applied to dimension tables). Revenue per region.
+# ---------------------------------------------------------------------------
+def q08_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _money_sum(disc_price, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(
+    "q08_revenue_by_region",
+    q08_revenue_by_region,
+    f"""
+    SELECT r_name,
+           {_money_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q09 — window top-k per group (beyond reference parity — SURVEY §2.6 notes
+# the reference documents ROW_NUMBER as the dedup equivalent; Spark has it
+# natively). Deterministic tie-break on o_orderkey.
+# ---------------------------------------------------------------------------
+def q09_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+register(
+    "q09_topk_orders_per_segment",
+    q09_topk_orders_per_segment,
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q10 — expression-language coverage: arithmetic (+,-,*,/), Coalesce,
+# CASE/keep-predicate struct shape, 3VL junctions, NOT-inversion, Cast
+# (reference: kernel/src/expressions/mod.rs:61-183, 361-369).
+# ---------------------------------------------------------------------------
+def q10_expression_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    keep = (F.col("l_quantity") > 30) | (F.col("l_discount") < 0.02)
+    return (
+        li.filter(keep & ~(F.col("l_tax") > 0.07))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # Exact 6-decimal fixed-point via integer scaling — ROUND(x, 2)
+            # would sit on half-boundaries where Spark and DuckDB disagree.
+            (F.round(charge * F.lit(1000000.0), 0).cast("long") / F.lit(1000000.0))
+            .cast("double")
+            .alias("charge"),
+            F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+                "flag_or_none"
+            ),
+            (F.col("l_quantity").cast("long") - F.lit(1)).alias("qty_minus_one"),
+        )
+    )
+
+
+register(
+    "q10_expression_ops",
+    q10_expression_ops,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           * 1000000.0, 0) AS BIGINT) / 1000000.0 AS DOUBLE) AS charge,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CAST(l_quantity AS BIGINT) - 1 AS qty_minus_one
+    FROM lineitem
+    WHERE (l_quantity > 30 OR l_discount < 0.02) AND NOT (l_tax > 0.07)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q11 — event-time tumbling window (streaming-shaped; batch equivalent of
+# the Structured Streaming windowed agg in streaming/). Buckets as epoch
+# seconds so both engines emit identical BIGINTs.
+# ---------------------------------------------------------------------------
+def q11_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value"), 100).alias("sum_value"),
+        )
+    )
+
+
+register(
+    "q11_tumbling_events",
+    q11_tumbling_events,
+    f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {_money_sum_sql('value', 100)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q12 — global (empty group-by) aggregate, min/max/count — the Aggregate
+# node's global form (reference: plans/ir/nodes.rs:474-571 "empty group_by").
+# ---------------------------------------------------------------------------
+def q12_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
+        F.max("o_totalprice").alias("max_price"),
+        _money_sum(F.col("o_totalprice"), 100).alias("sum_price"),
+    )
+
+
+register(
+    "q12_global_agg",
+    q12_global_agg,
+    f"""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_orderdate,
+           MAX(o_totalprice) AS max_price,
+           {_money_sum_sql('o_totalprice', 100)} AS sum_price
+    FROM orders
+    """,
+)

@@ -1,0 +1,58 @@
+"""SparkSession construction + the runtime confs this engine relies on.
+
+Local-mode tuned (the test/bench box is local[N], single JVM); on a real
+cluster only the session-builder line changes — every conf here is also
+correct for a 1000-executor deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to (re)apply to an externally-provided session.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamps across engines (duckdb oracle is UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalesce + skew-join handling — essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The synthetic events table stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read as long and convert (queries/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for any pandas interop (toPandas / pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Make sure scan-level pushdown is on (it is by default; be explicit —
+    # the skipping layer in plans/data_skipping.py builds on it).
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an existing session (e.g. the driver's)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - immutable conf on old Spark
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "delta-kernel-rs-spark", cpus: str | None = None) -> SparkSession:
+    """Create (or get) a local session sized from $SPARK_GRAFT_CPUS."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = "32" if cpus == "*" else str(max(int(cpus), 1))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
