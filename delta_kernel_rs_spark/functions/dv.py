@@ -1,0 +1,257 @@
+"""Deletion vectors: roaring-bitmap codec + scan-side application.
+
+Mirrors the reference's DV machinery (kernel/src/actions/
+deletion_vector.rs:18-70+ — descriptor, z85 path encoding, portable roaring
+treemap with magic 1681511377; writer kernel/src/actions/
+deletion_vector_writer.rs). Pure-python codec (no native roaring library in
+the image): array / bitmap / run containers are all supported on read;
+writes emit array+bitmap containers.
+
+On-disk DV file layout (Delta protocol):
+  byte 0: format version (1)
+  per DV blob at ``offset``: u32 BE size, then <size> bytes of data
+  (u32 LE magic 1681511377 + 64-bit portable roaring), then u32 BE CRC32.
+
+64-bit portable roaring ("treemap"): u64 LE bucket count, then per bucket a
+u32 LE high-key followed by a standard 32-bit roaring serialization.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+import zlib
+
+DV_MAGIC = 1681511377
+SERIAL_COOKIE = 12347
+SERIAL_COOKIE_NO_RUN = 12346
+NO_OFFSET_THRESHOLD = 4
+
+# -- z85 (ZeroMQ base85) ------------------------------------------------
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 requires length % 4 == 0")
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[n % 85])
+            n //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 requires length % 5 == 0")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for ch in text[i : i + 5]:
+            n = n * 85 + _Z85_INDEX[ch]
+        out += n.to_bytes(4, "big")
+    return bytes(out)
+
+
+# -- 32-bit roaring ------------------------------------------------------
+def _decode_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Decode one 32-bit roaring bitmap at ``pos``; returns (values, next_pos)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    start = pos
+    pos += 4
+    run_flags = b""
+    if (cookie & 0xFFFF) == SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_offsets = n >= NO_OFFSET_THRESHOLD
+    elif cookie == SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+
+    keys, cards = [], []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # skip offsets — containers follow in order
+
+    values: list[int] = []
+    for i in range(n):
+        is_run = bool(run_flags and (run_flags[i // 8] & (1 << (i % 8))))
+        base = keys[i] << 16
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                s, l = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + s, base + s + l + 1))
+        elif cards[i] <= 4096:
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            values.extend(base + v for v in vals)
+        else:  # bitmap container: 1024 u64 words
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & (-w)
+                    values.append(base + (wi << 6) + b.bit_length() - 1)
+                    w ^= b
+    return values, pos
+
+
+def _encode_roaring32(values: list[int]) -> bytes:
+    """Encode sorted 32-bit values (array/bitmap containers, no runs)."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray()
+    out += struct.pack("<II", SERIAL_COOKIE_NO_RUN, n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offsets (u32 per container, from start of buffer)
+    header_len = 8 + 4 * n + 4 * n
+    offsets = []
+    cursor = header_len
+    blobs = []
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= 4096:
+            blob = struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            blob = struct.pack("<1024Q", *words)
+        offsets.append(cursor)
+        cursor += len(blob)
+        blobs.append(blob)
+    for off in offsets:
+        out += struct.pack("<I", off)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+# -- 64-bit treemap -------------------------------------------------------
+def decode_treemap(data: bytes) -> list[int]:
+    """Portable 64-bit roaring → sorted list of row indexes."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic == DV_MAGIC:
+        pos = 4
+    else:
+        pos = 0  # bare bitmap without magic
+    (n_buckets,) = struct.unpack_from("<Q", data, pos)
+    pos += 8
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (high,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        vals, pos = _decode_roaring32(data, pos)
+        base = high << 32
+        out.extend(base + v for v in vals)
+    return out
+
+
+def encode_treemap(row_indexes: list[int]) -> bytes:
+    """Sorted row indexes → magic + portable 64-bit roaring."""
+    buckets: dict[int, list[int]] = {}
+    for v in sorted(row_indexes):
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<IQ", DV_MAGIC, len(buckets)))
+    for high in sorted(buckets):
+        out += struct.pack("<I", high)
+        out += _encode_roaring32(buckets[high])
+    return bytes(out)
+
+
+# -- descriptor resolution -------------------------------------------------
+def dv_absolute_path(table_path: str, dv: dict) -> str | None:
+    """Resolve a DV descriptor's storage location (None for inline)."""
+    st = dv.get("storageType")
+    enc = dv.get("pathOrInlineDv") or ""
+    if st == "p":
+        return enc
+    if st == "u":
+        prefix, uuid_part = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uuid_part))
+        name = f"deletion_vector_{u}.bin"
+        base = table_path.rstrip("/")
+        return f"{base}/{prefix}/{name}" if prefix else f"{base}/{name}"
+    return None
+
+
+def read_dv_row_indexes(storage, table_path: str, dv: dict) -> list[int]:
+    """Materialize a DV descriptor into deleted row indexes."""
+    st = dv.get("storageType")
+    if st == "i":
+        return decode_treemap(z85_decode(dv["pathOrInlineDv"]))
+    path = dv_absolute_path(table_path, dv)
+    local = path[len("file://") :] if path.startswith("file://") else path
+    with open(local, "rb") as fh:
+        blob = fh.read()
+    offset = dv.get("offset") or 1  # byte 0 is the format version
+    (size,) = struct.unpack_from(">I", blob, offset)
+    data = blob[offset + 4 : offset + 4 + size]
+    return decode_treemap(data)
+
+
+def write_dv_file(storage, table_path: str, dv_blobs: list[bytes]) -> tuple[str, list[tuple[int, int]]]:
+    """Write one DV file holding N bitmaps; returns (encoded_uuid_path,
+    [(offset, size)]) for descriptor construction."""
+    u = _uuid.uuid4()
+    payload = bytearray(b"\x01")
+    spans: list[tuple[int, int]] = []
+    for data in dv_blobs:
+        offset = len(payload)
+        payload += struct.pack(">I", len(data))
+        payload += data
+        payload += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        spans.append((offset, len(data)))
+    name = f"deletion_vector_{u}.bin"
+    storage.put_overwrite(f"{table_path.rstrip('/')}/{name}", bytes(payload))
+    return z85_encode(u.bytes), spans
+
+
+def deleted_rows_df(spark, files, table_path: str):
+    """(file_path, row_index) DataFrame of all deleted rows across files.
+
+    DV blobs are decoded on the driver (they are small — a few bytes per
+    thousand rows); the anti-join against ``_metadata.row_index`` is what
+    runs distributed (reference applies a per-file selection vector at
+    kernel/src/scan/mod.rs:1330-1406 — the anti-join is the global
+    equivalent).
+    """
+    import pandas as pd
+
+    from delta_kernel_rs_spark.sources.storage import LocalStorage
+
+    paths: list[str] = []
+    rows: list[int] = []
+    storage = LocalStorage()
+    for f in files:
+        if not f.dv:
+            continue
+        for ri in read_dv_row_indexes(storage, table_path, f.dv):
+            paths.append(f.path)
+            rows.append(ri)
+    pdf = pd.DataFrame({"dv_file_path": paths, "dv_row_index": rows})
+    return spark.createDataFrame(pdf, "dv_file_path STRING, dv_row_index LONG")

@@ -1,0 +1,249 @@
+"""Stats-based file skipping + partition pruning.
+
+Port of the reference's centerpiece rewrite (kernel/src/scan/
+data_skipping.rs — rules documented at :32-52; 3VL evaluation framework
+kernel/src/kernel_predicates/mod.rs:87-535; stats schema derivation
+kernel/src/scan/data_skipping/stats_schema/mod.rs):
+
+    a < 10   ⇒  minValues.a < 10
+    a > 10   ⇒  maxValues.a > 10
+    a = 10   ⇒  minValues.a <= 10 AND maxValues.a >= 10
+    a != 10  ⇒  NOT (minValues.a = 10 AND maxValues.a = 10)
+    a IS NULL     ⇒  nullCount.a > 0
+    a IS NOT NULL ⇒  nullCount.a < numRecords
+    AND keeps rewritable conjuncts (unknown conjunct ⇒ TRUE);
+    OR requires every disjunct rewritable, else the whole OR is unknown;
+    NOT is eliminated up front by inversion (expressions.normalize).
+
+The verdict keeps a file unless the rewritten predicate is *definitely
+false*: ``skip iff verdict <=> FALSE`` — i.e. keep on TRUE **or NULL**
+(missing stats must never prune; reference keep-rule ``DISTINCT(p, false)``
+at data_skipping.rs:92-223).
+
+Partition columns are evaluated exactly against the typed
+``partitionValues`` (reference data_skipping.rs:121-131 — the same unified
+filter), so a partition-only FALSE prunes the file.
+
+Timestamp caveat: written max stats are truncated (floored) to
+milliseconds (functions/stats.py), so the effective upper bound is
+``maxValues.c + 1ms`` — without this, ``ts > (max, sub-ms)`` would wrongly
+prune a file that contains matching rows (reference fixture
+``timestamp-truncation-stats``; SURVEY §4 "hard parts").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
+from delta_kernel_rs_spark.functions.stats import eligible_stats_columns
+from delta_kernel_rs_spark.plans.expressions import (
+    And,
+    BoolLiteral,
+    Col,
+    Compare,
+    Distinct,
+    In,
+    IsNotNull,
+    IsNull,
+    Literal,
+    NotDistinct,
+    Or,
+    Predicate,
+    normalize,
+)
+
+STATS_COLUMN = "stats"  # column name in scan_files_df
+PARTITION_VALUES_COLUMN = "partition_values"
+
+
+def stats_schema_for(schema: T.StructType, partition_columns: list[str]) -> T.StructType:
+    """Derive the typed stats-parse schema from the table schema
+    (reference stats_schema derivation; arrays/maps/binary ineligible)."""
+    data_fields = [f for f in schema.fields if f.name not in set(partition_columns)]
+    eligible = eligible_stats_columns(T.StructType(data_fields))
+    minmax = T.StructType([T.StructField(f.name, f.dataType, True) for f in eligible])
+    nulls = T.StructType([T.StructField(f.name, T.LongType(), True) for f in eligible])
+    return T.StructType(
+        [
+            T.StructField("numRecords", T.LongType(), True),
+            T.StructField("minValues", minmax, True),
+            T.StructField("maxValues", minmax, True),
+            T.StructField("nullCount", nulls, True),
+        ]
+    )
+
+
+class _SkippingRewriter:
+    """Predicate-over-data → Column-over-file-stats rewriter."""
+
+    def __init__(self, schema: T.StructType, partition_columns: list[str], stats_col: Column):
+        self.schema = schema
+        self.stats_col = stats_col
+        self.partition_columns = set(partition_columns)
+        data_fields = [f for f in schema.fields if f.name not in self.partition_columns]
+        self.stat_types = {
+            f.name: f.dataType for f in eligible_stats_columns(T.StructType(data_fields))
+        }
+        self.types = {f.name: f.dataType for f in schema.fields}
+
+    # -- stat accessors -------------------------------------------------
+    def _min(self, name: str) -> Column:
+        return self.stats_col.getField("minValues").getField(name)
+
+    def _max(self, name: str) -> Column:
+        c = self.stats_col.getField("maxValues").getField(name)
+        if isinstance(self.stat_types[name], (T.TimestampType, T.TimestampNTZType)):
+            # written max is floored to ms → widen by 1ms (see module doc)
+            return (c.cast("double") + F.lit(0.001)).cast(self.stat_types[name])
+        return c
+
+    def _null_count(self, name: str) -> Column:
+        return self.stats_col.getField("nullCount").getField(name)
+
+    def _num_records(self) -> Column:
+        return self.stats_col.getField("numRecords")
+
+    def _partition_value(self, name: str) -> Column:
+        raw = F.col(PARTITION_VALUES_COLUMN).getItem(name)
+        return parse_partition_column(raw, self.types[name])
+
+    # -- classification ---------------------------------------------------
+    def _col_lit(self, p: Compare) -> tuple[Col, Literal] | None:
+        """Return (column, literal) for a comparison, swapping sides so the
+        column is on the left; None when the shape is not col-vs-lit."""
+        if isinstance(p.left, Col) and isinstance(p.right, Literal):
+            return p.left, p.right
+        if isinstance(p.left, Literal) and isinstance(p.right, Col):
+            sw = p.swapped()
+            return sw.left, sw.right  # type: ignore[return-value]
+        return None
+
+    def _is_partition_col(self, c: Col) -> bool:
+        return c.path in self.partition_columns
+
+    def _has_stats(self, c: Col) -> bool:
+        return c.top_level and c.path in self.stat_types
+
+    # -- rewrite -----------------------------------------------------------
+    def rewrite(self, p: Predicate) -> Column | None:
+        """None = unknown (not rewritable) — caller treats per AND/OR rules."""
+        if isinstance(p, BoolLiteral):
+            return F.lit(p.value)
+        if isinstance(p, And):
+            parts = [self.rewrite(c) for c in p.children]
+            known = [x for x in parts if x is not None]
+            if not known:
+                return None
+            out = known[0]
+            for x in known[1:]:
+                out = out & x
+            return out
+        if isinstance(p, Or):
+            parts = [self.rewrite(c) for c in p.children]
+            if any(x is None for x in parts):
+                return None
+            out = parts[0]
+            for x in parts[1:]:
+                out = out | x
+            return out
+        if isinstance(p, Compare):
+            shape = self._col_lit(p)
+            if shape is None:
+                return None
+            c, v = shape
+            if self._is_partition_col(c):
+                return _compare(p.op, self._partition_value(c.path), F.lit(v.value))
+            if not self._has_stats(c):
+                return None
+            lo, hi = self._min(c.path), self._max(c.path)
+            lv = F.lit(v.value).cast(self.stat_types[c.path])
+            if p.op == "lt":
+                return lo < lv
+            if p.op == "le":
+                return lo <= lv
+            if p.op == "gt":
+                return hi > lv
+            if p.op == "ge":
+                return hi >= lv
+            if p.op == "eq":
+                return (lo <= lv) & (hi >= lv)
+            if p.op == "ne":
+                return ~((lo == lv) & (hi == lv))
+            return None
+        if isinstance(p, IsNull):
+            if isinstance(p.expr, Col):
+                c = p.expr
+                if self._is_partition_col(c):
+                    return self._partition_value(c.path).isNull()
+                if self._has_stats(c):
+                    return self._null_count(c.path) > 0
+            return None
+        if isinstance(p, IsNotNull):
+            if isinstance(p.expr, Col):
+                c = p.expr
+                if self._is_partition_col(c):
+                    return self._partition_value(c.path).isNotNull()
+                if self._has_stats(c):
+                    return self._null_count(c.path) < self._num_records()
+            return None
+        if isinstance(p, In):
+            if isinstance(p.expr, Col):
+                c = p.expr
+                if self._is_partition_col(c):
+                    return self._partition_value(c.path).isin(list(p.values))
+                if self._has_stats(c):
+                    lo, hi = self._min(c.path), self._max(c.path)
+                    out = None
+                    for v in p.values:
+                        lv = F.lit(v).cast(self.stat_types[c.path])
+                        term = (lo <= lv) & (hi >= lv)
+                        out = term if out is None else (out | term)
+                    return out
+            return None
+        if isinstance(p, (Distinct, NotDistinct)):
+            # null-safe comparisons: rewritable for partition columns only
+            if isinstance(p.left, Col) and isinstance(p.right, Literal):
+                c, v = p.left, p.right
+                if self._is_partition_col(c):
+                    pv = self._partition_value(c.path)
+                    eq = pv.eqNullSafe(F.lit(v.value))
+                    return ~eq if isinstance(p, Distinct) else eq
+            return None
+        return None
+
+
+def file_skipping_predicate(
+    predicate,
+    schema: T.StructType,
+    partition_columns: list[str],
+) -> Column | None:
+    """Build the keep-file filter Column for ``Scan.scan_files_df()``.
+
+    Returns None when the predicate yields no skipping power (e.g. it is a
+    raw SQL string / Spark Column — those still filter rows, just not files).
+    """
+    if not isinstance(predicate, Predicate):
+        return None
+    stats_schema = stats_schema_for(schema, partition_columns)
+    parsed = F.from_json(F.col(STATS_COLUMN), stats_schema)
+    rewriter = _SkippingRewriter(schema, partition_columns, parsed)
+    verdict = rewriter.rewrite(normalize(predicate))
+    if verdict is None:
+        return None
+    # Keep rule: keep unless the verdict is *definitely* false — TRUE or
+    # NULL (missing stats / null partition value) both keep the file.
+    return ~verdict.eqNullSafe(F.lit(False))
+
+
+def _compare(op: str, a: Column, b: Column) -> Column:
+    return {
+        "lt": a < b,
+        "le": a <= b,
+        "gt": a > b,
+        "ge": a >= b,
+        "eq": a == b,
+        "ne": a != b,
+    }[op]

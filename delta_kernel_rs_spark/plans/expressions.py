@@ -1,0 +1,306 @@
+"""Expression / predicate AST.
+
+Mirrors the reference's untyped expression language
+(kernel/src/expressions/mod.rs — ``Expression`` :464-521, ``Predicate``
+:529-559): literals, column paths, arithmetic, coalesce, 3VL comparisons,
+IS [NOT] NULL, IS DISTINCT FROM, AND/OR junctions, NOT.
+
+Why an AST instead of raw Spark Columns: the data-skipping rewriter
+(plans/data_skipping.py) must *transform* predicates (``a < 10`` ⇒
+``minValues.a < 10``), which requires introspectable structure. ``to_spark``
+lowers any node to a Spark Column for the actual data filter — like the
+reference, the same predicate drives both the file filter and the row
+filter (kernel/src/scan/data_skipping.rs).
+
+NOT is never evaluated directly — it is pushed down, inverting children
+(reference kernel/src/expressions/mod.rs:533-538 — ``NOT(a<b)`` ⇒
+``a>=b``), so the skipping rewriter only ever sees positive forms.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+class Expr:
+    def to_spark(self) -> Column:
+        raise NotImplementedError
+
+    # comparisons → predicates
+    def __lt__(self, other) -> "Predicate":
+        return Compare("lt", self, _as_expr(other))
+
+    def __le__(self, other) -> "Predicate":
+        return Compare("le", self, _as_expr(other))
+
+    def __gt__(self, other) -> "Predicate":
+        return Compare("gt", self, _as_expr(other))
+
+    def __ge__(self, other) -> "Predicate":
+        return Compare("ge", self, _as_expr(other))
+
+    def __eq__(self, other) -> "Predicate":  # type: ignore[override]
+        return Compare("eq", self, _as_expr(other))
+
+    def __ne__(self, other) -> "Predicate":  # type: ignore[override]
+        return Compare("ne", self, _as_expr(other))
+
+    __hash__ = object.__hash__
+
+    # arithmetic
+    def __add__(self, other) -> "Expr":
+        return Arith("plus", self, _as_expr(other))
+
+    def __sub__(self, other) -> "Expr":
+        return Arith("minus", self, _as_expr(other))
+
+    def __mul__(self, other) -> "Expr":
+        return Arith("multiply", self, _as_expr(other))
+
+    def __truediv__(self, other) -> "Expr":
+        return Arith("divide", self, _as_expr(other))
+
+    def __mod__(self, other) -> "Expr":
+        return Arith("mod", self, _as_expr(other))
+
+    def is_null(self) -> "Predicate":
+        return IsNull(self)
+
+    def is_not_null(self) -> "Predicate":
+        return IsNotNull(self)
+
+
+@dataclass(frozen=True, eq=False)
+class Literal(Expr):
+    value: Any
+
+    def to_spark(self) -> Column:
+        return F.lit(self.value)
+
+
+@dataclass(frozen=True, eq=False)
+class Col(Expr):
+    """Dotted column path; descends nested structs (reference
+    kernel/src/expressions/column_names.rs)."""
+
+    path: str
+
+    def to_spark(self) -> Column:
+        return F.col(self.path)
+
+    @property
+    def top_level(self) -> bool:
+        return "." not in self.path
+
+
+@dataclass(frozen=True, eq=False)
+class Arith(Expr):
+    op: str  # plus | minus | multiply | divide | mod
+    left: Expr
+    right: Expr
+
+    def to_spark(self) -> Column:
+        a, b = self.left.to_spark(), self.right.to_spark()
+        return {
+            "plus": a + b,
+            "minus": a - b,
+            "multiply": a * b,
+            "divide": a / b,
+            "mod": a % b,
+        }[self.op]
+
+
+@dataclass(frozen=True, eq=False)
+class Coalesce(Expr):
+    exprs: tuple[Expr, ...]
+
+    def to_spark(self) -> Column:
+        return F.coalesce(*[e.to_spark() for e in self.exprs])
+
+
+# ---------------------------------------------------------------------------
+# Predicates (3VL)
+# ---------------------------------------------------------------------------
+class Predicate:
+    def to_spark(self) -> Column:
+        raise NotImplementedError
+
+    def __and__(self, other: "Predicate") -> "Predicate":
+        return And((self, other))
+
+    def __or__(self, other: "Predicate") -> "Predicate":
+        return Or((self, other))
+
+    def __invert__(self) -> "Predicate":
+        return invert(self)
+
+
+_INVERSE_CMP = {"lt": "ge", "le": "gt", "gt": "le", "ge": "lt", "eq": "ne", "ne": "eq"}
+_SWAP_CMP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq", "ne": "ne"}
+
+
+@dataclass(frozen=True, eq=False)
+class Compare(Predicate):
+    op: str  # lt | le | gt | ge | eq | ne
+    left: Expr
+    right: Expr
+
+    def to_spark(self) -> Column:
+        a, b = self.left.to_spark(), self.right.to_spark()
+        return {
+            "lt": a < b,
+            "le": a <= b,
+            "gt": a > b,
+            "ge": a >= b,
+            "eq": a == b,
+            "ne": a != b,
+        }[self.op]
+
+    def swapped(self) -> "Compare":
+        return Compare(_SWAP_CMP[self.op], self.right, self.left)
+
+
+@dataclass(frozen=True, eq=False)
+class IsNull(Predicate):
+    expr: Expr
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().isNull()
+
+
+@dataclass(frozen=True, eq=False)
+class IsNotNull(Predicate):
+    expr: Expr
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().isNotNull()
+
+
+@dataclass(frozen=True, eq=False)
+class Distinct(Predicate):
+    """IS DISTINCT FROM — null-safe (reference mod.rs:80-83)."""
+
+    left: Expr
+    right: Expr
+
+    def to_spark(self) -> Column:
+        return ~self.left.to_spark().eqNullSafe(self.right.to_spark())
+
+
+@dataclass(frozen=True, eq=False)
+class NotDistinct(Predicate):
+    left: Expr
+    right: Expr
+
+    def to_spark(self) -> Column:
+        return self.left.to_spark().eqNullSafe(self.right.to_spark())
+
+
+@dataclass(frozen=True, eq=False)
+class In(Predicate):
+    """value IN (list of literals)."""
+
+    expr: Expr
+    values: tuple[Any, ...]
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().isin(list(self.values))
+
+
+@dataclass(frozen=True, eq=False)
+class And(Predicate):
+    children: tuple[Predicate, ...]
+
+    def to_spark(self) -> Column:
+        out = self.children[0].to_spark()
+        for c in self.children[1:]:
+            out = out & c.to_spark()
+        return out
+
+
+@dataclass(frozen=True, eq=False)
+class Or(Predicate):
+    children: tuple[Predicate, ...]
+
+    def to_spark(self) -> Column:
+        out = self.children[0].to_spark()
+        for c in self.children[1:]:
+            out = out | c.to_spark()
+        return out
+
+
+@dataclass(frozen=True, eq=False)
+class Not(Predicate):
+    child: Predicate
+
+    def to_spark(self) -> Column:
+        return ~self.child.to_spark()
+
+
+@dataclass(frozen=True, eq=False)
+class BoolLiteral(Predicate):
+    value: bool | None
+
+    def to_spark(self) -> Column:
+        return F.lit(self.value)
+
+
+def invert(p: Predicate) -> Predicate:
+    """Push NOT down, inverting children (reference mod.rs:533-538)."""
+    if isinstance(p, Compare):
+        return Compare(_INVERSE_CMP[p.op], p.left, p.right)
+    if isinstance(p, IsNull):
+        return IsNotNull(p.expr)
+    if isinstance(p, IsNotNull):
+        return IsNull(p.expr)
+    if isinstance(p, Distinct):
+        return NotDistinct(p.left, p.right)
+    if isinstance(p, NotDistinct):
+        return Distinct(p.left, p.right)
+    if isinstance(p, And):  # De Morgan
+        return Or(tuple(invert(c) for c in p.children))
+    if isinstance(p, Or):
+        return And(tuple(invert(c) for c in p.children))
+    if isinstance(p, Not):
+        return p.child
+    if isinstance(p, BoolLiteral):
+        return BoolLiteral(None if p.value is None else not p.value)
+    return Not(p)
+
+
+def normalize(p: Predicate) -> Predicate:
+    """Eliminate Not nodes by pushing inversions to the leaves."""
+    if isinstance(p, Not):
+        return normalize(invert(p.child))
+    if isinstance(p, And):
+        return And(tuple(normalize(c) for c in p.children))
+    if isinstance(p, Or):
+        return Or(tuple(normalize(c) for c in p.children))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Builders
+# ---------------------------------------------------------------------------
+def col(path: str) -> Col:
+    return Col(path)
+
+
+def lit(value: Any) -> Literal:
+    return Literal(value)
+
+
+def _as_expr(v: Any) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    if isinstance(v, (int, float, str, bool, bytes, _dt.date, _dt.datetime)) or v is None:
+        return Literal(v)
+    raise TypeError(f"cannot coerce {type(v)} to an expression")

@@ -1,0 +1,250 @@
+"""Checkpoint + log-compaction writers.
+
+Mirrors the reference's checkpoint module (kernel/src/checkpoint/mod.rs —
+V1 classic single-file checkpoints; reconciled actions = latest P&M, live
+adds, unexpired remove tombstones, latest txn per app, live domain
+metadata) and log compaction (kernel/src/log_compaction/).
+
+The reconciliation replay runs as a Spark job (same dedup aggregate as the
+scan); only the driver-side rename of the single output file is local.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.actions import ACTIONS_SCHEMA
+from delta_kernel_rs_spark.sources.delta_paths import (
+    LOG_DIR,
+    classic_checkpoint_filename,
+    compacted_filename,
+)
+from delta_kernel_rs_spark.sources.scan import dv_unique_id
+from delta_kernel_rs_spark.sources.snapshot import Snapshot
+from delta_kernel_rs_spark.sources.storage import storage_for
+
+#: remove tombstones older than this need not be checkpointed
+DEFAULT_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+
+
+def _pad_to_actions_schema(df: DataFrame) -> DataFrame:
+    cols = []
+    present = set(df.columns)
+    for f in ACTIONS_SCHEMA.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _full_replay(snapshot: Snapshot) -> DataFrame:
+    """Latest (add, remove, version) per file key across the whole segment —
+    the scan replay, but keeping remove tombstones too."""
+    spark = snapshot.spark
+    seg = snapshot.log_segment
+    scan = snapshot.scan()
+    arms = []
+    if seg.commit_files:
+        from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
+
+        raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).json([c.path for c in seg.commit_files])
+        arms.append(
+            raw.withColumn(
+                "log_filename",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .join(F.broadcast(scan._version_map_df()), "log_filename")
+            .select("add", "remove", "version")
+        )
+    if seg.checkpoint_parts:
+        ckpt = spark.read.parquet(*seg.checkpoint_parts)
+        cols = set(ckpt.columns)
+        sel = [
+            F.col("add") if "add" in cols else F.lit(None).cast(ACTIONS_SCHEMA["add"].dataType).alias("add"),
+            F.col("remove") if "remove" in cols else F.lit(None).cast(ACTIONS_SCHEMA["remove"].dataType).alias("remove"),
+            F.lit(seg.checkpoint_version).cast("long").alias("version"),
+        ]
+        arms.append(ckpt.select(*sel))
+    df = arms[0]
+    for a in arms[1:]:
+        df = df.unionByName(a)
+    df = df.filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+    keyed = df.select(
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("key_path"),
+        F.when(
+            F.col("add").isNotNull(), dv_unique_id(F.col("add.deletionVector"))
+        )
+        .otherwise(dv_unique_id(F.col("remove.deletionVector")))
+        .alias("key_dv"),
+        "add",
+        "remove",
+        "version",
+    )
+    return (
+        keyed.groupBy("key_path", "key_dv")
+        .agg(F.max_by(F.struct("version", "add", "remove"), F.col("version")).alias("w"))
+        .select(F.col("w.add").alias("add"), F.col("w.remove").alias("remove"))
+    )
+
+
+def _driver_actions(snapshot: Snapshot) -> list[dict]:
+    """P&M + latest txn per app + live domain metadata (driver-side scan of
+    the commit tail — small by construction)."""
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": snapshot.protocol.min_reader_version,
+                "minWriterVersion": snapshot.protocol.min_writer_version,
+                **(
+                    {"readerFeatures": snapshot.protocol.reader_features}
+                    if snapshot.protocol.min_reader_version >= 3
+                    else {}
+                ),
+                **(
+                    {"writerFeatures": snapshot.protocol.writer_features}
+                    if snapshot.protocol.min_writer_version >= 7
+                    else {}
+                ),
+            }
+        },
+        {
+            "metaData": {
+                "id": snapshot.metadata.id,
+                "name": snapshot.metadata.name,
+                "description": snapshot.metadata.description,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snapshot.metadata.schema_string,
+                "partitionColumns": snapshot.metadata.partition_columns,
+                "configuration": snapshot.metadata.configuration,
+                "createdTime": snapshot.metadata.created_time,
+            }
+        },
+    ]
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for commit in snapshot.log_segment.commit_files:
+        for line in snapshot.storage.read_text(commit.path).splitlines():
+            line = line.strip()
+            if not line or ('"txn"' not in line and '"domainMetadata"' not in line):
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError:
+                continue
+            txn = action.get("txn")
+            if txn and txn.get("appId"):
+                cur = txns.get(txn["appId"])
+                if cur is None or (txn.get("version") or 0) >= (cur.get("version") or 0):
+                    txns[txn["appId"]] = txn
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain"):
+                domains[dm["domain"]] = dm
+    # txns surviving from a previous checkpoint
+    if snapshot.log_segment.checkpoint_parts:
+        ck = snapshot.spark.read.parquet(*snapshot.log_segment.checkpoint_parts)
+        if "txn" in ck.columns:
+            for r in ck.filter(F.col("txn.appId").isNotNull()).select("txn").collect():
+                t = r.txn.asDict()
+                cur = txns.get(t["appId"])
+                if cur is None or (t.get("version") or 0) > (cur.get("version") or 0):
+                    txns[t["appId"]] = t
+        if "domainMetadata" in ck.columns:
+            for r in (
+                ck.filter(F.col("domainMetadata.domain").isNotNull())
+                .select("domainMetadata")
+                .collect()
+            ):
+                d = r.domainMetadata.asDict()
+                domains.setdefault(d["domain"], d)
+    actions.extend({"txn": t} for t in txns.values())
+    actions.extend({"domainMetadata": d} for d in domains.values() if not d.get("removed"))
+    return actions
+
+
+def write_checkpoint(spark: SparkSession, table_path: str, version: int | None = None) -> int:
+    """Write a V1 classic checkpoint for ``version`` (default: latest);
+    returns the checkpointed version."""
+    snapshot = Snapshot.create(spark, table_path, version=version)
+    v = snapshot.version
+    storage = storage_for(spark, table_path)
+
+    replayed = _full_replay(snapshot)
+    file_actions = _pad_to_actions_schema(replayed)
+
+    driver_df = spark.createDataFrame(
+        [json.dumps(a) for a in _driver_actions(snapshot)], "string"
+    )
+    driver_actions = _pad_to_actions_schema(
+        spark.read.schema(ACTIONS_SCHEMA).json(driver_df.rdd.map(lambda r: r[0]))
+    )
+
+    out = file_actions.unionByName(driver_actions)
+    tmp_dir = f"{table_path.rstrip('/')}/{LOG_DIR}/.ckpt-tmp-{v}"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    part = next(
+        e.path for e in storage.list_recursive(tmp_dir) if e.path.endswith(".parquet")
+    )
+    final = f"{table_path.rstrip('/')}/{LOG_DIR}/{classic_checkpoint_filename(v)}"
+    storage.rename(part, final)
+    from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
+
+    _cleanup_dir(storage, tmp_dir)
+
+    n_actions = out.count()
+    hint = {"version": v, "size": n_actions, "parts": None}
+    storage.put_overwrite(
+        f"{table_path.rstrip('/')}/{LOG_DIR}/_last_checkpoint",
+        json.dumps({k: val for k, val in hint.items() if val is not None}).encode(),
+    )
+    return v
+
+
+def write_log_compaction(
+    spark: SparkSession, table_path: str, start_version: int, end_version: int
+) -> str:
+    """Compact commits [start, end] into ``{start}.{end}.compacted.json``
+    (reference kernel/src/log_compaction/) — newest-wins file actions plus
+    latest P&M/txn within the range."""
+    storage = storage_for(spark, table_path)
+    log_dir = f"{table_path.rstrip('/')}/{LOG_DIR}"
+    actions_by_key: dict = {}
+    pm: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
+    for v in range(start_version, end_version + 1):
+        path = f"{log_dir}/{v:020d}.json"
+        for line in storage.read_text(path).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                action = json.loads(line)
+            except ValueError:
+                continue
+            if "add" in action:
+                dv = action["add"].get("deletionVector") or {}
+                key = (action["add"]["path"], dv.get("storageType"), dv.get("pathOrInlineDv"))
+                actions_by_key[key] = (v, action)
+            elif "remove" in action:
+                dv = action["remove"].get("deletionVector") or {}
+                key = (action["remove"]["path"], dv.get("storageType"), dv.get("pathOrInlineDv"))
+                actions_by_key[key] = (v, action)
+            elif "metaData" in action:
+                pm["metaData"] = action
+            elif "protocol" in action:
+                pm["protocol"] = action
+            elif "txn" in action and action["txn"].get("appId"):
+                txns[action["txn"]["appId"]] = action
+    lines = []
+    for a in pm.values():
+        lines.append(json.dumps(a, separators=(",", ":")))
+    for a in txns.values():
+        lines.append(json.dumps(a, separators=(",", ":")))
+    for _v, a in sorted(actions_by_key.values(), key=lambda t: t[0]):
+        lines.append(json.dumps(a, separators=(",", ":")))
+    out_path = f"{log_dir}/{compacted_filename(start_version, end_version)}"
+    storage.put_overwrite(out_path, ("\n".join(lines) + "\n").encode())
+    return out_path

@@ -1,0 +1,253 @@
+"""Row-level DELETE: copy-on-write rewrite or deletion-vector write.
+
+Reference equivalents: remove+add file rewrite via
+``Transaction.remove_files`` (kernel/src/transaction/update.rs) and DV
+updates (``update_deletion_vectors``, DV writer kernel/src/actions/
+deletion_vector_writer.rs).
+
+Both paths start from a predicate-pruned scan: files whose stats prove they
+cannot contain matching rows are never touched (that is the same skipping
+rewrite that drives reads — plans/data_skipping.py).
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.functions.dv import encode_treemap, write_dv_file
+from delta_kernel_rs_spark.plans.expressions import Predicate
+from delta_kernel_rs_spark.sources.scan import normalize_file_path
+from delta_kernel_rs_spark.sources.transaction import Transaction, _now_ms
+
+DV_PROTOCOL_ACTION = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _pred_to_column(predicate):
+    if isinstance(predicate, Predicate):
+        return predicate.to_spark()
+    if isinstance(predicate, str):
+        return F.expr(predicate)
+    return predicate
+
+
+def _rel_path(table_path: str, abs_path: str) -> str:
+    rel = abs_path[len(table_path.rstrip("/")) + 1 :]
+    return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
+
+
+def _candidate_df_with_lineage(scan):
+    """Scan DataFrame that keeps ``__file_path``/``__row_index`` visible."""
+    snapshot = scan.snapshot
+    spark = snapshot.spark
+    files = scan.files()
+    if not files:
+        return None, files
+    df = spark.read.schema(scan._physical_read_schema()).parquet(
+        *[f.path for f in files]
+    )
+    df = df.withColumn("__file_path", normalize_file_path(F.col("_metadata.file_path")))
+    df = df.withColumn("__row_index", F.col("_metadata.row_index"))
+    pcols = snapshot.metadata.partition_columns
+    if pcols:
+        from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
+
+        consts = scan.scan_files_df().select(
+            F.col("file_path").alias("__const_path"),
+            F.col("partition_values").alias("__pv"),
+        )
+        df = df.join(F.broadcast(consts), df["__file_path"] == consts["__const_path"], "left")
+        types = {f.name: f.dataType for f in snapshot.schema.fields}
+        for p in pcols:
+            df = df.withColumn(
+                p, parse_partition_column(F.col("__pv").getItem(p), types[p])
+            )
+        df = df.drop("__const_path", "__pv")
+    return df, files
+
+
+def delete_where(table, predicate) -> int:
+    """Copy-on-write delete; returns the committed version."""
+    snap = table.snapshot()
+    scan = snap.scan(predicate=predicate if isinstance(predicate, Predicate) else None)
+    df, files = _candidate_df_with_lineage(scan)
+    pred_col = _pred_to_column(predicate)
+    if df is None:
+        return snap.version  # nothing can match — no-op
+
+    matched_paths = {
+        r.p for r in df.filter(pred_col).select(F.col("__file_path").alias("p")).distinct().collect()
+    }
+    if not matched_paths:
+        return snap.version
+
+    kept = (
+        df.filter(F.col("__file_path").isin(list(matched_paths)) & ~pred_col.eqNullSafe(F.lit(True)))
+        .select(*[f.name for f in snap.schema.fields])
+    )
+    cdc_actions: list[dict] = []
+    if snap.metadata.cdf_enabled:
+        # A rewrite commit would surface kept rows as spurious CDF
+        # insert/delete pairs; when CDF is on, the deleted rows must be
+        # recorded as cdc files, which supersede add/remove in the reader
+        # (reference table_changes/log_replay.rs — cdc wins).
+        deleted_rows = df.filter(pred_col).select(*[f.name for f in snap.schema.fields])
+        cdc_actions = _write_cdc_files(table, deleted_rows, snap, "delete")
+    file_info = {f.path: f for f in files}
+    removes = []
+    for p in sorted(matched_paths):
+        info = file_info[p]
+        removes.append(
+            {
+                "remove": {
+                    "path": _rel_path(table.path, p),
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": info.partition_values,
+                    "size": info.size,
+                }
+            }
+        )
+    txn = Transaction(table.spark, table.path, operation="DELETE", read_snapshot=snap)
+    txn.write_data(kept)
+    txn.add_actions(removes + cdc_actions)
+    return txn.commit()
+
+
+def _write_cdc_files(table, rows_df, snap, change_type: str) -> list[dict]:
+    """Write change rows under ``_change_data/`` and return cdc actions."""
+    import uuid
+
+    from delta_kernel_rs_spark.functions.schema_codec import physical_name
+
+    pcols = snap.metadata.partition_columns
+    phys_cols = [
+        F.col(f.name).alias(physical_name(f))
+        for f in snap.schema.fields
+        if f.name not in set(pcols)
+    ]
+    out = rows_df.select(
+        *[F.col(p) for p in pcols],
+        *phys_cols,
+        F.lit(change_type).alias("_change_type"),
+    )
+    staging = f"{table.path}/.cdc-staging-{uuid.uuid4().hex}"
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
+    from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
+
+    actions = []
+    for entry in table.storage.list_recursive(staging):
+        if not entry.path.endswith(".parquet"):
+            continue
+        rel = entry.path[len(staging.rstrip("/")) + 1 :]
+        final_rel = f"_change_data/{rel}"
+        table.storage.rename(entry.path, f"{table.path}/{final_rel}")
+        dirpart = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        raw_pv = parse_hive_partition_path(dirpart) if dirpart else {}
+        actions.append(
+            {
+                "cdc": {
+                    "path": _rel_path(table.path, f"{table.path}/{final_rel}"),
+                    "partitionValues": {k: raw_pv.get(k) for k in pcols},
+                    "size": entry.size,
+                    "dataChange": False,
+                }
+            }
+        )
+    _cleanup_dir(table.storage, staging)
+    return actions
+
+
+def delete_with_dvs(table, predicate) -> int:
+    """DV-based delete: no data rewrite — write roaring bitmaps and swap
+    the ``add`` entries to carry DV descriptors."""
+    snap = table.snapshot()
+    scan = snap.scan(predicate=predicate if isinstance(predicate, Predicate) else None)
+    df, files = _candidate_df_with_lineage(scan)
+    if df is None:
+        return snap.version
+    pred_col = _pred_to_column(predicate)
+
+    hit_rows = (
+        df.filter(pred_col)
+        .groupBy("__file_path")
+        .agg(F.sort_array(F.collect_list("__row_index")).alias("rows"))
+        .collect()
+    )
+    if not hit_rows:
+        return snap.version
+
+    from delta_kernel_rs_spark.functions.dv import read_dv_row_indexes
+
+    file_info = {f.path: f for f in files}
+    scan_rows = {
+        r.file_path: r
+        for r in scan.scan_files_df().collect()
+        if r.file_path in {h["__file_path"] for h in hit_rows}
+    }
+
+    blobs, descriptors = [], []
+    for h in hit_rows:
+        info = file_info[h["__file_path"]]
+        indexes = set(h["rows"])
+        if info.dv:  # merge with the file's existing DV
+            indexes.update(read_dv_row_indexes(table.storage, table.path, info.dv))
+        blobs.append(encode_treemap(sorted(indexes)))
+        descriptors.append((h["__file_path"], len(indexes)))
+
+    uuid_enc, spans = write_dv_file(table.storage, table.path, blobs)
+
+    actions = [DV_PROTOCOL_ACTION]
+    for (abs_path, cardinality), (offset, size) in zip(descriptors, spans):
+        info = file_info[abs_path]
+        row = scan_rows[abs_path]
+        rel = _rel_path(table.path, abs_path)
+        old_dv = info.dv if info.dv else None
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": _now_ms(),
+                    "dataChange": True,
+                    "extendedFileMetadata": True,
+                    "partitionValues": info.partition_values,
+                    "size": info.size,
+                    "deletionVector": old_dv,
+                }
+            }
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": info.partition_values,
+                    "size": info.size,
+                    "modificationTime": row.modification_time,
+                    "dataChange": True,
+                    "stats": row.stats,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": uuid_enc,
+                        "offset": offset,
+                        "sizeInBytes": size,
+                        "cardinality": cardinality,
+                    },
+                }
+            }
+        )
+    txn = Transaction(table.spark, table.path, operation="DELETE", read_snapshot=snap)
+    txn.add_actions(actions)
+    return txn.commit()

@@ -1,0 +1,172 @@
+"""LogSegment — the contiguous slice of the ``_delta_log`` that defines a
+snapshot: an optional checkpoint plus every commit after it.
+
+Mirrors the reference's ``LogSegment`` (kernel/src/log_segment/mod.rs,
+invariants at :98-113), ``_last_checkpoint`` hint handling
+(kernel/src/last_checkpoint_hint.rs) and compacted-commit substitution
+(kernel/src/log_segment_files/, exported via lib.rs:199).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from delta_kernel_rs_spark.sources.delta_paths import (
+    LAST_CHECKPOINT_NAME,
+    LOG_DIR,
+    LogFileKind,
+    ParsedLogPath,
+    parse_log_filename,
+)
+
+
+class InvalidLogError(Exception):
+    pass
+
+
+class TableNotFoundError(Exception):
+    pass
+
+
+@dataclass
+class LogSegment:
+    table_path: str
+    log_dir: str
+    version: int
+    checkpoint_version: int | None
+    checkpoint_parts: list[str]  # parquet paths forming the checkpoint
+    commit_files: list[ParsedLogPath]  # ascending, versions in (ckpt, version]
+    # commit-file modification times (ms) keyed by version — commit timestamps
+    commit_timestamps: dict[int, int] = field(default_factory=dict)
+    # ascending list of ALL commit versions seen in the listing (history)
+    all_commit_versions: list[int] = field(default_factory=list)
+
+
+def read_last_checkpoint_hint(storage, log_dir: str) -> dict | None:
+    path = f"{log_dir}/{LAST_CHECKPOINT_NAME}"
+    if not storage.exists(path):
+        return None
+    try:
+        return json.loads(storage.read_text(path))
+    except (ValueError, OSError):
+        return None  # corrupt hint is advisory only
+
+
+def build_log_segment(
+    storage,
+    table_path: str,
+    at_version: int | None = None,
+    use_compacted: bool = True,
+) -> LogSegment:
+    """List ``_delta_log`` and assemble the snapshot's log segment.
+
+    The ``_last_checkpoint`` hint lets us start the listing at the
+    checkpoint instead of version 0 (reference: last_checkpoint_hint.rs) —
+    on object stores that turns an O(versions) LIST into O(tail).
+    """
+    table_path = table_path.rstrip("/")
+    log_dir = f"{table_path}/{LOG_DIR}"
+
+    hint = read_last_checkpoint_hint(storage, log_dir)
+    start_name = ""
+    if hint and isinstance(hint.get("version"), int):
+        hint_v = hint["version"]
+        if at_version is None or hint_v <= at_version:
+            start_name = f"{hint_v:020d}."
+
+    entries = storage.list_from(log_dir, start_name) if start_name else storage.list_dir(log_dir)
+    if not entries and start_name:
+        entries = storage.list_dir(log_dir)  # stale hint — fall back to full listing
+    parsed = [p for e in entries if (p := parse_log_filename(e.path)) is not None]
+    mtimes = {e.path: e.last_modified_ms for e in entries}
+    if not parsed:
+        raise TableNotFoundError(f"no Delta log found at {log_dir}")
+
+    commits = sorted(
+        (p for p in parsed if p.kind == LogFileKind.COMMIT), key=lambda p: p.version
+    )
+    if at_version is not None:
+        commits = [c for c in commits if c.version <= at_version]
+
+    # --- choose the newest complete checkpoint at or below the target ---
+    ckpt_version: int | None = None
+    ckpt_parts: list[str] = []
+    classic = [p for p in parsed if p.kind == LogFileKind.CLASSIC_CHECKPOINT]
+    v2 = [p for p in parsed if p.kind == LogFileKind.V2_CHECKPOINT and p.filename.endswith(".parquet")]
+    multi = [p for p in parsed if p.kind == LogFileKind.MULTIPART_CHECKPOINT]
+    candidates: dict[int, list[str]] = {}
+    for p in classic:
+        candidates.setdefault(p.version, []).append(p.path)
+    for p in v2:
+        candidates.setdefault(p.version, [p.path])
+    by_version: dict[int, tuple[int, dict[int, str]]] = {}
+    for p in multi:
+        num_parts = p.part[1]
+        by_version.setdefault(p.version, (num_parts, {}))[1][p.part[0]] = p.path
+    for v, (num_parts, parts) in by_version.items():
+        if len(parts) == num_parts and set(parts) == set(range(1, num_parts + 1)):
+            candidates.setdefault(v, [parts[i] for i in range(1, num_parts + 1)])
+    eligible = [v for v in candidates if at_version is None or v <= at_version]
+    if eligible:
+        ckpt_version = max(eligible)
+        ckpt_parts = candidates[ckpt_version]
+
+    # --- commits strictly after the checkpoint ---
+    tail = [c for c in commits if ckpt_version is None or c.version > ckpt_version]
+
+    # --- contiguity validation (log_segment/mod.rs:98-106) ---
+    expected = 0 if ckpt_version is None else ckpt_version + 1
+    for c in tail:
+        if c.version != expected:
+            raise InvalidLogError(
+                f"log is not contiguous: expected commit {expected}, found {c.version}"
+            )
+        expected += 1
+
+    if ckpt_version is None and (not tail or tail[0].version != 0):
+        raise InvalidLogError("log must start at version 0 or a checkpoint")
+
+    version = tail[-1].version if tail else ckpt_version
+    if at_version is not None and version != at_version:
+        raise InvalidLogError(
+            f"requested version {at_version} not available (latest usable: {version})"
+        )
+
+    # --- compacted-commit substitution (optimization) ---
+    if use_compacted and tail:
+        compacted = sorted(
+            (
+                p
+                for p in parsed
+                if p.kind == LogFileKind.COMPACTED
+                and p.version >= tail[0].version
+                and p.end_version is not None
+                and p.end_version <= tail[-1].version
+            ),
+            key=lambda p: (p.version, -(p.end_version or 0)),
+        )
+        if compacted:
+            out: list[ParsedLogPath] = []
+            i = 0
+            by_start = {p.version: p for p in compacted}
+            while i < len(tail):
+                sub = by_start.get(tail[i].version)
+                if sub is not None and sub.end_version <= tail[-1].version:
+                    out.append(sub)
+                    i += sub.end_version - sub.version + 1
+                else:
+                    out.append(tail[i])
+                    i += 1
+            tail = out
+
+    return LogSegment(
+        table_path=table_path,
+        log_dir=log_dir,
+        version=version,
+        checkpoint_version=ckpt_version,
+        checkpoint_parts=ckpt_parts,
+        commit_files=tail,
+        commit_timestamps={c.version: mtimes.get(c.path, 0) for c in commits},
+        all_commit_versions=[c.version for c in commits],
+    )

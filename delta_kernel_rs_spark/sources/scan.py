@@ -1,0 +1,325 @@
+"""Table scan: distributed log replay → live file list → logical DataFrame.
+
+The metadata query is the reference's flagship declarative plan
+(kernel/src/plans/mod.rs:16-25, built at kernel/src/scan/scan_plan.rs:49-80):
+
+    SELECT add FROM (SELECT max_by(action, version) AS add
+                     FROM commits GROUP BY file_key)
+    WHERE add IS NOT NULL
+    UNION ALL
+    SELECT c.add FROM checkpoint c
+    LEFT ANTI JOIN commit_keys k ON c.file_key = k.file_key
+
+with ``file_key = (path, dv_unique_id)`` (kernel/src/log_replay/mod.rs:28-56)
+— here lowered to DataFrame ops so the replay runs distributed on executors
+(the reference's streaming ``AddRemoveDedupVisitor`` becomes a shuffle
+aggregate; its ``parallel_scan_metadata`` checkpoint parallelism is free).
+
+Scale notes (100 TB posture): the replay never materializes the log on the
+driver — only the final live-file *path list* is collected (exactly what
+Spark's own parquet source needs); partition values / DV descriptors stay
+distributed and are joined back against ``_metadata.file_path``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
+from delta_kernel_rs_spark.functions.schema_codec import physical_name
+from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
+
+
+def dv_unique_id(dv_col: Column) -> Column:
+    """Unique id of a deletion vector (reference FileActionKey dv part:
+    kernel/src/log_replay/mod.rs:28-56 — storageType+path+offset)."""
+    return F.when(
+        dv_col.isNull() | dv_col.getField("storageType").isNull(),
+        F.lit(""),
+    ).otherwise(
+        F.concat_ws(
+            "\x00",
+            dv_col.getField("storageType"),
+            dv_col.getField("pathOrInlineDv"),
+            F.coalesce(dv_col.getField("offset").cast("string"), F.lit("")),
+        )
+    )
+
+
+def normalize_file_path(col: Column) -> Column:
+    """Normalize ``file:``-scheme URIs to plain absolute paths for joins."""
+    return F.regexp_replace(col, r"^file:/+", "/")
+
+
+@dataclass
+class ScanFile:
+    """One live data file (driver-side handle)."""
+
+    path: str  # absolute (no scheme for local)
+    size: int
+    partition_values: dict
+    dv: dict | None
+    base_row_id: int | None
+    commit_version: int
+
+
+class Scan:
+    """A configured read of a snapshot (reference kernel/src/scan/mod.rs)."""
+
+    def __init__(self, snapshot, predicate=None, columns: list[str] | None = None):
+        self.snapshot = snapshot
+        self.spark = snapshot.spark
+        self.predicate = predicate
+        self.columns = columns
+        self._files_cache: list[ScanFile] | None = None
+
+    # ------------------------------------------------------------------
+    # Log replay → live adds
+    # ------------------------------------------------------------------
+    def _version_map_df(self) -> DataFrame:
+        """(log filename → version) lookup, built from the driver's listing.
+
+        Compacted files carry the range end as their effective version (all
+        actions inside are already newest-wins-reconciled for the range).
+        """
+        seg = self.snapshot.log_segment
+        rows = [
+            (c.filename, c.end_version if c.end_version is not None else c.version)
+            for c in seg.commit_files
+        ]
+        return self.spark.createDataFrame(rows, "log_filename STRING, version LONG")
+
+    def add_actions_df(self) -> DataFrame:
+        """Live ``add`` actions (+ commit version) after full replay."""
+        seg = self.snapshot.log_segment
+        spark = self.spark
+        commit_arm = None
+        if seg.commit_files:
+            raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).json(
+                [c.path for c in seg.commit_files]
+            )
+            commit_arm = (
+                raw.withColumn(
+                    "log_filename",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                )
+                .join(F.broadcast(self._version_map_df()), "log_filename")
+                .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+                .select(
+                    F.coalesce(F.col("add.path"), F.col("remove.path")).alias("key_path"),
+                    # dv_unique_id never returns NULL (missing DV → ""), so
+                    # pick the branch by which action is present.
+                    F.when(
+                        F.col("add").isNotNull(),
+                        dv_unique_id(F.col("add.deletionVector")),
+                    )
+                    .otherwise(dv_unique_id(F.col("remove.deletionVector")))
+                    .alias("key_dv"),
+                    "add",
+                    "version",
+                )
+            )
+
+        checkpoint_arm = None
+        if seg.checkpoint_parts:
+            ckpt = spark.read.parquet(*seg.checkpoint_parts)
+            available = set(ckpt.columns)
+            # V2 checkpoints store file actions in sidecar parquet files
+            # (reference kernel/src/checkpoint + log_segment/mod.rs:51-83).
+            if "sidecar" in available:
+                sidecars = [
+                    r.path
+                    for r in ckpt.filter(F.col("sidecar.path").isNotNull())
+                    .select(F.col("sidecar.path").alias("path"))
+                    .collect()
+                ]
+                if sidecars:
+                    sidecar_paths = [
+                        p if "://" in p or p.startswith("/")
+                        else f"{seg.log_dir}/_sidecars/{p}"
+                        for p in sidecars
+                    ]
+                    ckpt = spark.read.parquet(*sidecar_paths)
+            if "add" in ckpt.columns:
+                checkpoint_arm = (
+                    ckpt.filter(F.col("add").isNotNull())
+                    .select(
+                        F.col("add.path").alias("key_path"),
+                        dv_unique_id(F.col("add.deletionVector")).alias("key_dv"),
+                        "add",
+                        F.lit(seg.checkpoint_version).cast("long").alias("version"),
+                    )
+                )
+
+        if commit_arm is None and checkpoint_arm is None:
+            raise ValueError("empty log segment")
+
+        if commit_arm is not None:
+            # Newest-wins dedup: max_by(action, version) per file key; dead
+            # files (newest action is a remove) yield add IS NULL.
+            latest = (
+                commit_arm.groupBy("key_path", "key_dv")
+                .agg(F.max_by(F.struct("version", "add"), F.col("version")).alias("w"))
+                .select(
+                    "key_path",
+                    "key_dv",
+                    F.col("w.version").alias("version"),
+                    F.col("w.add").alias("add"),
+                )
+            )
+            live_commit_adds = latest.filter(F.col("add").isNotNull())
+            if checkpoint_arm is not None:
+                commit_keys = commit_arm.select("key_path", "key_dv").distinct()
+                checkpoint_live = checkpoint_arm.join(
+                    F.broadcast(commit_keys), ["key_path", "key_dv"], "left_anti"
+                )
+                return live_commit_adds.unionByName(checkpoint_live)
+            return live_commit_adds
+        return checkpoint_arm
+
+    # ------------------------------------------------------------------
+    # Scan-file DataFrame with resolved absolute paths
+    # ------------------------------------------------------------------
+    def scan_files_df(self) -> DataFrame:
+        """One row per live file: absolute path + file-constant columns.
+
+        This is the reference's scan-row schema (kernel/src/scan/
+        mod.rs:1410-1440): path, size, modificationTime, stats, DV,
+        file constants.
+        """
+        table_path = self.snapshot.table_path
+        adds = self.add_actions_df()
+        rel = F.url_decode(F.col("add.path"))
+        abs_path = F.when(rel.contains("://"), normalize_file_path(rel)).otherwise(
+            F.concat(F.lit(table_path + "/"), rel)
+        )
+        df = adds.select(
+            abs_path.alias("file_path"),
+            F.col("add.size").alias("size"),
+            F.col("add.modificationTime").alias("modification_time"),
+            F.col("add.stats").alias("stats"),
+            F.col("add.partitionValues").alias("partition_values"),
+            F.col("add.deletionVector").alias("deletion_vector"),
+            F.col("add.baseRowId").alias("base_row_id"),
+            F.col("version").alias("commit_version"),
+        )
+        skip_pred = self._file_skipping_predicate()
+        if skip_pred is not None:
+            df = df.filter(skip_pred)
+        return df
+
+    def _file_skipping_predicate(self) -> Column | None:
+        """Partition pruning + stats-based data skipping (plans/data_skipping)."""
+        if self.predicate is None:
+            return None
+        from delta_kernel_rs_spark.plans.data_skipping import file_skipping_predicate
+
+        return file_skipping_predicate(
+            self.predicate,
+            self.snapshot.schema,
+            self.snapshot.metadata.partition_columns,
+        )
+
+    def files(self) -> list[ScanFile]:
+        if self._files_cache is None:
+            rows = self.scan_files_df().collect()
+            self._files_cache = [
+                ScanFile(
+                    path=r.file_path,
+                    size=r.size,
+                    partition_values=dict(r.partition_values or {}),
+                    dv=r.deletion_vector.asDict() if r.deletion_vector else None,
+                    base_row_id=r.base_row_id,
+                    commit_version=r.commit_version,
+                )
+                for r in rows
+            ]
+        return self._files_cache
+
+    # ------------------------------------------------------------------
+    # Physical → logical
+    # ------------------------------------------------------------------
+    def _physical_read_schema(self) -> T.StructType:
+        """Read schema with column-mapping physical names, partition
+        columns excluded (they live in the log, not in parquet)."""
+        schema = self.snapshot.schema
+        pcols = set(self.snapshot.metadata.partition_columns)
+        fields = []
+        for f in schema.fields:
+            if f.name in pcols:
+                continue
+            fields.append(
+                T.StructField(physical_name(f), f.dataType, True, f.metadata)
+            )
+        return T.StructType(fields)
+
+    def to_df(self) -> DataFrame:
+        """The scan result as a lazy logical DataFrame."""
+        spark = self.spark
+        schema = self.snapshot.schema
+        meta = self.snapshot.metadata
+        pcols = meta.partition_columns
+        files = self.files()
+        if not files:
+            out_fields = [f for f in schema.fields if self.columns is None or f.name in self.columns]
+            return spark.createDataFrame([], T.StructType(out_fields))
+
+        phys_schema = self._physical_read_schema()
+        reader = spark.read.schema(phys_schema)
+        df = reader.parquet(*[f.path for f in files])
+
+        needs_dv = any(f.dv for f in files)
+        if pcols or needs_dv:
+            df = df.withColumn(
+                "__file_path", normalize_file_path(F.col("_metadata.file_path"))
+            )
+        if needs_dv:
+            df = df.withColumn("__row_index", F.col("_metadata.row_index"))
+            from delta_kernel_rs_spark.functions.dv import deleted_rows_df
+
+            deleted = deleted_rows_df(spark, files, self.snapshot.table_path)
+            df = df.join(
+                F.broadcast(deleted),
+                (df["__file_path"] == deleted["dv_file_path"])
+                & (df["__row_index"] == deleted["dv_row_index"]),
+                "left_anti",
+            )
+
+        if pcols:
+            consts = self.scan_files_df().select(
+                F.col("file_path").alias("__const_path"),
+                F.col("partition_values").alias("__pv"),
+            )
+            df = df.join(
+                F.broadcast(consts),
+                df["__file_path"] == consts["__const_path"],
+                "left",
+            )
+
+        # Final projection in logical column order: physical→logical rename,
+        # partition-value parse, type normalization (widening casts).
+        out_cols = []
+        for f in schema.fields:
+            if self.columns is not None and f.name not in self.columns:
+                continue
+            if f.name in pcols:
+                raw = F.col("__pv").getItem(f.name)
+                out_cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
+            else:
+                out_cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
+        df = df.select(*out_cols)
+
+        if self.predicate is not None:
+            pred = self.predicate
+            from delta_kernel_rs_spark.plans.expressions import Predicate
+
+            if isinstance(pred, Predicate):
+                pred = pred.to_spark()
+            elif isinstance(pred, str):
+                pred = F.expr(pred)
+            df = df.filter(pred)
+        return df

@@ -1,0 +1,207 @@
+"""Snapshot — a version-pinned, consistent view of a Delta table.
+
+Mirrors the reference's ``Snapshot`` (kernel/src/snapshot/mod.rs:70-84),
+protocol & metadata replay (kernel/src/log_segment/
+protocol_metadata_replay.rs — newest-to-oldest search) and
+``TableConfiguration`` (kernel/src/table_configuration.rs).
+
+P&M resolution strategy: commits are scanned newest→oldest on the driver
+(they are the small tail of the log and this short-circuits as soon as both
+actions are found — exactly the reference's streaming search); if the
+segment starts at a checkpoint and the tail lacks P&M, the checkpoint
+parquet is read column-pruned (only ``metaData``/``protocol``) via pyarrow,
+which touches just those column chunks.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string
+from delta_kernel_rs_spark.sources.log_segment import (
+    InvalidLogError,
+    LogSegment,
+    build_log_segment,
+)
+from delta_kernel_rs_spark.sources.storage import storage_for
+
+
+@dataclass
+class Protocol:
+    min_reader_version: int = 1
+    min_writer_version: int = 2
+    reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
+
+    #: Reader features this engine implements (reference feature gating:
+    #: kernel/src/table_features/mod.rs:97-185).
+    SUPPORTED_READER_FEATURES = frozenset(
+        {
+            "deletionVectors",
+            "columnMapping",
+            "timestampNtz",
+            "typeWidening",
+            "typeWidening-preview",
+            "vacuumProtocolCheck",
+            "v2Checkpoint",
+            "changeDataFeed",
+            "appendOnly",
+            "invariants",
+            "rowTracking",
+            "domainMetadata",
+            "inCommitTimestamp",
+        }
+    )
+
+    def ensure_read_supported(self) -> None:
+        if self.min_reader_version > 3:
+            raise InvalidLogError(
+                f"unsupported minReaderVersion {self.min_reader_version}"
+            )
+        if self.min_reader_version == 3:
+            unsupported = set(self.reader_features or []) - self.SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
+
+
+@dataclass
+class TableMetadata:
+    id: str
+    schema_string: str
+    partition_columns: list[str]
+    configuration: dict[str, str]
+    name: str | None = None
+    description: str | None = None
+    created_time: int | None = None
+
+    @property
+    def schema(self) -> T.StructType:
+        return parse_schema_string(self.schema_string)
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return self.configuration.get("delta.columnMapping.mode", "none")
+
+    @property
+    def cdf_enabled(self) -> bool:
+        return self.configuration.get("delta.enableChangeDataFeed", "false").lower() == "true"
+
+
+def _scan_commit_for_pm(text: str) -> tuple[dict | None, dict | None]:
+    metadata, protocol = None, None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            action = json.loads(line)
+        except ValueError:
+            continue
+        if metadata is None and "metaData" in action:
+            metadata = action["metaData"]
+        if protocol is None and "protocol" in action:
+            protocol = action["protocol"]
+    return metadata, protocol
+
+
+def _checkpoint_pm(checkpoint_parts: list[str]) -> tuple[dict | None, dict | None]:
+    import pyarrow.parquet as pq
+
+    metadata, protocol = None, None
+    for path in checkpoint_parts:
+        local = path[len("file://") :] if path.startswith("file://") else path
+        pf = pq.ParquetFile(local)
+        names = {c.split(".", 1)[0] for c in pf.schema_arrow.names}
+        cols = [c for c in ("metaData", "protocol") if c in names]
+        if not cols:
+            continue
+        table = pf.read(columns=cols)
+        data = table.to_pylist()
+        for row in data:
+            md = row.get("metaData")
+            if metadata is None and md and md.get("id"):
+                metadata = md
+            pr = row.get("protocol")
+            if protocol is None and pr and pr.get("minReaderVersion") is not None:
+                protocol = pr
+        if metadata is not None and protocol is not None:
+            break
+    return metadata, protocol
+
+
+class Snapshot:
+    """Consistent view of table ``table_path`` at ``log_segment.version``."""
+
+    def __init__(self, spark, table_path: str, log_segment: LogSegment, storage=None):
+        self.spark = spark
+        self.table_path = table_path.rstrip("/")
+        self.log_segment = log_segment
+        self.storage = storage or storage_for(spark, table_path)
+        self._resolve_protocol_metadata()
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def create(spark, table_path: str, version: int | None = None) -> "Snapshot":
+        storage = storage_for(spark, table_path)
+        segment = build_log_segment(storage, table_path, at_version=version)
+        return Snapshot(spark, table_path, segment, storage)
+
+    @property
+    def version(self) -> int:
+        return self.log_segment.version
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.metadata.schema
+
+    def _resolve_protocol_metadata(self) -> None:
+        metadata_dict: dict | None = None
+        protocol_dict: dict | None = None
+        for commit in reversed(self.log_segment.commit_files):
+            md, pr = _scan_commit_for_pm(self.storage.read_text(commit.path))
+            if metadata_dict is None:
+                metadata_dict = md
+            if protocol_dict is None:
+                protocol_dict = pr
+            if metadata_dict is not None and protocol_dict is not None:
+                break
+        if (metadata_dict is None or protocol_dict is None) and self.log_segment.checkpoint_parts:
+            md, pr = _checkpoint_pm(self.log_segment.checkpoint_parts)
+            metadata_dict = metadata_dict or md
+            protocol_dict = protocol_dict or pr
+        if metadata_dict is None or protocol_dict is None:
+            raise InvalidLogError(
+                f"no metaData/protocol found in log for {self.table_path}"
+            )
+        self.protocol = Protocol(
+            min_reader_version=protocol_dict.get("minReaderVersion", 1),
+            min_writer_version=protocol_dict.get("minWriterVersion", 2),
+            reader_features=protocol_dict.get("readerFeatures") or [],
+            writer_features=protocol_dict.get("writerFeatures") or [],
+        )
+        self.protocol.ensure_read_supported()
+        self.metadata = TableMetadata(
+            id=metadata_dict.get("id", ""),
+            schema_string=metadata_dict["schemaString"],
+            partition_columns=list(metadata_dict.get("partitionColumns") or []),
+            configuration=dict(metadata_dict.get("configuration") or {}),
+            name=metadata_dict.get("name"),
+            description=metadata_dict.get("description"),
+            created_time=metadata_dict.get("createdTime"),
+        )
+
+    # -- scan ----------------------------------------------------------
+    def scan(self, predicate=None, columns: list[str] | None = None):
+        from delta_kernel_rs_spark.sources.scan import Scan
+
+        return Scan(self, predicate=predicate, columns=columns)
+
+    def to_df(self, predicate=None, columns: list[str] | None = None):
+        return self.scan(predicate=predicate, columns=columns).to_df()
+
+    def timestamp_ms(self) -> int:
+        """Commit timestamp of this snapshot's version (file mtime)."""
+        return self.log_segment.commit_timestamps.get(self.version, 0)

@@ -1,0 +1,227 @@
+"""Storage handler: listing + atomic commit primitive.
+
+Mirrors the reference's ``StorageHandler`` (kernel/src/lib.rs:610-654
+``list_from`` — recursive lexicographic listing; ``lib.rs:754-760``
+``write_json_file`` — the atomic put-if-absent that is the ACID commit
+primitive, reference committer kernel/src/committer/filesystem.rs).
+
+Two implementations:
+  * :class:`LocalStorage` — POSIX; put-if-absent via ``O_CREAT|O_EXCL``.
+  * :class:`HadoopStorage` — any Hadoop-supported FS through the running
+    JVM (py4j); put-if-absent via ``FileSystem.create(path, overwrite=False)``
+    which is atomic on HDFS/ABFS (rename-based stores). For S3 a
+    coordinating LogStore (e.g. DynamoDB) would be required — documented,
+    out of scope for the local build.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+class CommitConflict(Exception):
+    """The target commit file already exists — another writer won."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    """Reference ``FileMeta`` (kernel/src/lib.rs:236-243)."""
+
+    path: str
+    size: int
+    last_modified_ms: int
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    return path
+
+
+class LocalStorage:
+    """POSIX storage handler."""
+
+    def list_dir(self, directory: str) -> list[FileEntry]:
+        """Lexicographically sorted listing (non-recursive)."""
+        directory = _strip_scheme(directory)
+        try:
+            entries = list(os.scandir(directory))
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            if e.is_file():
+                st = e.stat()
+                out.append(FileEntry(e.path, st.st_size, int(st.st_mtime * 1000)))
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
+        """Listing of files with name >= start_name (reference list_from)."""
+        return [f for f in self.list_dir(directory) if f.path.rsplit("/", 1)[-1] >= start_name]
+
+    def list_recursive(self, directory: str) -> list[FileEntry]:
+        directory = _strip_scheme(directory)
+        out: list[FileEntry] = []
+        for root, _dirs, files in os.walk(directory):
+            for name in files:
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                out.append(FileEntry(full, st.st_size, int(st.st_mtime * 1000)))
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def read_text(self, path: str) -> str:
+        with open(_strip_scheme(path), encoding="utf-8") as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(_strip_scheme(path))
+
+    def mkdirs(self, directory: str) -> None:
+        os.makedirs(_strip_scheme(directory), exist_ok=True)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Atomic create-if-not-exists — THE commit primitive."""
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise CommitConflict(path) from exc
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+        except BaseException:
+            # Never leave a torn commit file behind.
+            try:
+                os.unlink(path)
+            finally:
+                raise
+
+    def put_overwrite(self, path: str, data: bytes) -> None:
+        """Overwriting write via temp-file + rename (for _last_checkpoint)."""
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(_strip_scheme(dst)), exist_ok=True)
+        os.replace(_strip_scheme(src), _strip_scheme(dst))
+
+    def delete(self, path: str) -> None:
+        os.unlink(_strip_scheme(path))
+
+
+class HadoopStorage:
+    """Hadoop FileSystem storage via the active Spark JVM (any scheme).
+
+    Used automatically for non-``file:`` table URLs; same interface as
+    :class:`LocalStorage`.
+    """
+
+    def __init__(self, spark, base_url: str):
+        self._jvm = spark._jvm
+        self._jsc = spark._jsc
+        self._conf = self._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(base_url).getFileSystem(self._conf)
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def list_dir(self, directory: str) -> list[FileEntry]:
+        jdir = self._jpath(directory)
+        if not self._fs.exists(jdir):
+            return []
+        out = []
+        for status in self._fs.listStatus(jdir):
+            if status.isFile():
+                out.append(
+                    FileEntry(
+                        status.getPath().toString(),
+                        status.getLen(),
+                        status.getModificationTime(),
+                    )
+                )
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
+        return [f for f in self.list_dir(directory) if f.path.rsplit("/", 1)[-1] >= start_name]
+
+    def list_recursive(self, directory: str) -> list[FileEntry]:
+        jdir = self._jpath(directory)
+        if not self._fs.exists(jdir):
+            return []
+        out: list[FileEntry] = []
+        it = self._fs.listFiles(jdir, True)
+        while it.hasNext():
+            status = it.next()
+            out.append(
+                FileEntry(
+                    status.getPath().toString(),
+                    status.getLen(),
+                    status.getModificationTime(),
+                )
+            )
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jpath(path))
+
+    def mkdirs(self, directory: str) -> None:
+        self._fs.mkdirs(self._jpath(directory))
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        try:
+            stream = self._fs.create(self._jpath(path), False)
+        except Exception as exc:  # FileAlreadyExistsException
+            raise CommitConflict(path) from exc
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def put_overwrite(self, path: str, data: bytes) -> None:
+        stream = self._fs.create(self._jpath(path), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fs.rename(self._jpath(src), self._jpath(dst))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), False)
+
+
+def storage_for(spark, table_path: str):
+    """Pick a storage handler for the table URL."""
+    if "://" not in table_path or table_path.startswith("file://"):
+        return LocalStorage()
+    return HadoopStorage(spark, table_path)

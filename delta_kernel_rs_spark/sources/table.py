@@ -1,0 +1,213 @@
+"""DeltaTable — the user-facing facade over snapshot/scan/transaction.
+
+Usage:
+    t = DeltaTable.create(spark, path, df=df, partition_by=["c"])
+    t.append(df2)
+    t.to_df(predicate="x > 1").show()
+    t.snapshot(version=0).to_df()          # time travel
+    t.history()                            # commitInfo DataFrame
+    t.changes(0, 2)                        # CDF (sources/cdf.py)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.sources.actions import COMMIT_INFO_TYPE
+from delta_kernel_rs_spark.sources.snapshot import Snapshot
+from delta_kernel_rs_spark.sources.storage import storage_for
+from delta_kernel_rs_spark.sources.transaction import Transaction
+
+DEFAULT_CHECKPOINT_INTERVAL = 10
+
+
+class DeltaTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.storage = storage_for(spark, path)
+
+    # -- lifecycle -------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame | None = None,
+        schema: T.StructType | None = None,
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        name: str | None = None,
+    ) -> "DeltaTable":
+        txn = Transaction(
+            spark,
+            path,
+            operation="CREATE TABLE" if df is None else "CREATE TABLE AS SELECT",
+            is_create=True,
+            schema=schema if schema is not None else (df.schema if df is not None else None),
+            partition_columns=partition_by or [],
+            configuration=properties or {},
+            name=name,
+        )
+        if txn.schema is None:
+            raise ValueError("create requires a schema or a DataFrame")
+        if df is not None:
+            txn.write_data(df)
+        txn.commit()
+        return DeltaTable(spark, path)
+
+    @staticmethod
+    def exists(spark: SparkSession, path: str) -> bool:
+        from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
+
+        try:
+            Snapshot.create(spark, path)
+            return True
+        except TableNotFoundError:
+            return False
+
+    # -- reads -----------------------------------------------------------
+    def snapshot(self, version: int | None = None, timestamp_ms: int | None = None) -> Snapshot:
+        if timestamp_ms is not None:
+            from delta_kernel_rs_spark.sources.history import version_at_timestamp
+
+            version = version_at_timestamp(self.spark, self.path, timestamp_ms)
+        return Snapshot.create(self.spark, self.path, version=version)
+
+    def to_df(
+        self,
+        version: int | None = None,
+        predicate=None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        return self.snapshot(version=version).to_df(predicate=predicate, columns=columns)
+
+    def history(self) -> DataFrame:
+        """commitInfo per version, newest first."""
+        snap = self.snapshot()
+        seg = snap.log_segment
+        rows = []
+        for commit in seg.commit_files:
+            for line in self.storage.read_text(commit.path).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except ValueError:
+                    continue
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    rows.append(
+                        (
+                            commit.version,
+                            ci.get("timestamp"),
+                            ci.get("inCommitTimestamp"),
+                            ci.get("operation"),
+                            ci.get("engineInfo"),
+                        )
+                    )
+                    break
+        schema = (
+            "version LONG, timestamp LONG, inCommitTimestamp LONG,"
+            " operation STRING, engineInfo STRING"
+        )
+        return self.spark.createDataFrame(rows, schema).orderBy(F.desc("version"))
+
+    def changes(self, start_version: int, end_version: int | None = None) -> DataFrame:
+        from delta_kernel_rs_spark.sources.cdf import table_changes
+
+        return table_changes(self.spark, self.path, start_version, end_version)
+
+    # -- writes ------------------------------------------------------------
+    def append(self, df: DataFrame, auto_checkpoint: bool = True) -> int:
+        snap = self.snapshot()
+        if [f.name for f in df.schema.fields] != [f.name for f in snap.schema.fields]:
+            df = df.select(*[f.name for f in snap.schema.fields])
+        version = (
+            Transaction(self.spark, self.path, operation="WRITE", read_snapshot=snap)
+            .write_data(df)
+            .commit()
+        )
+        if auto_checkpoint:
+            self.maybe_checkpoint(version)
+        return version
+
+    def append_with_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int | None:
+        """Idempotent append: skipped if (app_id, txn_version) was committed."""
+        latest = self.latest_txn_version(app_id)
+        if latest is not None and latest >= txn_version:
+            return None
+        snap = self.snapshot()
+        return (
+            Transaction(self.spark, self.path, operation="WRITE", read_snapshot=snap)
+            .write_data(df)
+            .with_transaction_id(app_id, txn_version)
+            .commit()
+        )
+
+    def latest_txn_version(self, app_id: str) -> int | None:
+        """Reference ``get_app_id_version`` (SetTransaction replay)."""
+        snap = self.snapshot()
+        seg = snap.log_segment
+        best: int | None = None
+        for commit in seg.commit_files:
+            for line in self.storage.read_text(commit.path).splitlines():
+                if '"txn"' not in line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except ValueError:
+                    continue
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    v = txn.get("version")
+                    if v is not None and (best is None or v > best):
+                        best = v
+        if best is None and seg.checkpoint_parts:
+            df = self.spark.read.parquet(*seg.checkpoint_parts)
+            if "txn" in df.columns:
+                rows = (
+                    df.filter(F.col("txn.appId") == app_id)
+                    .agg(F.max("txn.version").alias("v"))
+                    .collect()
+                )
+                if rows and rows[0].v is not None:
+                    best = rows[0].v
+        return best
+
+    def delete(self, predicate) -> int:
+        """Row-level delete by file rewrite (copy-on-write).
+
+        Files fully untouched by the predicate are kept as-is (pruned via
+        data skipping); matched files are rewritten without matching rows.
+        The DV-based delete path is sources/dv_writer.py.
+        """
+        from delta_kernel_rs_spark.sources.delete import delete_where
+
+        return delete_where(self, predicate)
+
+    # -- maintenance ---------------------------------------------------------
+    def checkpoint(self, version: int | None = None) -> int:
+        from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
+
+        return write_checkpoint(self.spark, self.path, version=version)
+
+    def maybe_checkpoint(self, version: int) -> None:
+        snap = self.snapshot(version=version)
+        interval = int(
+            snap.metadata.configuration.get(
+                "delta.checkpointInterval", DEFAULT_CHECKPOINT_INTERVAL
+            )
+        )
+        last = snap.log_segment.checkpoint_version or 0
+        if version - last >= interval:
+            self.checkpoint(version=version)
+
+    def compact_log(self, start_version: int, end_version: int) -> str:
+        from delta_kernel_rs_spark.sources.checkpoint import write_log_compaction
+
+        return write_log_compaction(self.spark, self.path, start_version, end_version)

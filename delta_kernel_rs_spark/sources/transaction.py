@@ -1,0 +1,282 @@
+"""Transactional write path: CREATE TABLE / blind APPEND with optimistic
+concurrency.
+
+Mirrors the reference's ``Transaction`` (kernel/src/transaction/mod.rs:
+199-262 — stage adds :1223, app txn ids :646, domain metadata :658; commit
+:357+; conflict retry :1675-1724; create table
+kernel/src/transaction/builder/create_table.rs). The commit primitive is an
+atomic put-if-absent of ``_delta_log/{version}.json`` (reference committer
+kernel/src/committer/filesystem.rs) — see sources/storage.py.
+
+Data-file staging is Spark-native: ``df.write.parquet`` into a hidden
+staging dir under the table, a distributed stats job over the staged files
+(functions/stats.py), then per-file renames into place (cheap on
+rename-based stores) and a driver-side commit of the action NDJSON.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.functions.schema_codec import to_schema_string
+from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
+from delta_kernel_rs_spark.functions.stats import collect_file_stats, stats_json
+from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR, commit_filename
+from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
+from delta_kernel_rs_spark.sources.storage import CommitConflict, storage_for
+
+ENGINE_INFO = "delta_kernel_rs_spark/0.1"
+MAX_COMMIT_ATTEMPTS = 16
+
+
+class ConcurrentModificationError(Exception):
+    pass
+
+
+class SchemaMismatchError(Exception):
+    pass
+
+
+def _json_line(action: dict) -> str:
+    """Serialize one action omitting null fields (reference
+    JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760)."""
+
+    def prune(obj):
+        if isinstance(obj, dict):
+            return {k: prune(v) for k, v in obj.items() if v is not None}
+        return obj
+
+    return json.dumps(prune(action), separators=(",", ":"))
+
+
+def _encode_rel_path(rel: str) -> str:
+    """URL-encode a relative data-file path for ``add.path``."""
+    return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
+
+
+class Transaction:
+    """One optimistic-concurrency commit against a table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        operation: str,
+        read_snapshot=None,
+        is_create: bool = False,
+        schema: T.StructType | None = None,
+        partition_columns: list[str] | None = None,
+        configuration: dict[str, str] | None = None,
+        name: str | None = None,
+    ):
+        self.spark = spark
+        self.table_path = table_path.rstrip("/")
+        self.operation = operation
+        self.read_snapshot = read_snapshot
+        self.is_create = is_create
+        self.schema = schema if schema is not None else (
+            read_snapshot.schema if read_snapshot else None
+        )
+        self.partition_columns = list(
+            partition_columns
+            if partition_columns is not None
+            else (read_snapshot.metadata.partition_columns if read_snapshot else [])
+        )
+        self.configuration = dict(
+            configuration
+            if configuration is not None
+            else (read_snapshot.metadata.configuration if read_snapshot else {})
+        )
+        self.name = name
+        self.storage = storage_for(spark, table_path)
+        self._staged_df: DataFrame | None = None
+        self._txn_actions: list[dict] = []
+        self._domain_metadata: list[dict] = []
+        self._extra_actions: list[dict] = []
+
+    # -- staging --------------------------------------------------------
+    def write_data(self, df: DataFrame) -> "Transaction":
+        if self.schema is None:
+            self.schema = df.schema
+        self._staged_df = df
+        return self
+
+    def with_transaction_id(self, app_id: str, version: int) -> "Transaction":
+        """App-level idempotency (``txn`` action, reference
+        transaction/mod.rs:646)."""
+        self._txn_actions.append(
+            {"txn": {"appId": app_id, "version": version, "lastUpdated": _now_ms()}}
+        )
+        return self
+
+    def with_domain_metadata(self, domain: str, configuration: str) -> "Transaction":
+        self._domain_metadata.append(
+            {"domainMetadata": {"domain": domain, "configuration": configuration, "removed": False}}
+        )
+        return self
+
+    def add_actions(self, actions: list[dict]) -> "Transaction":
+        """Stage raw actions (remove/cdc/...) built by higher-level ops."""
+        self._extra_actions.extend(actions)
+        return self
+
+    # -- physical write --------------------------------------------------
+    def _stage_files(self) -> list[dict]:
+        """Write the staged DataFrame and return fully-built add actions."""
+        if self._staged_df is None:
+            return []
+        staging = f"{self.table_path}/.staging-{uuid.uuid4().hex}"
+        writer = self._staged_df.write.mode("overwrite")
+        if self.partition_columns:
+            writer = writer.partitionBy(*self.partition_columns)
+        writer.parquet(staging)
+
+        staged = [
+            e
+            for e in self.storage.list_recursive(staging)
+            if e.path.endswith(".parquet")
+        ]
+        # Move into place preserving partition-dir structure; Spark part
+        # file names embed a task UUID so collisions are impossible.
+        moves: list[tuple[str, str, str]] = []  # (final_abs, rel, dirpart)
+        for entry in staged:
+            rel = entry.path[len(staging.rstrip("/")) + 1 :]
+            final_abs = f"{self.table_path}/{rel}"
+            self.storage.rename(entry.path, final_abs)
+            moves.append((final_abs, rel, rel.rsplit("/", 1)[0] if "/" in rel else ""))
+        _cleanup_dir(self.storage, staging)
+        if not moves:
+            return []
+
+        # Distributed per-file stats over the final locations.
+        data_fields = [
+            f for f in self.schema.fields if f.name not in set(self.partition_columns)
+        ]
+        read_schema = T.StructType(data_fields)
+        stats_by_path = collect_file_stats(
+            self.spark, [m[0] for m in moves], read_schema
+        )
+        sizes = {
+            e.path: (e.size, e.last_modified_ms)
+            for e in self.storage.list_recursive(self.table_path)
+        }
+        ptypes = {f.name: f.dataType for f in self.schema.fields}
+
+        adds = []
+        for final_abs, rel, dirpart in moves:
+            raw_pv = parse_hive_partition_path(dirpart) if dirpart else {}
+            pv = {k: raw_pv[k] for k in self.partition_columns if k in raw_pv}
+            size, mtime = sizes.get(final_abs, (0, _now_ms()))
+            raw_stats = stats_by_path.get(final_abs)
+            adds.append(
+                {
+                    "add": {
+                        "path": _encode_rel_path(rel),
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                        "stats": stats_json(raw_stats, read_schema) if raw_stats else None,
+                    }
+                }
+            )
+        return adds
+
+    # -- commit -----------------------------------------------------------
+    def _metadata_action(self) -> dict:
+        return {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "name": self.name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": to_schema_string(self.schema),
+                "partitionColumns": self.partition_columns,
+                "configuration": self.configuration,
+                "createdTime": _now_ms(),
+            }
+        }
+
+    def _protocol_action(self) -> dict:
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def _commit_info(self) -> dict:
+        return {
+            "commitInfo": {
+                "timestamp": _now_ms(),
+                "operation": self.operation,
+                "operationParameters": {},
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        }
+
+    def commit(self) -> int:
+        """Write data files, then atomically commit; returns the version."""
+        adds = self._stage_files()
+        actions: list[dict] = [self._commit_info()]
+        if self.is_create:
+            actions.append(self._protocol_action())
+            actions.append(self._metadata_action())
+        actions.extend(self._txn_actions)
+        actions.extend(self._domain_metadata)
+        actions.extend(self._extra_actions)
+        actions.extend(adds)
+        payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
+
+        version = 0 if self.read_snapshot is None else self.read_snapshot.version + 1
+        attempts = 0
+        while True:
+            path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
+            try:
+                self.storage.put_if_absent(path, payload)
+                return version
+            except CommitConflict:
+                attempts += 1
+                if self.is_create:
+                    raise ConcurrentModificationError(
+                        f"table already exists at {self.table_path}"
+                    ) from None
+                if attempts >= MAX_COMMIT_ATTEMPTS:
+                    raise ConcurrentModificationError(
+                        f"gave up after {attempts} commit attempts at {self.table_path}"
+                    ) from None
+                version = self._revalidate_and_next_version()
+
+    def _revalidate_and_next_version(self) -> int:
+        """Conflict path: blind appends are safe iff table metadata did not
+        change under us (reference retry loop transaction/mod.rs:1675-1724)."""
+        from delta_kernel_rs_spark.sources.snapshot import Snapshot
+
+        latest = Snapshot.create(self.spark, self.table_path)
+        if self.read_snapshot is not None:
+            before = self.read_snapshot.metadata
+            after = latest.metadata
+            if (
+                before.schema_string != after.schema_string
+                or before.partition_columns != after.partition_columns
+            ):
+                raise ConcurrentModificationError(
+                    "table schema/partitioning changed concurrently"
+                )
+        return latest.version + 1
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _cleanup_dir(storage, directory: str) -> None:
+    try:
+        import shutil
+
+        local = directory[len("file://") :] if directory.startswith("file://") else directory
+        if "://" not in local:
+            shutil.rmtree(local, ignore_errors=True)
+    except Exception:
+        pass
