@@ -1,0 +1,65 @@
+"""Beyond-parity pipeline operators for large-scale training-data prep.
+
+These are the LLM-data-pipeline operators the reference's users run *around*
+the table format: deduplication (exact, MinHash-LSH, SimHash, n-gram
+Jaccard), embedding similarity search (brute-force and bucketed ANN),
+text analysis (language ID, quality scoring, token stats, fingerprinting),
+and multimodal binary-column plumbing.
+
+Everything is expressed as DataFrame transformations over built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen) except the
+multimodal feature extraction, which is an Arrow-batched ``mapInPandas``
+(the realistic shape for image/audio decode). No row-at-a-time Python UDFs.
+
+Scale posture (100 TB): candidate generation is always bucketed —
+MinHash banding for documents, inverted-index joins for exact Jaccard,
+centroid/block bucketing for embeddings. Nothing does an unbucketed
+all-pairs crossJoin.
+"""
+
+from delta_kernel_rs_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs_exact,
+    minhash_band_signatures,
+    neardup_pairs_minhash,
+    simhash,
+    with_word_shingles,
+)
+from delta_kernel_rs_spark.operators.multimodal import (
+    binary_meta,
+    decode_image,
+    with_binary_payload,
+)
+from delta_kernel_rs_spark.operators.similarity import (
+    cosine_expr,
+    cosine_topk,
+    embedding_neardup_blocked,
+    ivf_topk,
+    random_hyperplane_buckets,
+)
+from delta_kernel_rs_spark.operators.text import (
+    fingerprint_expr,
+    lang_scores,
+    quality_columns,
+    token_stat_columns,
+)
+
+__all__ = [
+    "binary_meta",
+    "cosine_expr",
+    "cosine_topk",
+    "decode_image",
+    "embedding_neardup_blocked",
+    "exact_duplicate_groups",
+    "fingerprint_expr",
+    "ivf_topk",
+    "jaccard_pairs_exact",
+    "lang_scores",
+    "minhash_band_signatures",
+    "neardup_pairs_minhash",
+    "quality_columns",
+    "random_hyperplane_buckets",
+    "simhash",
+    "with_binary_payload",
+    "with_word_shingles",
+]

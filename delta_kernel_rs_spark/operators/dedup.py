@@ -1,0 +1,238 @@
+"""Document deduplication operators: exact, MinHash-LSH, SimHash, Jaccard.
+
+The reference engine manages the *table* substrate; these operators are the
+dedup passes a training-data pipeline runs over it (VERDICT round-1 item 1;
+the `documents` fixture table is the target).
+
+Every operator is a bucketed/shuffle-friendly DataFrame plan — candidate
+generation never does an unbucketed all-pairs crossJoin:
+
+- exact: hash-groupBy on the text digest (one shuffle on md5(text)).
+- MinHash-LSH: signature → band signatures → equi-join on (band, sig)
+  buckets → exact Jaccard verify on the candidates only.
+- exact Jaccard: inverted-index join on shingle (pairs sharing >=1 shingle),
+  count-based intersection — the classic exact-similarity-join plan.
+- SimHash: per-word hash → 32 per-bit partial sums in ONE aggregation
+  (no row blowup), sign-combined into the fingerprint.
+
+All hashes are the cross-engine-deterministic constructions from
+``operators.hashing`` so the DuckDB oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.operators.hashing import (
+    BAND_ROWS,
+    MINHASH_PRIME,
+    N_PERMUTATIONS,
+    PERMUTATIONS,
+    md5_hash32,
+)
+
+
+def with_word_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Add the distinct set of word k-shingles; drops rows with < k words."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        )
+    )
+    return df.filter(n >= k).withColumn(out, shingles)
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: surviving (minimum) id + copy count.
+
+    The only shuffle is the groupBy on the 128-bit digest — at 100 TB this
+    is a plain hash aggregation with map-side partial combine.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def minhash_band_signatures(
+    df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles"
+) -> DataFrame:
+    """(id, band, band_sig) rows: the LSH bucketing key per document.
+
+    Plan shape: explode shingles -> 32-bit hash -> P permuted values
+    (posexplode, P x rows but map-side only) -> min per (id, permutation)
+    (partial-aggregated before the shuffle) -> band signature = md5 of the
+    ordered per-band minima.
+    """
+    a_arr = F.array(*[F.lit(a) for a, _ in PERMUTATIONS])
+    b_arr = F.array(*[F.lit(b) for _, b in PERMUTATIONS])
+    x = (md5_hash32(F.col("shingle")) % MINHASH_PRIME).alias("x")
+
+    exploded = df.select(F.col(id_col), F.explode(shingle_col).alias("shingle")).select(
+        id_col, x
+    )
+    perms = exploded.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_PERMUTATIONS - 1)),
+                lambda i: (F.element_at(a_arr, i + 1) * F.col("x") + F.element_at(b_arr, i + 1))
+                % MINHASH_PRIME,
+            )
+        ).alias("p", "hv"),
+    )
+    minima = perms.groupBy(id_col, "p").agg(F.min("hv").alias("mv"))
+    return (
+        minima.withColumn("band", (F.col("p") / BAND_ROWS).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "mv"))),
+                        lambda s: s["mv"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def _jaccard(inter: Column, size_a: Column, size_b: Column) -> Column:
+    return inter.cast("double") / (size_a + size_b - inter)
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact verify.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and word-k-shingle
+    Jaccard >= threshold. Candidates come only from shared LSH band buckets
+    (equi-join shuffle on (band, band_sig)); the exact Jaccard check on the
+    candidate pairs removes LSH false positives, so precision is exact and
+    recall is the banding probability (1-(1-j^r)^b ~ 1 for j near 1).
+    """
+    docs = with_word_shingles(df, text_col=text_col, k=k)
+    sets_df = docs.select(F.col(id_col), "shingles", F.size("shingles").alias("n_sh"))
+    bands = minhash_band_signatures(docs, id_col=id_col)
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cands = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_sig") == F.col("r.band_sig"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    return (
+        cands.join(sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sets_df.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(inter, F.col("sa.n_sh"), F.col("sb.n_sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity join via an inverted index on shingles.
+
+    Pairs are generated only for documents sharing at least one shingle
+    (equi-join on the shingle itself), and optionally only within blocking
+    groups (``block_cols``), so the plan is a shuffle join + count
+    aggregation — never an all-pairs product. Intersection size is the join
+    count; union = |A| + |B| - intersection.
+    """
+    docs = with_word_shingles(df, text_col=text_col, k=k)
+    sets_df = docs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    block_cols = block_cols or []
+    posting = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("g")
+    )
+    join_on = [F.col("pa.g") == F.col("pb.g"), F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")]
+    join_on += [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_cols]
+    pairs = (
+        posting.alias("pa")
+        .join(posting.alias("pb"), on=join_on)
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("doc_a"), F.col(f"pb.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sets_df.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("inter"), F.col("sa.n_sh"), F.col("sb.n_sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash fingerprint over distinct words.
+
+    Bit j of the fingerprint is 1 iff the sum over words of
+    (bit j of md5_hash32(word) ? +1 : -1) is positive. The per-bit sums are
+    ``bits`` aggregate expressions in a single groupBy — constant row width,
+    no explode-by-bit blowup, partial-aggregated map-side.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    ).select(F.col(id_col), md5_hash32(F.col("word")).alias("hv"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = words.groupBy(id_col).agg(*bit_sums)
+    fingerprint = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,223 @@
+"""Embedding similarity search: brute-force top-k, IVF ANN, near-dup pairs.
+
+Operates on an ``array<float>`` embedding column (the `embeddings` fixture
+table). All dot products / norms are left-fold expressions over the element
+sequence in index order with explicit DOUBLE casts — fully JVM-side
+(whole-stage codegen, no Python), and bit-for-bit reproducible by the
+DuckDB oracle's ``list_reduce`` fold, so cosine scores and the ranks derived
+from them hash-match exactly.
+
+Scale posture:
+- brute-force top-k broadcasts only the (small) query set; the big side
+  streams map-side — no shuffle until the final per-query top-k.
+- IVF: centroid assignment broadcasts only centroids; probing is an
+  equi-join on the assigned centroid — the classic bucketed ANN plan.
+- near-dup runs inside blocking groups (equi-join on the block key),
+  never an unblocked all-pairs product.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIMS = 64
+
+
+def _fold_dot(a: str, b: str, dims: int = DIMS) -> str:
+    """SQL for a left-fold dot product of two array columns (index order)."""
+    return (
+        f"aggregate(transform(sequence(1,{dims}), "
+        f"i -> CAST(element_at({a},i) AS DOUBLE)*CAST(element_at({b},i) AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc,v) -> acc+v)"
+    )
+
+
+def norm2_expr(col: str, dims: int = DIMS) -> Column:
+    """Squared L2 norm of an array column (same fold as the dot product)."""
+    return F.expr(_fold_dot(col, col, dims))
+
+
+def cosine_expr(a: str, b: str, na2: str, nb2: str, dims: int = DIMS) -> Column:
+    """cosine(a,b) given precomputed squared norms: dot / sqrt(na2*nb2)."""
+    return F.expr(f"{_fold_dot(a, b, dims)} / sqrt({na2}*{nb2})")
+
+
+def _with_norm2(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    return df.withColumn("norm2", norm2_expr(vec_col, dims))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (brute force).
+
+    Returns (query_id, neighbor_id, rank, cosine); rank ties broken by
+    neighbor id. The query side is broadcast; the corpus side never
+    shuffles until the per-query top-k window.
+    """
+    corpus = _with_norm2(df, vec_col, dims).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e"), F.col("norm2").alias("en2")
+    )
+    queries = _with_norm2(query_df, vec_col, dims).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q"), F.col("norm2").alias("qn2")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q", "e", "qn2", "en2", dims))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroid_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties: lowest id).
+
+    Centroids are broadcast; assignment is a map-side scored join plus a
+    per-vector argmax — the IVF "coarse quantizer" step.
+    """
+    cents = _with_norm2(centroid_df, vec_col, dims).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c"), F.col("norm2").alias("cn2")
+    )
+    vecs = _with_norm2(df, vec_col, dims)
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "ccos", cosine_expr(vec_col, "c", "norm2", "cn2", dims)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, vec_col, "norm2", "centroid_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    n_centroids: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 8",
+    dims: int = DIMS,
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's own centroid bucket.
+
+    Deterministic "training": centroids are the first ``n_centroids``
+    vectors by id. Returns (query_id, centroid_id, neighbor_id, rank).
+    At scale the probe is an equi-join on centroid_id — each query touches
+    one bucket, not the whole corpus.
+    """
+    centroids = df.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, dims=dims)
+    queries = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q"),
+        F.col("norm2").alias("qn2"),
+        F.col("centroid_id"),
+    )
+    bucket = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("e"),
+        F.col("norm2").alias("en2"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        queries.join(bucket, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q", "e", "qn2", "en2", dims))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "centroid_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_neardup_blocked(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Near-duplicate embedding pairs within blocking groups.
+
+    Pairs (vec_a, vec_b, block, cosine) with cosine >= threshold, generated
+    only inside ``block_col`` groups (equi-join shuffle on the block key).
+    For corpora without a natural block key, use
+    :func:`random_hyperplane_buckets` as the key instead.
+    """
+    side = _with_norm2(df, vec_col, dims).select(
+        F.col(id_col), F.col(vec_col), F.col("norm2"), F.col(block_col)
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{block_col}").alias("block"),
+            cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "a.norm2", "b.norm2", dims).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+    seed: int = 0x51AB,
+    out: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id for cosine similarity.
+
+    Bucket = the n-bit sign pattern of dot products with seeded ±1
+    hyperplanes. Vectors in the same bucket are cosine-similar with
+    probability (1 - θ/π)^n — use as the blocking key for near-dup joins
+    when no metadata block exists. (Spark-side operator; recall/precision
+    characterized in tests rather than oracle-checked.)
+    """
+    rng = random.Random(seed)
+    planes = [[rng.choice((-1.0, 1.0)) for _ in range(dims)] for _ in range(n_planes)]
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(arr, F.col(vec_col).cast("array<double>"), lambda p, e: p * e),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(out, bucket)

@@ -1,0 +1,404 @@
+"""Oracle-checked LLM-data-pipeline queries (p01–p12).
+
+Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
+over the driver's `documents` / `embeddings` fixture tables and has a
+DuckDB ANSI-SQL twin producing the identical result set (same column names,
+same dtypes, bit-exact values — see operators/hashing.py for the
+cross-engine-deterministic constructions).
+
+Oracle-equivalence notes:
+- all integer hashing is BIGINT modular arithmetic seeded from MD5 hex —
+  byte-identical in both engines;
+- all floating-point outputs come from identical expression trees (explicit
+  DOUBLE casts, left-fold aggregates in index order), so IEEE semantics
+  make them bit-equal;
+- p02's Spark side is MinHash-LSH candidate generation + exact verify while
+  its oracle is the exact inverted-index similarity join: equality is the
+  statement that LSH recall is total on this corpus (verified at sf0.01 and
+  sf0.1; banding catch probability at j>=0.8 is 1-(1-j^4)^16 > 0.9998).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs_exact,
+    neardup_pairs_minhash,
+    simhash,
+)
+from delta_kernel_rs_spark.operators.multimodal import binary_meta, with_binary_payload
+from delta_kernel_rs_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_blocked,
+    ivf_topk,
+)
+from delta_kernel_rs_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint_expr,
+    lang_scores,
+    quality_columns,
+    token_stat_columns,
+)
+from delta_kernel_rs_spark.queries import register
+from delta_kernel_rs_spark.queries.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments
+
+
+def _dk_fold_dot(a: str, b: str, dims: int = 64) -> str:
+    """DuckDB left-fold dot product, same element order as the Spark fold."""
+    return (
+        f"list_reduce(list_transform(range(1,{dims + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE)), (acc,v) -> acc+v)"
+    )
+
+
+#: word k-shingle set in DuckDB: list_distinct over joined k-slices.
+def _dk_shingles(k: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, len(ws)-{k - 2}), "
+        f"i -> array_to_string(ws[i:i+{k - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# p01 exact dedup
+
+
+def p01_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) + copy count per distinct text."""
+    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "p01_doc_exact_dedup",
+    p01_doc_exact_dedup,
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p02 MinHash-LSH near-dup (oracle: exact inverted-index similarity join)
+
+
+def p02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: banded MinHash candidates + exact Jaccard verify."""
+    return neardup_pairs_minhash(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+
+
+register(
+    "p02_minhash_lsh_neardup",
+    p02_minhash_lsh_neardup,
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+    s AS (SELECT doc_id, {_dk_shingles(3)} sh FROM d WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, len(sh) n FROM s),
+    e AS (SELECT doc_id, unnest(sh) g FROM s),
+    pr AS (SELECT pa.doc_id da, pb.doc_id db, count(*) inter
+           FROM e pa JOIN e pb ON pa.g = pb.g AND pa.doc_id < pb.doc_id
+           GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+    FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+    WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.8
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p03 SimHash fingerprints
+
+
+def p03_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct words."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (hv>>{j})&1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << j} ELSE 0 END)"
+    for j in range(32)
+)
+
+register(
+    "p03_simhash_fingerprints",
+    p03_simhash_fingerprints,
+    f"""
+    WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) word
+               FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv FROM w)
+    SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+    FROM h GROUP BY doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p04 exact n-gram Jaccard similarity join, blocked by language
+
+
+def p04_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard >= 0.5 pairs within language blocks (exact)."""
+    return jaccard_pairs_exact(
+        load_table(spark, sf_dir, "documents"),
+        k=2,
+        threshold=0.5,
+        block_cols=["lang"],
+    )
+
+
+register(
+    "p04_ngram_jaccard_blocked",
+    p04_ngram_jaccard_blocked,
+    f"""
+    WITH d AS (SELECT doc_id, lang, string_split(text,' ') ws FROM documents),
+    s AS (SELECT doc_id, lang, {_dk_shingles(2)} sh FROM d WHERE len(ws) >= 2),
+    sz AS (SELECT doc_id, len(sh) n FROM s),
+    e AS (SELECT doc_id, lang, unnest(sh) g FROM s),
+    pr AS (SELECT pa.doc_id da, pb.doc_id db, count(*) inter
+           FROM e pa JOIN e pb
+             ON pa.g = pb.g AND pa.lang = pb.lang AND pa.doc_id < pb.doc_id
+           GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+    FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+    WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p05 brute-force cosine top-k
+
+
+def p05_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_DK_NORM2 = _dk_fold_dot("embedding", "embedding")
+
+register(
+    "p05_embedding_topk_bruteforce",
+    p05_embedding_topk_bruteforce,
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    q AS (SELECT vec_id query_id, embedding qe, norm2 qn2 FROM n WHERE vec_id < 8),
+    p AS (SELECT query_id, n.vec_id neighbor_id,
+                 {_dk_fold_dot("qe", "n.embedding")} / sqrt(qn2*norm2) cosine
+          FROM q, n WHERE n.vec_id != query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) rank
+          FROM p)
+    WHERE rank <= 5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p06 IVF ANN (probe one centroid bucket)
+
+
+def p06_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroids = first 16 vectors, probe own bucket, top-5."""
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_centroids=16, k=5)
+
+
+register(
+    "p06_embedding_ann_ivf",
+    p06_embedding_ann_ivf,
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    c AS (SELECT vec_id centroid_id, embedding ce, norm2 cn2 FROM n WHERE vec_id < 16),
+    sc AS (SELECT n.vec_id, n.embedding, n.norm2, centroid_id,
+                  {_dk_fold_dot("n.embedding", "ce")} / sqrt(n.norm2*cn2) ccos
+           FROM n, c),
+    asg AS (SELECT vec_id, embedding, norm2, centroid_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY ccos DESC, centroid_id) rr
+                  FROM sc)
+            WHERE rr = 1),
+    q AS (SELECT vec_id query_id, embedding qe, norm2 qn2, centroid_id
+          FROM asg WHERE vec_id < 8),
+    pr AS (SELECT query_id, a.centroid_id, a.vec_id neighbor_id,
+                  {_dk_fold_dot("qe", "a.embedding")} / sqrt(qn2*a.norm2) cosine
+           FROM q JOIN asg a USING(centroid_id)
+           WHERE a.vec_id != query_id)
+    SELECT query_id, centroid_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT query_id, centroid_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) rank
+          FROM pr)
+    WHERE rank <= 5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p07 language ID heuristic
+
+
+def p07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scores + argmax prediction per document."""
+    df = load_table(spark, sf_dir, "documents")
+    cols = lang_scores("text")
+    return df.select(
+        "doc_id", "lang", *[col.alias(name) for name, col in cols.items()]
+    )
+
+
+def _dk_lang_sql() -> str:
+    hit_cols, keys = [], []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lits = ", ".join(f"'{m}'" for m in markers)
+        hits = (
+            f"len(list_filter(string_split(text,' '), "
+            f"w -> list_contains([{lits}], w)))"
+        )
+        hit_cols.append(f"CAST({hits} AS INTEGER) AS hits_{lang}")
+        keys.append(f"concat(lpad(CAST(1000000 - {hits} AS VARCHAR), 7, '0'), '{lang}')")
+    return (
+        "SELECT doc_id, lang, "
+        + ", ".join(hit_cols)
+        + f", substr(least({', '.join(keys)}), 8) AS pred_lang FROM documents"
+    )
+
+
+register("p07_lang_id", p07_lang_id, _dk_lang_sql())
+
+# ---------------------------------------------------------------------------
+# p08 quality scoring
+
+
+def p08_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / diversity features and a combined [0,1] quality score."""
+    df = load_table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    return df.select("doc_id", *[col.alias(name) for name, col in cols.items()])
+
+
+_DK_WS = "string_split(text,' ')"
+_DK_NW = f"len({_DK_WS})"
+_DK_TTR = f"CAST(len(list_distinct({_DK_WS})) AS DOUBLE) / {_DK_NW}"
+_DK_AWL = (
+    f"CAST(list_reduce(list_transform({_DK_WS}, w -> length(w)), "
+    f"(acc,v) -> acc+v) AS DOUBLE) / {_DK_NW}"
+)
+
+register(
+    "p08_quality_score",
+    p08_quality_score,
+    f"""
+    SELECT doc_id,
+           CAST({_DK_NW} AS INTEGER) AS n_words,
+           {_DK_TTR} AS ttr,
+           {_DK_AWL} AS avg_word_len,
+           CAST(0.4 AS DOUBLE)*({_DK_TTR})
+             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
+                 CAST({_DK_NW} AS DOUBLE)/CAST(128.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
+                 ({_DK_AWL})/CAST(8.0 AS DOUBLE)) AS quality_score
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p09 token stats
+
+
+def p09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / regex / BPE-bound token counts per document."""
+    df = load_table(spark, sf_dir, "documents")
+    cols = token_stat_columns("text")
+    return df.select("doc_id", *[col.alias(name) for name, col in cols.items()])
+
+
+register(
+    "p09_token_stats",
+    p09_token_stats,
+    f"""
+    SELECT doc_id,
+           CAST(len({_DK_WS}) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens_re,
+           CAST(list_reduce(list_transform({_DK_WS}, w -> (length(w)+3)//4),
+                            (acc,v) -> acc+v) AS BIGINT) AS n_tokens_bpe,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p10 document fingerprint (rolling hash)
+
+
+def p10_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of each document's text."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+
+
+register(
+    "p10_doc_fingerprint",
+    p10_doc_fingerprint,
+    """
+    SELECT doc_id,
+           list_reduce(
+             [0]::BIGINT[] || list_transform(range(1, length(text)+1),
+                                             i -> unicode(substr(text, i, 1))),
+             (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p11 multimodal binary metadata (mapInPandas plumbing)
+
+
+def p11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload + Arrow-batched metadata extraction."""
+    df = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return binary_meta(df)
+
+
+register(
+    "p11_multimodal_meta",
+    p11_multimodal_meta,
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(substr(hex(encode(text)), 1, 8)) AS header,
+           octet_length(encode(text)) % 640 AS fake_width,
+           (octet_length(encode(text)) * 7) % 480 AS fake_height
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p12 embedding-cosine near-dup, blocked
+
+
+def p12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pairs with cosine >= 0.4 inside label blocks."""
+    return embedding_neardup_blocked(
+        load_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+register(
+    "p12_embedding_neardup_blocked",
+    p12_embedding_neardup_blocked,
+    f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_DK_NORM2} norm2 FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+           {_dk_fold_dot("a.embedding", "b.embedding")} / sqrt(a.norm2*b.norm2) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dk_fold_dot("a.embedding", "b.embedding")} / sqrt(a.norm2*b.norm2) >= 0.4
+    """,
+)

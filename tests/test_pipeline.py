@@ -1,0 +1,150 @@
+"""Unit tests for the LLM-data-pipeline operators (operators/*).
+
+Complements the oracle gate (queries/pipeline_queries.py): these cover the
+operator properties the row-hash comparison can't see — LSH recall against
+brute force, fingerprint algebra, stub behavior, plumbing shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_pairs_exact,
+    neardup_pairs_minhash,
+    simhash,
+    with_word_shingles,
+)
+from delta_kernel_rs_spark.operators.multimodal import (
+    binary_meta,
+    decode_image,
+    with_binary_payload,
+)
+from delta_kernel_rs_spark.operators.similarity import (
+    cosine_topk,
+    random_hyperplane_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different words about spark shuffles and joins here"),
+        (4, "another unrelated document mentioning parquet files and logs"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_count_and_content(docs):
+    row = (
+        with_word_shingles(docs.filter("doc_id = 3"), k=3)
+        .select("shingles")
+        .first()
+    )
+    # 9 words -> 7 contiguous trigrams, all distinct here
+    assert len(row.shingles) == 7
+    assert "completely different words" in row.shingles
+
+
+def test_exact_duplicate_groups(docs):
+    got = {r.doc_id: r.n_copies for r in exact_duplicate_groups(docs).collect()}
+    assert got[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in got
+    assert got[2] == got[3] == got[4] == 1
+
+
+def test_minhash_neardup_finds_planted_pair(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup_pairs_minhash(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    # unrelated docs never pair up
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+def test_minhash_matches_exact_jaccard_join(docs):
+    """LSH + verify returns the same pairs as the exact inverted-index join."""
+    lsh = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in neardup_pairs_minhash(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs_exact(docs, k=3, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_close_for_neardups(docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]  # identical text -> identical fingerprint
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((vid, [float(x) for x in base]))
+        # vid+100: tiny perturbation -> a planted near neighbor
+        rows.append((vid + 100, [float(x + rng.gauss(0, 0.01)) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_planted_neighbor(embeddings):
+    queries = embeddings.filter("vec_id < 3")
+    got = cosine_topk(embeddings, queries, k=1, dims=8).collect()
+    assert {r.query_id: r.neighbor_id for r in got} == {0: 100, 1: 101, 2: 102}
+    assert all(r.cosine > 0.99 for r in got)
+
+
+def test_hyperplane_buckets_group_neardups(embeddings):
+    b = random_hyperplane_buckets(embeddings, n_planes=6, dims=8)
+    buckets = {r.vec_id: r.bucket for r in b.collect()}
+    same = sum(1 for v in range(40) if buckets[v] == buckets[v + 100])
+    assert same >= 35  # near-identical vectors nearly always share a bucket
+    assert len(set(buckets.values())) > 1  # and the space is actually split
+
+
+def test_multimodal_meta_plumbing(docs):
+    out = binary_meta(with_binary_payload(docs)).collect()
+    by_id = {r.doc_id: r for r in out}
+    text0 = docs.filter("doc_id = 0").first().text
+    assert by_id[0].n_bytes == len(text0.encode())
+    assert by_id[0].header == text0.encode()[:4].hex()
+    assert by_id[0].fake_width == by_id[0].n_bytes % 640
+    assert set(by_id) == {0, 1, 2, 3, 4}
+
+
+def test_decode_image_stub_contract():
+    meta = decode_image(b"abcdef")
+    assert meta == {"width": 6, "height": 42, "header": "61626364"}
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abcdef", mode="real")
+
+
+def test_pipeline_queries_registered():
+    from delta_kernel_rs_spark import queries
+
+    names = set(queries.queries())
+    oracles = set(queries.oracle_sql())
+    expected = {f"p{i:02d}" for i in range(1, 13)}
+    got_prefixes = {n[:3] for n in names if n.startswith("p")}
+    assert expected <= got_prefixes
+    # every pipeline query is oracle-checked (no weak rows)
+    assert {n for n in names if n.startswith("p")} <= oracles
