@@ -1,0 +1,230 @@
+"""Oracle-checked Delta-kernel-path queries (d01–d07).
+
+Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
+in the driver's hard correctness gate. These queries close that hole,
+mirroring the reference's DAT acceptance strategy
+(acceptance/tests/dat_reader.rs:1-42): build a Delta table *with this
+engine* from deterministic slices of the driver's `lineitem` parquet
+(create + append + DV delete + CoW delete + checkpoint + CDF), read it
+back through the kernel path, and compare against DuckDB SQL that derives
+the same expected rows directly from the raw parquet.
+
+Determinism: every table is built from modulo slices of ``l_orderkey``,
+so the oracle can reconstruct exactly which rows must be visible at every
+version. Fixture tables are built once per (process, sf_dir) in a temp
+dir and reused across queries; outputs never include wall-clock fields.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.queries import register
+from delta_kernel_rs_spark.queries.tables import load_table
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+#: Projected lineitem columns used by every fixture table.
+COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_shipdate",
+    "l_returnflag",
+]
+_COLS_SQL = ", ".join(COLS)
+
+_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def _src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(*COLS)
+
+
+def _chunk(df: DataFrame, mod: int, residue: int) -> DataFrame:
+    return df.filter((F.col("l_orderkey") % mod) == residue)
+
+
+def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
+    """Build (once per process) the fixture Delta table of the given kind."""
+    key = (sf_dir, kind)
+    if key in _FIXTURES:
+        return DeltaTable(spark, _FIXTURES[key])
+    path = f"{tempfile.mkdtemp(prefix=f'dkrs_{kind}_')}/tbl"
+    src = _src(spark, sf_dir)
+
+    if kind == "plain":  # v0 create+data, v1 append
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.append(_chunk(src, 4, 1))
+    elif kind == "part":  # partitioned by l_returnflag
+        t = DeltaTable.create(
+            spark, path, df=_chunk(src, 4, 0), partition_by=["l_returnflag"]
+        )
+        t.append(_chunk(src, 4, 1))
+    elif kind == "dv":  # deletion-vector delete, no rewrite
+        from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        delete_with_dvs(t, "l_orderkey % 7 = 0")
+    elif kind == "cow":  # copy-on-write delete
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.delete("l_quantity > 45")
+    elif kind == "ckpt":  # checkpoint at v3 + post-checkpoint commit v4
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 5, 0),
+            properties={"delta.checkpointInterval": "3"},
+        )
+        for r in range(1, 5):
+            t.append(_chunk(src, 5, r))
+    elif kind == "cdf":  # insert, insert, DV-delete under CDF
+        from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 8, 3),
+            properties={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(_chunk(src, 8, 7))
+        delete_with_dvs(t, "l_orderkey % 3 = 0")
+    else:  # pragma: no cover - registry bug
+        raise ValueError(f"unknown fixture kind {kind!r}")
+
+    _FIXTURES[key] = path
+    return t
+
+
+# ---------------------------------------------------------------------------
+# d01 scan with predicate + projection (log replay, dedup, residual filter)
+
+
+def d01_delta_scan_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "plain")
+    return t.to_df(
+        predicate="l_quantity <= 25",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+    )
+
+
+register(
+    "d01_delta_scan_predicate",
+    d01_delta_scan_predicate,
+    """
+    SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_orderkey % 4 <= 1 AND l_quantity <= 25
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d02 partitioned table: partition pruning + partition-value injection
+
+
+def d02_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "part")
+    return t.to_df(predicate="l_returnflag = 'R' AND l_quantity < 10")
+
+
+register(
+    "d02_delta_partition_pruning",
+    d02_delta_partition_pruning,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_returnflag = 'R' AND l_quantity < 10
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d03 deletion-vector delete: scan must hide DV'd rows without a rewrite
+
+
+def d03_delta_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture(spark, sf_dir, "dv").to_df()
+
+
+register(
+    "d03_delta_dv_delete_scan",
+    d03_delta_dv_delete_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d04 copy-on-write delete: matched files rewritten without matching rows
+
+
+def d04_delta_cow_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture(spark, sf_dir, "cow").to_df()
+
+
+register(
+    "d04_delta_cow_delete_scan",
+    d04_delta_cow_delete_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_quantity > 45)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d05 checkpoint replay: checkpoint arm + anti-join + post-checkpoint commit
+
+
+def d05_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "ckpt")
+    return t.to_df(predicate="l_extendedprice > 1000")
+
+
+register(
+    "d05_delta_checkpoint_replay",
+    d05_delta_checkpoint_replay,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem WHERE l_extendedprice > 1000
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d06 time travel: version-pinned snapshot
+
+
+def d06_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture(spark, sf_dir, "plain").to_df(version=0)
+
+
+register(
+    "d06_delta_time_travel",
+    d06_delta_time_travel,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 = 0
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d07 CDF: row-level change feed incl. DV-swap diffing
+
+
+def d07_delta_cdf_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "cdf")
+    return t.changes(0).select(*COLS, "_change_type", "_commit_version")
+
+
+register(
+    "d07_delta_cdf_rowlevel",
+    d07_delta_cdf_rowlevel,
+    f"""
+    SELECT {_COLS_SQL}, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM lineitem WHERE l_orderkey % 8 = 3
+    UNION ALL
+    SELECT {_COLS_SQL}, 'insert', CAST(1 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 8 = 7
+    UNION ALL
+    SELECT {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 8 IN (3, 7) AND l_orderkey % 3 = 0
+    """,
+)
