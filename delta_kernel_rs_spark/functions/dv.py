@@ -199,19 +199,29 @@ def dv_absolute_path(table_path: str, dv: dict) -> str | None:
     return None
 
 
+def extract_dv_blob(blob: bytes, offset: int | None) -> bytes:
+    """Slice one DV bitmap out of a DV file and verify its CRC32."""
+    offset = offset or 1  # byte 0 is the format version
+    (size,) = struct.unpack_from(">I", blob, offset)
+    data = blob[offset + 4 : offset + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, offset + 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"deletion vector CRC mismatch at offset {offset}")
+    return data
+
+
 def read_dv_row_indexes(storage, table_path: str, dv: dict) -> list[int]:
-    """Materialize a DV descriptor into deleted row indexes."""
+    """Materialize a DV descriptor into deleted row indexes.
+
+    All I/O goes through the table's storage handler, so non-local tables
+    (HadoopStorage) work; the per-blob CRC32 is verified.
+    """
     st = dv.get("storageType")
     if st == "i":
         return decode_treemap(z85_decode(dv["pathOrInlineDv"]))
     path = dv_absolute_path(table_path, dv)
-    local = path[len("file://") :] if path.startswith("file://") else path
-    with open(local, "rb") as fh:
-        blob = fh.read()
-    offset = dv.get("offset") or 1  # byte 0 is the format version
-    (size,) = struct.unpack_from(">I", blob, offset)
-    data = blob[offset + 4 : offset + 4 + size]
-    return decode_treemap(data)
+    blob = storage.read_bytes(path)
+    return decode_treemap(extract_dv_blob(blob, dv.get("offset")))
 
 
 def write_dv_file(storage, table_path: str, dv_blobs: list[bytes]) -> tuple[str, list[tuple[int, int]]]:
@@ -234,24 +244,61 @@ def write_dv_file(storage, table_path: str, dv_blobs: list[bytes]) -> tuple[str,
 def deleted_rows_df(spark, files, table_path: str):
     """(file_path, row_index) DataFrame of all deleted rows across files.
 
-    DV blobs are decoded on the driver (they are small — a few bytes per
-    thousand rows); the anti-join against ``_metadata.row_index`` is what
-    runs distributed (reference applies a per-file selection vector at
-    kernel/src/scan/mod.rs:1330-1406 — the anti-join is the global
-    equivalent).
+    The *descriptors* are tiny (one row per DV-carrying file) and are
+    parallelized to executors; each executor opens its DV spans via
+    pyarrow.fs (handles file/hdfs/s3 URIs) and explodes them to row
+    indexes there — the driver never materializes the deleted-row set
+    (reference applies a per-file selection vector at
+    kernel/src/scan/mod.rs:1330-1406; a heavily-deleted 100 TB table can
+    hold billions of deleted rows, so the explode must be distributed).
     """
+    from collections.abc import Iterator
+
     import pandas as pd
 
-    from delta_kernel_rs_spark.sources.storage import LocalStorage
+    desc_rows = [
+        (
+            f.path,
+            f.dv.get("storageType"),
+            f.dv.get("pathOrInlineDv"),
+            f.dv.get("offset"),
+            dv_absolute_path(table_path, f.dv),
+        )
+        for f in files
+        if f.dv
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows,
+        "dv_file_path STRING, storage_type STRING, path_or_inline STRING,"
+        " offset LONG, dv_path STRING",
+    ).repartition(max(1, min(len(desc_rows), 64)))
 
-    paths: list[str] = []
-    rows: list[int] = []
-    storage = LocalStorage()
-    for f in files:
-        if not f.dv:
-            continue
-        for ri in read_dv_row_indexes(storage, table_path, f.dv):
-            paths.append(f.path)
-            rows.append(ri)
-    pdf = pd.DataFrame({"dv_file_path": paths, "dv_row_index": rows})
-    return spark.createDataFrame(pdf, "dv_file_path STRING, dv_row_index LONG")
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.fs as pafs
+
+        blob_cache: dict[str, bytes] = {}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if r.storage_type == "i":
+                    data = z85_decode(r.path_or_inline)
+                else:
+                    blob = blob_cache.get(r.dv_path)
+                    if blob is None:
+                        fs, rel = pafs.FileSystem.from_uri(
+                            r.dv_path if "://" in r.dv_path else f"file://{r.dv_path}"
+                        )
+                        with fs.open_input_stream(rel) as fh:
+                            blob = fh.read()
+                        blob_cache[r.dv_path] = blob
+                    data = extract_dv_blob(blob, r.offset)
+                idx = decode_treemap(data)
+                for start in range(0, len(idx), 1 << 20):
+                    chunk = idx[start : start + (1 << 20)]
+                    yield pd.DataFrame(
+                        {
+                            "dv_file_path": [r.dv_file_path] * len(chunk),
+                            "dv_row_index": pd.Series(chunk, dtype="int64"),
+                        }
+                    )
+
+    return desc_df.mapInPandas(explode, "dv_file_path STRING, dv_row_index LONG")

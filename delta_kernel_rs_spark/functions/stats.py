@@ -106,6 +106,82 @@ def collect_file_stats(
     return result
 
 
+def collect_file_stats_footer(
+    spark: SparkSession,
+    paths: list[str],
+    read_schema: T.StructType,
+    num_indexed: int = DEFAULT_NUM_INDEXED_COLS,
+) -> dict[str, dict[str, Any]]:
+    """Footer-only stats: aggregate parquet row-group statistics per file.
+
+    Zero data reads — the writer's row-group stats already hold min/max/
+    null-count (the reference reads them the same way via
+    read_parquet_footer, kernel/src/lib.rs:1011-1067). Footers are parsed
+    on executors (pyarrow over pyarrow.fs), so a thousand-file commit costs
+    one tiny task per file batch, not a second pass over the data.
+
+    Columns whose stats the writer omitted (e.g. NaN-bearing floats) are
+    simply absent from min/max — readers treat missing stats as unknown.
+    """
+    eligible = {f.name for f in eligible_stats_columns(read_schema, num_indexed)}
+
+    def read_footers(it):
+        import pyarrow.fs as pafs
+        import pyarrow.parquet as pq
+
+        for path in it:
+            uri = path if "://" in path else f"file://{path}"
+            fs, rel = pafs.FileSystem.from_uri(uri)
+            meta = pq.read_metadata(rel, filesystem=fs)
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            nulls: dict[str, Any] = {}
+            bad_bounds: set[str] = set()
+            bad_nulls: set[str] = set()
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name not in eligible:
+                        continue
+                    st = col.statistics
+                    has_nc = st is not None and st.has_null_count
+                    if has_nc:
+                        nulls[name] = nulls.get(name, 0) + st.null_count
+                    else:
+                        bad_nulls.add(name)
+                    if st is None or not st.has_min_max:
+                        # Bounds survive a stats-less group only if it is
+                        # provably all-null (nulls don't affect min/max).
+                        if not (has_nc and st.null_count == group.num_rows):
+                            bad_bounds.add(name)
+                        continue
+                    if name not in mins or st.min < mins[name]:
+                        mins[name] = st.min
+                    if name not in maxs or st.max > maxs[name]:
+                        maxs[name] = st.max
+            for name in bad_bounds:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+            for name in bad_nulls:
+                nulls.pop(name, None)
+            yield path, {
+                "numRecords": meta.num_rows,
+                "min": mins,
+                "max": maxs,
+                "nullCount": nulls,
+            }
+
+    n_slices = max(1, min(len(paths), 64))
+    rows = (
+        spark.sparkContext.parallelize(paths, n_slices)
+        .mapPartitions(lambda it: read_footers(it))
+        .collect()
+    )
+    return dict(rows)
+
+
 def truncate_min_string(s: str, prefix_len: int = STRING_PREFIX_LEN) -> str:
     return s[:prefix_len]
 

@@ -27,6 +27,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # Make sure scan-level pushdown is on (it is by default; be explicit —
     # the skipping layer in plans/data_skipping.py builds on it).
     "spark.sql.parquet.filterPushdown": "true",
+    # INT64 timestamps carry parquet row-group min/max stats (INT96 does
+    # not) — required for the footer-based write stats in functions/stats.py.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

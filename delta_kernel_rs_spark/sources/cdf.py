@@ -80,13 +80,29 @@ def table_changes(
 
     pcols = snapshot.metadata.partition_columns
     phys_fields = _physical_fields(snapshot)
-    ptypes = {f.name: f.dataType for f in snapshot.schema.fields}
 
-    def logical_projection(df: DataFrame, pv: dict, change_type=None) -> DataFrame:
+    def with_lineage(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__file_path", normalize_file_path(F.col("_metadata.file_path"))
+        ).withColumn("__row_index", F.col("_metadata.row_index"))
+
+    def join_constants(df: DataFrame, pv_by_path: dict[str, dict]) -> DataFrame:
+        """Per-file partition values via one broadcast join (not per-file
+        DataFrame arms — a commit adding thousands of files must stay one
+        read with one plan node)."""
+        consts = spark.createDataFrame(
+            [(p, pv or {}) for p, pv in pv_by_path.items()],
+            "__const_path STRING, __pv MAP<STRING,STRING>",
+        )
+        return df.join(
+            F.broadcast(consts), df["__file_path"] == F.col("__const_path"), "left"
+        )
+
+    def logical_projection(df: DataFrame, change_type: str | None) -> DataFrame:
         cols = []
         for f in snapshot.schema.fields:
             if f.name in set(pcols):
-                raw = F.lit(pv.get(f.name))
+                raw = F.col("__pv").getItem(f.name)
                 cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
             else:
                 cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
@@ -94,12 +110,37 @@ def table_changes(
         cols.append(ct.alias(CHANGE_TYPE_COL))
         return df.select(*cols)
 
+    def idx_df(pairs: list[tuple[str, int]]) -> DataFrame:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"p": [p for p, _ in pairs], "ri": [ri for _, ri in pairs]}
+        )
+        return spark.createDataFrame(pdf, "p STRING, ri LONG")
+
+    def idx_join(df: DataFrame, pairs: list[tuple[str, int]], how: str) -> DataFrame:
+        idx = idx_df(pairs)
+        return df.join(
+            idx,
+            (df["__file_path"] == idx["p"]) & (df["__row_index"] == idx["ri"]),
+            how,
+        )
+
+    read_schema = T.StructType(phys_fields)
     arms: list[DataFrame] = []
     for v in range(start_version, end_version + 1):
         commit_path = f"{log_dir}/{v:020d}.json"
+        try:
+            commit_text = storage.read_text(commit_path)
+        except OSError as exc:
+            raise ChangeDataFeedError(
+                f"commit {v} is missing from the log — the requested CDF "
+                f"range [{start_version}, {end_version}] is unavailable "
+                "(log retention may have expired it)"
+            ) from exc
         adds, removes, cdcs = [], [], []
         ict = None
-        for line in storage.read_text(commit_path).splitlines():
+        for line in commit_text.splitlines():
             line = line.strip()
             if not line:
                 continue
@@ -115,7 +156,16 @@ def table_changes(
                 cdcs.append(action["cdc"])
             elif "commitInfo" in action:
                 ict = action["commitInfo"].get("inCommitTimestamp")
-        ts_ms = ict if ict is not None else _mtime_ms(storage, commit_path)
+            elif "metaData" in action:
+                # CDF must be enabled across the WHOLE range, not just at
+                # the end snapshot (reference table_changes/mod.rs:90-162).
+                conf = action["metaData"].get("configuration") or {}
+                if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
+                    raise ChangeDataFeedError(
+                        f"change data feed was not enabled at version {v}; "
+                        "the requested range cannot be served"
+                    )
+        ts_ms = ict if ict is not None else storage.stat(commit_path).last_modified_ms
         ts_col = F.timestamp_millis(F.lit(ts_ms))
 
         def stamp(df: DataFrame) -> DataFrame:
@@ -124,36 +174,48 @@ def table_changes(
             )
 
         if cdcs:
-            # cdc supersedes add/remove for this commit
+            # cdc supersedes add/remove for this commit: ONE read over all
+            # cdc files, partition values joined per file.
             cdc_schema = T.StructType(
                 phys_fields + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
             )
-            for c in cdcs:
-                df = spark.read.schema(cdc_schema).parquet(
-                    _abs_path(table_path, c["path"])
-                )
-                arms.append(stamp(logical_projection(df, c.get("partitionValues") or {})))
+            pv_by_path = {
+                _abs_path(table_path, c["path"]): c.get("partitionValues") or {}
+                for c in cdcs
+            }
+            df = with_lineage(
+                spark.read.schema(cdc_schema).parquet(*pv_by_path.keys())
+            )
+            df = join_constants(df, pv_by_path)
+            arms.append(stamp(logical_projection(df, None)))
             continue
 
         adds_by_path = {a["path"]: a for a in adds if a.get("dataChange")}
         removes_by_path = {r["path"]: r for r in removes if r.get("dataChange")}
-        read_schema = T.StructType(phys_fields)
+
+        # Classify into whole-file arms + row-level DV work, then build at
+        # most four reads for the entire commit regardless of file count.
+        insert_paths: dict[str, dict] = {}  # abs path -> pv
+        insert_excl: list[tuple[str, int]] = []  # DV'd rows hidden on add
+        delete_paths: dict[str, dict] = {}
+        delete_excl: list[tuple[str, int]] = []
+        swap_deleted: list[tuple[str, int]] = []
+        swap_restored: list[tuple[str, int]] = []
+        swap_pv: dict[str, dict] = {}
 
         for path, add in adds_by_path.items():
             remove = removes_by_path.pop(path, None)
             abs_p = _abs_path(table_path, path)
+            pv = add.get("partitionValues") or {}
             if remove is None:
+                insert_paths[abs_p] = pv
                 if add.get("deletionVector"):
-                    # add with DV but no sibling remove: live rows are inserts
-                    dv_rows = read_dv_row_indexes(storage, table_path, add["deletionVector"])
-                    df = _rows_excluding(spark, abs_p, read_schema, dv_rows)
-                else:
-                    df = spark.read.schema(read_schema).parquet(abs_p)
-                arms.append(
-                    stamp(
-                        logical_projection(df, add.get("partitionValues") or {}, "insert")
+                    insert_excl.extend(
+                        (abs_p, ri)
+                        for ri in read_dv_row_indexes(
+                            storage, table_path, add["deletionVector"]
+                        )
                     )
-                )
                 continue
             # DV swap: same path removed+added → row-level diff
             old_dv = set(
@@ -166,28 +228,54 @@ def table_changes(
                 if add.get("deletionVector")
                 else []
             )
-            pv = add.get("partitionValues") or {}
-            newly_deleted = sorted(new_dv - old_dv)
-            restored = sorted(old_dv - new_dv)
-            if newly_deleted:
-                df = _rows_at(spark, abs_p, read_schema, newly_deleted)
-                arms.append(stamp(logical_projection(df, pv, "delete")))
-            if restored:
-                df = _rows_at(spark, abs_p, read_schema, restored)
-                arms.append(stamp(logical_projection(df, pv, "insert")))
+            swap_pv[abs_p] = pv
+            swap_deleted.extend((abs_p, ri) for ri in sorted(new_dv - old_dv))
+            swap_restored.extend((abs_p, ri) for ri in sorted(old_dv - new_dv))
 
         for path, remove in removes_by_path.items():
             abs_p = _abs_path(table_path, path)
+            delete_paths[abs_p] = remove.get("partitionValues") or {}
             if remove.get("deletionVector"):
-                dv_rows = read_dv_row_indexes(storage, table_path, remove["deletionVector"])
-                df = _rows_excluding(spark, abs_p, read_schema, dv_rows)
-            else:
-                df = spark.read.schema(read_schema).parquet(abs_p)
-            arms.append(
-                stamp(
-                    logical_projection(df, remove.get("partitionValues") or {}, "delete")
+                delete_excl.extend(
+                    (abs_p, ri)
+                    for ri in read_dv_row_indexes(
+                        storage, table_path, remove["deletionVector"]
+                    )
                 )
+
+        if insert_paths:
+            df = with_lineage(spark.read.schema(read_schema).parquet(*insert_paths))
+            if insert_excl:
+                df = idx_join(df, insert_excl, "left_anti")
+            df = join_constants(df, insert_paths)
+            arms.append(stamp(logical_projection(df, "insert")))
+        if delete_paths:
+            df = with_lineage(spark.read.schema(read_schema).parquet(*delete_paths))
+            if delete_excl:
+                df = idx_join(df, delete_excl, "left_anti")
+            df = join_constants(df, delete_paths)
+            arms.append(stamp(logical_projection(df, "delete")))
+        if swap_deleted or swap_restored:
+            swap_df = with_lineage(
+                spark.read.schema(read_schema).parquet(*swap_pv)
             )
+            swap_df = join_constants(swap_df, swap_pv)
+            if swap_deleted:
+                arms.append(
+                    stamp(
+                        logical_projection(
+                            idx_join(swap_df, swap_deleted, "left_semi"), "delete"
+                        )
+                    )
+                )
+            if swap_restored:
+                arms.append(
+                    stamp(
+                        logical_projection(
+                            idx_join(swap_df, swap_restored, "left_semi"), "insert"
+                        )
+                    )
+                )
 
     if not arms:
         fields = list(snapshot.schema.fields) + [
@@ -220,35 +308,3 @@ def net_changes(changes: DataFrame, key_columns: list[str]) -> DataFrame:
         .select(*key_columns, "w.*")
         .drop(CHANGE_TYPE_COL)
     )
-
-
-def _rows_at(spark, path: str, schema: T.StructType, row_indexes: list[int]) -> DataFrame:
-    import pandas as pd
-
-    idx = spark.createDataFrame(
-        pd.DataFrame({"ri": row_indexes}), "ri LONG"
-    )
-    df = spark.read.schema(schema).parquet(path).withColumn(
-        "__ri", F.col("_metadata.row_index")
-    )
-    return df.join(F.broadcast(idx), df["__ri"] == idx["ri"], "left_semi").drop("__ri")
-
-
-def _rows_excluding(spark, path: str, schema: T.StructType, row_indexes: list[int]) -> DataFrame:
-    import pandas as pd
-
-    idx = spark.createDataFrame(pd.DataFrame({"ri": row_indexes}), "ri LONG")
-    df = spark.read.schema(schema).parquet(path).withColumn(
-        "__ri", F.col("_metadata.row_index")
-    )
-    return df.join(F.broadcast(idx), df["__ri"] == idx["ri"], "left_anti").drop("__ri")
-
-
-def _mtime_ms(storage, path: str) -> int:
-    import os
-
-    local = path[len("file://") :] if path.startswith("file://") else path
-    try:
-        return int(os.stat(local).st_mtime * 1000)
-    except OSError:
-        return 0

@@ -22,9 +22,10 @@ from delta_kernel_rs_spark.sources.delta_paths import (
     classic_checkpoint_filename,
     compacted_filename,
 )
-from delta_kernel_rs_spark.sources.scan import dv_unique_id
+from delta_kernel_rs_spark.sources.scan import dv_unique_id, resolved_checkpoint_df
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 from delta_kernel_rs_spark.sources.storage import storage_for
+from delta_kernel_rs_spark.sources.transaction import _now_ms
 
 #: remove tombstones older than this need not be checkpointed
 DEFAULT_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
@@ -61,7 +62,9 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
             .select("add", "remove", "version")
         )
     if seg.checkpoint_parts:
-        ckpt = spark.read.parquet(*seg.checkpoint_parts)
+        # Resolve V2 sidecars — the top-level V2 file carries no file
+        # actions, so replaying it directly would silently drop every add.
+        ckpt = resolved_checkpoint_df(spark, seg)
         cols = set(ckpt.columns)
         sel = [
             F.col("add") if "add" in cols else F.lit(None).cast(ACTIONS_SCHEMA["add"].dataType).alias("add"),
@@ -84,11 +87,45 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
         "remove",
         "version",
     )
-    return (
+    latest = (
         keyed.groupBy("key_path", "key_dv")
         .agg(F.max_by(F.struct("version", "add", "remove"), F.col("version")).alias("w"))
         .select(F.col("w.add").alias("add"), F.col("w.remove").alias("remove"))
     )
+    # Expired remove tombstones are dropped (reference contract,
+    # kernel/src/checkpoint/mod.rs:1-90) — otherwise checkpoints grow
+    # without bound on delete-heavy tables.
+    cutoff = _now_ms() - _tombstone_retention_ms(snapshot)
+    return latest.filter(
+        F.col("add").isNotNull()
+        | F.col("remove.deletionTimestamp").isNull()
+        | (F.col("remove.deletionTimestamp") >= cutoff)
+    )
+
+
+def _tombstone_retention_ms(snapshot: Snapshot) -> int:
+    """``delta.deletedFileRetentionDuration`` ("interval N units") or default."""
+    raw = snapshot.metadata.configuration.get("delta.deletedFileRetentionDuration")
+    if not raw:
+        return DEFAULT_TOMBSTONE_RETENTION_MS
+    parts = raw.strip().lower().split()
+    if len(parts) == 3 and parts[0] == "interval":
+        try:
+            n = int(parts[1])
+        except ValueError:
+            return DEFAULT_TOMBSTONE_RETENTION_MS
+        unit = parts[2].rstrip("s")
+        scale = {
+            "millisecond": 1,
+            "second": 1000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+            "week": 7 * 86_400_000,
+        }.get(unit)
+        if scale:
+            return n * scale
+    return DEFAULT_TOMBSTONE_RETENTION_MS
 
 
 def _driver_actions(snapshot: Snapshot) -> list[dict]:
@@ -194,13 +231,23 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
 
     _cleanup_dir(storage, tmp_dir)
 
-    n_actions = out.count()
+    # Row count from the written file's footer — never re-run the replay
+    # job just for the _last_checkpoint size field.
+    n_actions = _parquet_num_rows(final)
     hint = {"version": v, "size": n_actions, "parts": None}
     storage.put_overwrite(
         f"{table_path.rstrip('/')}/{LOG_DIR}/_last_checkpoint",
         json.dumps({k: val for k, val in hint.items() if val is not None}).encode(),
     )
     return v
+
+
+def _parquet_num_rows(path: str) -> int:
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, rel = pafs.FileSystem.from_uri(path if "://" in path else f"file://{path}")
+    return pq.read_metadata(rel, filesystem=fs).num_rows
 
 
 def write_log_compaction(

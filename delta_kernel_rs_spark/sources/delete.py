@@ -21,14 +21,32 @@ from delta_kernel_rs_spark.plans.expressions import Predicate
 from delta_kernel_rs_spark.sources.scan import normalize_file_path
 from delta_kernel_rs_spark.sources.transaction import Transaction, _now_ms
 
-DV_PROTOCOL_ACTION = {
-    "protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
+def _dv_protocol_upgrade(snapshot) -> dict | None:
+    """Protocol action enabling deletionVectors, or None if already enabled.
+
+    Merges the feature into the snapshot's existing protocol instead of
+    replacing it (clobbering would strip features like changeDataFeed /
+    columnMapping from upgraded tables); emitted only when an upgrade is
+    actually needed (reference ensure_deletion_vectors_enabled).
+    """
+    p = snapshot.protocol
+    readers = set(p.reader_features or [])
+    writers = set(p.writer_features or [])
+    if (
+        p.min_reader_version >= 3
+        and p.min_writer_version >= 7
+        and "deletionVectors" in readers
+        and "deletionVectors" in writers
+    ):
+        return None
+    return {
+        "protocol": {
+            "minReaderVersion": max(3, p.min_reader_version),
+            "minWriterVersion": max(7, p.min_writer_version),
+            "readerFeatures": sorted(readers | {"deletionVectors"}),
+            "writerFeatures": sorted(writers | {"deletionVectors"}),
+        }
     }
-}
 
 
 def _pred_to_column(predicate):
@@ -45,7 +63,13 @@ def _rel_path(table_path: str, abs_path: str) -> str:
 
 
 def _candidate_df_with_lineage(scan):
-    """Scan DataFrame that keeps ``__file_path``/``__row_index`` visible."""
+    """Scan DataFrame that keeps ``__file_path``/``__row_index`` visible.
+
+    Rows already hidden by a file's deletion vector are excluded up front:
+    a rewrite or DV update must never resurrect them (reference keys replay
+    by FileActionKey(path, dv_unique_id) — log_replay/mod.rs:32 — so the
+    live rows are always "file minus current DV").
+    """
     snapshot = scan.snapshot
     spark = snapshot.spark
     files = scan.files()
@@ -56,15 +80,26 @@ def _candidate_df_with_lineage(scan):
     )
     df = df.withColumn("__file_path", normalize_file_path(F.col("_metadata.file_path")))
     df = df.withColumn("__row_index", F.col("_metadata.row_index"))
+    if any(f.dv for f in files):
+        from delta_kernel_rs_spark.functions.dv import deleted_rows_df
+
+        deleted = deleted_rows_df(spark, files, snapshot.table_path)
+        df = df.join(
+            deleted,
+            (df["__file_path"] == deleted["dv_file_path"])
+            & (df["__row_index"] == deleted["dv_row_index"]),
+            "left_anti",
+        )
     pcols = snapshot.metadata.partition_columns
     if pcols:
         from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
+        from delta_kernel_rs_spark.sources.scan import file_constants_df
 
-        consts = scan.scan_files_df().select(
-            F.col("file_path").alias("__const_path"),
-            F.col("partition_values").alias("__pv"),
+        df = df.join(
+            F.broadcast(file_constants_df(spark, files)),
+            df["__file_path"] == F.col("__const_path"),
+            "left",
         )
-        df = df.join(F.broadcast(consts), df["__file_path"] == consts["__const_path"], "left")
         types = {f.name: f.dataType for f in snapshot.schema.fields}
         for p in pcols:
             df = df.withColumn(
@@ -114,6 +149,10 @@ def delete_where(table, predicate) -> int:
                     "extendedFileMetadata": True,
                     "partitionValues": info.partition_values,
                     "size": info.size,
+                    # Replay keys are (path, dv_unique_id): the remove must
+                    # carry the file's current DV or it never cancels the
+                    # live add (reference log_replay/mod.rs:32).
+                    "deletionVector": info.dv,
                 }
             }
         )
@@ -210,7 +249,8 @@ def delete_with_dvs(table, predicate) -> int:
 
     uuid_enc, spans = write_dv_file(table.storage, table.path, blobs)
 
-    actions = [DV_PROTOCOL_ACTION]
+    upgrade = _dv_protocol_upgrade(snap)
+    actions = [upgrade] if upgrade else []
     for (abs_path, cardinality), (offset, size) in zip(descriptors, spans):
         info = file_info[abs_path]
         row = scan_rows[abs_path]

@@ -55,6 +55,31 @@ def normalize_file_path(col: Column) -> Column:
     return F.regexp_replace(col, r"^file:/+", "/")
 
 
+def resolved_checkpoint_df(spark, seg) -> DataFrame:
+    """Checkpoint-parts DataFrame with V2 sidecars resolved.
+
+    V2 checkpoints store file actions in sidecar parquet files (reference
+    kernel/src/checkpoint + log_segment/mod.rs:51-83); the top-level file
+    then only carries metadata actions — readers must follow the sidecar
+    pointers. Shared by the scan and the checkpoint writer's replay.
+    """
+    ckpt = spark.read.parquet(*seg.checkpoint_parts)
+    if "sidecar" in ckpt.columns:
+        sidecars = [
+            r.path
+            for r in ckpt.filter(F.col("sidecar.path").isNotNull())
+            .select(F.col("sidecar.path").alias("path"))
+            .collect()
+        ]
+        if sidecars:
+            sidecar_paths = [
+                p if "://" in p or p.startswith("/") else f"{seg.log_dir}/_sidecars/{p}"
+                for p in sidecars
+            ]
+            ckpt = spark.read.parquet(*sidecar_paths)
+    return ckpt
+
+
 @dataclass
 class ScanFile:
     """One live data file (driver-side handle)."""
@@ -65,6 +90,15 @@ class ScanFile:
     dv: dict | None
     base_row_id: int | None
     commit_version: int
+
+
+def file_constants_df(spark, files: list["ScanFile"]) -> DataFrame:
+    """(path → partition values) lookup built from a collected file list —
+    avoids re-running log replay just to fetch per-file constants."""
+    rows = [(f.path, f.partition_values or {}) for f in files]
+    return spark.createDataFrame(
+        rows, "__const_path STRING, __pv MAP<STRING,STRING>"
+    )
 
 
 class Scan:
@@ -126,24 +160,7 @@ class Scan:
 
         checkpoint_arm = None
         if seg.checkpoint_parts:
-            ckpt = spark.read.parquet(*seg.checkpoint_parts)
-            available = set(ckpt.columns)
-            # V2 checkpoints store file actions in sidecar parquet files
-            # (reference kernel/src/checkpoint + log_segment/mod.rs:51-83).
-            if "sidecar" in available:
-                sidecars = [
-                    r.path
-                    for r in ckpt.filter(F.col("sidecar.path").isNotNull())
-                    .select(F.col("sidecar.path").alias("path"))
-                    .collect()
-                ]
-                if sidecars:
-                    sidecar_paths = [
-                        p if "://" in p or p.startswith("/")
-                        else f"{seg.log_dir}/_sidecars/{p}"
-                        for p in sidecars
-                    ]
-                    ckpt = spark.read.parquet(*sidecar_paths)
+            ckpt = resolved_checkpoint_df(spark, seg)
             if "add" in ckpt.columns:
                 checkpoint_arm = (
                     ckpt.filter(F.col("add").isNotNull())
@@ -281,22 +298,22 @@ class Scan:
             df = df.withColumn("__row_index", F.col("_metadata.row_index"))
             from delta_kernel_rs_spark.functions.dv import deleted_rows_df
 
+            # No broadcast hint: the deleted-row set is unbounded (billions
+            # of rows on a heavily-deleted table) — let AQE pick the join.
             deleted = deleted_rows_df(spark, files, self.snapshot.table_path)
             df = df.join(
-                F.broadcast(deleted),
+                deleted,
                 (df["__file_path"] == deleted["dv_file_path"])
                 & (df["__row_index"] == deleted["dv_row_index"]),
                 "left_anti",
             )
 
         if pcols:
-            consts = self.scan_files_df().select(
-                F.col("file_path").alias("__const_path"),
-                F.col("partition_values").alias("__pv"),
-            )
+            # File constants come from the already-collected file list —
+            # never re-run the log-replay job for them.
             df = df.join(
-                F.broadcast(consts),
-                df["__file_path"] == consts["__const_path"],
+                F.broadcast(file_constants_df(spark, files)),
+                df["__file_path"] == F.col("__const_path"),
                 "left",
             )
 

@@ -76,6 +76,14 @@ class LocalStorage:
         with open(_strip_scheme(path), encoding="utf-8") as fh:
             return fh.read()
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(_strip_scheme(path), "rb") as fh:
+            return fh.read()
+
+    def stat(self, path: str) -> FileEntry:
+        st = os.stat(_strip_scheme(path))
+        return FileEntry(path, st.st_size, int(st.st_mtime * 1000))
+
     def exists(self, path: str) -> bool:
         return os.path.exists(_strip_scheme(path))
 
@@ -189,6 +197,24 @@ class HadoopStorage:
             return "\n".join(lines)
         finally:
             stream.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            out = bytearray()
+            buf_cls = self._jvm.java.io.ByteArrayOutputStream
+            sink = buf_cls()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+            out += bytes(sink.toByteArray())
+            return bytes(out)
+        finally:
+            stream.close()
+
+    def stat(self, path: str) -> FileEntry:
+        status = self._fs.getFileStatus(self._jpath(path))
+        return FileEntry(
+            status.getPath().toString(), status.getLen(), status.getModificationTime()
+        )
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._jpath(path))

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.functions.schema_codec import to_schema_string
 from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
-from delta_kernel_rs_spark.functions.stats import collect_file_stats, stats_json
+from delta_kernel_rs_spark.functions.stats import collect_file_stats_footer, stats_json
 from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR, commit_filename
 from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
 from delta_kernel_rs_spark.sources.storage import CommitConflict, storage_for
@@ -143,36 +143,40 @@ class Transaction:
             if e.path.endswith(".parquet")
         ]
         # Move into place preserving partition-dir structure; Spark part
-        # file names embed a task UUID so collisions are impossible.
-        moves: list[tuple[str, str, str]] = []  # (final_abs, rel, dirpart)
+        # file names embed a task UUID so collisions are impossible. Size
+        # and mtime come from the staging listing we already have — never
+        # an O(table) listing on the commit path.
+        moves: list[tuple[str, str, str, int, int]] = []
         for entry in staged:
             rel = entry.path[len(staging.rstrip("/")) + 1 :]
             final_abs = f"{self.table_path}/{rel}"
             self.storage.rename(entry.path, final_abs)
-            moves.append((final_abs, rel, rel.rsplit("/", 1)[0] if "/" in rel else ""))
+            moves.append(
+                (
+                    final_abs,
+                    rel,
+                    rel.rsplit("/", 1)[0] if "/" in rel else "",
+                    entry.size,
+                    entry.last_modified_ms,
+                )
+            )
         _cleanup_dir(self.storage, staging)
         if not moves:
             return []
 
-        # Distributed per-file stats over the final locations.
+        # Footer-only stats (no second pass over the data just written).
         data_fields = [
             f for f in self.schema.fields if f.name not in set(self.partition_columns)
         ]
         read_schema = T.StructType(data_fields)
-        stats_by_path = collect_file_stats(
+        stats_by_path = collect_file_stats_footer(
             self.spark, [m[0] for m in moves], read_schema
         )
-        sizes = {
-            e.path: (e.size, e.last_modified_ms)
-            for e in self.storage.list_recursive(self.table_path)
-        }
-        ptypes = {f.name: f.dataType for f in self.schema.fields}
 
         adds = []
-        for final_abs, rel, dirpart in moves:
+        for final_abs, rel, dirpart, size, mtime in moves:
             raw_pv = parse_hive_partition_path(dirpart) if dirpart else {}
             pv = {k: raw_pv[k] for k in self.partition_columns if k in raw_pv}
-            size, mtime = sizes.get(final_abs, (0, _now_ms()))
             raw_stats = stats_by_path.get(final_abs)
             adds.append(
                 {
@@ -241,6 +245,17 @@ class Transaction:
                 if self.is_create:
                     raise ConcurrentModificationError(
                         f"table already exists at {self.table_path}"
+                    ) from None
+                if self._extra_actions:
+                    # Only blind appends may be re-committed at a new
+                    # version; staged remove/cdc/DV-swap actions were built
+                    # against the read snapshot, so a version conflict means
+                    # the caller must rebase and re-derive them (reference
+                    # ConflictedTransaction, transaction/mod.rs:153,749).
+                    raise ConcurrentModificationError(
+                        "conflicting commit detected; this transaction "
+                        "carries non-append actions and must be re-run "
+                        "against a fresh snapshot"
                     ) from None
                 if attempts >= MAX_COMMIT_ATTEMPTS:
                     raise ConcurrentModificationError(
