@@ -96,8 +96,11 @@ class _SkippingRewriter:
     def _max(self, name: str) -> Column:
         c = self.stats_col.getField("maxValues").getField(name)
         if isinstance(self.stat_types[name], (T.TimestampType, T.TimestampNTZType)):
-            # written max is floored to ms → widen by 1ms (see module doc)
-            return (c.cast("double") + F.lit(0.001)).cast(self.stat_types[name])
+            # Written max is floored to ms, so the true max can exceed it by
+            # up to 999µs — widen by exactly that (reference
+            # adjust_scalar_for_max_stat_truncation subtracts 999µs from the
+            # literal; adding it to the bound is equivalent and exact).
+            return c + F.expr("INTERVAL 999 MICROSECOND")
         return c
 
     def _null_count(self, name: str) -> Column:
@@ -105,6 +108,9 @@ class _SkippingRewriter:
 
     def _num_records(self) -> Column:
         return self.stats_col.getField("numRecords")
+
+    def _not_all_null(self, name: str) -> Column:
+        return self._null_count(name) < self._num_records()
 
     def _partition_value(self, name: str) -> Column:
         raw = F.col(PARTITION_VALUES_COLUMN).getItem(name)
@@ -161,18 +167,25 @@ class _SkippingRewriter:
             lo, hi = self._min(c.path), self._max(c.path)
             lv = F.lit(v.value).cast(self.stat_types[c.path])
             if p.op == "lt":
-                return lo < lv
-            if p.op == "le":
-                return lo <= lv
-            if p.op == "gt":
-                return hi > lv
-            if p.op == "ge":
-                return hi >= lv
-            if p.op == "eq":
-                return (lo <= lv) & (hi >= lv)
-            if p.op == "ne":
-                return ~((lo == lv) & (hi == lv))
-            return None
+                out = lo < lv
+            elif p.op == "le":
+                out = lo <= lv
+            elif p.op == "gt":
+                out = hi > lv
+            elif p.op == "ge":
+                out = hi >= lv
+            elif p.op == "eq":
+                out = (lo <= lv) & (hi >= lv)
+            elif p.op == "ne":
+                out = ~((lo == lv) & (hi == lv))
+            else:
+                return None
+            # SQL-WHERE semantics: comparisons are null-intolerant, so a
+            # present-but-all-null file can never match — prepend the
+            # not-all-null guard (reference eval_sql_where; our scan always
+            # applies the predicate as the residual row filter, which makes
+            # the guard sound).
+            return self._not_all_null(c.path) & out
         if isinstance(p, IsNull):
             if isinstance(p.expr, Col):
                 c = p.expr
@@ -201,16 +214,36 @@ class _SkippingRewriter:
                         lv = F.lit(v).cast(self.stat_types[c.path])
                         term = (lo <= lv) & (hi >= lv)
                         out = term if out is None else (out | term)
+                    if out is not None:
+                        out = self._not_all_null(c.path) & out
                     return out
             return None
         if isinstance(p, (Distinct, NotDistinct)):
-            # null-safe comparisons: rewritable for partition columns only
             if isinstance(p.left, Col) and isinstance(p.right, Literal):
                 c, v = p.left, p.right
                 if self._is_partition_col(c):
                     pv = self._partition_value(c.path)
                     eq = pv.eqNullSafe(F.lit(v.value))
                     return ~eq if isinstance(p, Distinct) else eq
+                if not self._has_stats(c):
+                    return None
+                # DISTINCT expands over null-ness (reference test_eval_distinct):
+                #   DISTINCT(x, NULL)      ≡ x IS NOT NULL
+                #   NOT DISTINCT(x, NULL)  ≡ x IS NULL
+                #   DISTINCT(x, v)     ⇒ nullCount > 0 OR NOT(min = v = max)
+                #   NOT DISTINCT(x, v) ⇒ not-all-null AND min <= v <= max
+                if v.value is None:
+                    has_null = self._null_count(c.path) > 0
+                    return (
+                        self._not_all_null(c.path)
+                        if isinstance(p, Distinct)
+                        else has_null
+                    )
+                lo, hi = self._min(c.path), self._max(c.path)
+                lv = F.lit(v.value).cast(self.stat_types[c.path])
+                if isinstance(p, Distinct):
+                    return (self._null_count(c.path) > 0) | ~((lo == lv) & (hi == lv))
+                return self._not_all_null(c.path) & (lo <= lv) & (hi >= lv)
             return None
         return None
 
