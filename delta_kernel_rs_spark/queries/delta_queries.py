@@ -206,6 +206,32 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# d08 incremental scan: refresh a cached file list via (base, target] replay
+
+
+def d08_delta_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_metadata_from path: base-version file list + incremental diff
+    (covers the DV-swap merge) must read back exactly the live rows."""
+    t = _fixture(spark, sf_dir, "dv")
+    base = t.snapshot(version=0)
+    prior = base.scan().files()
+    latest = t.snapshot()
+    refreshed = latest.scan_files_from(0, prior)
+    scan = latest.scan()
+    scan._files_cache = refreshed
+    return scan.to_df()
+
+
+register(
+    "d08_delta_incremental_refresh",
+    d08_delta_incremental_refresh,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # d07 CDF: row-level change feed incl. DV-swap diffing
 
 

@@ -202,6 +202,20 @@ class Snapshot:
     def to_df(self, predicate=None, columns: list[str] | None = None):
         return self.scan(predicate=predicate, columns=columns).to_df()
 
+    def incremental_actions(self, base_version: int):
+        """File-action diff over (base_version, this version]; None when the
+        range is not servable (reference incremental_scan/mod.rs:1-60)."""
+        from delta_kernel_rs_spark.sources.incremental import incremental_actions_df
+
+        return incremental_actions_df(self, base_version)
+
+    def scan_files_from(self, base_version: int, prior_files):
+        """Refresh a cached scan-file list by replaying only newer commits
+        (reference scan_metadata_from, kernel/src/scan/mod.rs:880-1024)."""
+        from delta_kernel_rs_spark.sources.incremental import refresh_scan_files
+
+        return refresh_scan_files(self, base_version, prior_files)
+
     def timestamp_ms(self) -> int:
         """Commit timestamp of this snapshot's version (file mtime)."""
         return self.log_segment.commit_timestamps.get(self.version, 0)

@@ -1,0 +1,78 @@
+"""Incremental scan / scan_metadata_from tests (reference
+kernel/src/incremental_scan/mod.rs, kernel/src/scan/mod.rs:880-1024)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    t.append(_ints(spark, 50, 80))  # v1
+    return t
+
+
+def test_incremental_reads_only_new_commits(spark, table):
+    table.append(_ints(spark, 80, 100))  # v2
+    snap = table.snapshot()
+    diff = snap.incremental_actions(1)
+    read = {p.rsplit("/", 1)[-1] for p in diff.inputFiles()}
+    assert read == {f"{2:020d}.json"}  # only the post-base commit
+    rows = diff.collect()
+    assert all(r.action == "add" and r.commit_version == 2 for r in rows)
+
+
+def test_refresh_matches_full_scan_after_append_and_dv_delete(spark, table):
+    base = table.snapshot()
+    prior = base.scan().files()
+
+    table.append(_ints(spark, 80, 100))  # v2
+    delete_with_dvs(table, "k % 4 = 0")  # v3: DV swap remove+add
+
+    latest = table.snapshot()
+    refreshed = latest.scan_files_from(base.version, prior)
+    assert refreshed is not None
+    full = latest.scan().files()
+    as_key = lambda f: (f.path, str(f.dv))  # noqa: E731
+    assert sorted(map(as_key, refreshed)) == sorted(map(as_key, full))
+
+    # And the refreshed file list reads back the right rows.
+    scan = latest.scan()
+    scan._files_cache = refreshed
+    got = {r.k for r in scan.to_df().collect()}
+    assert got == {k for k in range(100) if k % 4 != 0}
+
+
+def test_refresh_noop_at_same_version(spark, table):
+    snap = table.snapshot()
+    files = snap.scan().files()
+    assert snap.scan_files_from(snap.version, files) == files
+
+
+def test_incremental_unservable_past_checkpoint(spark, table):
+    base_version = table.snapshot().version
+    table.append(_ints(spark, 80, 90))
+    table.checkpoint()  # truncates the snapshot's commit list
+    table.append(_ints(spark, 90, 95))
+    snap = table.snapshot()
+    # base predates the checkpoint -> commit list can't serve the range
+    assert snap.incremental_actions(0) is None
+    assert snap.scan_files_from(0, []) is None
+
+
+def test_incremental_base_not_behind_target(spark, table):
+    snap = table.snapshot()
+    with pytest.raises(ValueError):
+        snap.incremental_actions(snap.version)
