@@ -138,6 +138,41 @@ def to_schema_string(schema: T.StructType) -> str:
     return json.dumps(_type_to_json(schema), separators=(",", ":"))
 
 
+def assign_column_mapping(
+    schema: T.StructType, start_id: int = 0
+) -> tuple[T.StructType, int]:
+    """Assign column-mapping physical names + field ids to a fresh schema.
+
+    Used at CREATE TABLE time when ``delta.columnMapping.mode`` is ``name``
+    or ``id`` (reference kernel/src/table_features/column_mapping.rs):
+    every field gets a stable ``col-<uuid>`` physical (parquet) name, a
+    ``delta.columnMapping.id`` and matching ``parquet.field.id``. Returns
+    (annotated schema, max assigned column id).
+    """
+    import uuid as _uuid
+
+    next_id = start_id
+    fields = []
+    for f in schema.fields:
+        meta = dict(f.metadata or {})
+        if COLUMN_MAPPING_PHYSICAL_NAME_KEY not in meta:
+            next_id += 1
+            meta[COLUMN_MAPPING_ID_KEY] = next_id
+            meta[COLUMN_MAPPING_PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
+            meta[PARQUET_FIELD_ID_KEY] = meta[COLUMN_MAPPING_ID_KEY]
+        else:
+            next_id = max(next_id, int(meta.get(COLUMN_MAPPING_ID_KEY, 0)))
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
+    return T.StructType(fields), next_id
+
+
+def max_column_id(schema: T.StructType) -> int:
+    return max(
+        (int((f.metadata or {}).get(COLUMN_MAPPING_ID_KEY, 0)) for f in schema.fields),
+        default=0,
+    )
+
+
 def physical_name(field: T.StructField) -> str:
     """Physical (parquet) column name under column mapping mode ``name``.
 

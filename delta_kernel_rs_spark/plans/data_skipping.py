@@ -61,11 +61,19 @@ PARTITION_VALUES_COLUMN = "partition_values"
 
 def stats_schema_for(schema: T.StructType, partition_columns: list[str]) -> T.StructType:
     """Derive the typed stats-parse schema from the table schema
-    (reference stats_schema derivation; arrays/maps/binary ineligible)."""
+    (reference stats_schema derivation; arrays/maps/binary ineligible).
+    Stats documents are keyed by PHYSICAL column names under column
+    mapping, so the parse struct uses physical field names."""
+    from delta_kernel_rs_spark.functions.schema_codec import physical_name
+
     data_fields = [f for f in schema.fields if f.name not in set(partition_columns)]
     eligible = eligible_stats_columns(T.StructType(data_fields))
-    minmax = T.StructType([T.StructField(f.name, f.dataType, True) for f in eligible])
-    nulls = T.StructType([T.StructField(f.name, T.LongType(), True) for f in eligible])
+    minmax = T.StructType(
+        [T.StructField(physical_name(f), f.dataType, True) for f in eligible]
+    )
+    nulls = T.StructType(
+        [T.StructField(physical_name(f), T.LongType(), True) for f in eligible]
+    )
     return T.StructType(
         [
             T.StructField("numRecords", T.LongType(), True),
@@ -83,18 +91,22 @@ class _SkippingRewriter:
         self.schema = schema
         self.stats_col = stats_col
         self.partition_columns = set(partition_columns)
+        from delta_kernel_rs_spark.functions.schema_codec import physical_name
+
         data_fields = [f for f in schema.fields if f.name not in self.partition_columns]
         self.stat_types = {
             f.name: f.dataType for f in eligible_stats_columns(T.StructType(data_fields))
         }
         self.types = {f.name: f.dataType for f in schema.fields}
+        # logical → physical (stats docs and partitionValues use physical keys)
+        self.phys = {f.name: physical_name(f) for f in schema.fields}
 
     # -- stat accessors -------------------------------------------------
     def _min(self, name: str) -> Column:
-        return self.stats_col.getField("minValues").getField(name)
+        return self.stats_col.getField("minValues").getField(self.phys[name])
 
     def _max(self, name: str) -> Column:
-        c = self.stats_col.getField("maxValues").getField(name)
+        c = self.stats_col.getField("maxValues").getField(self.phys[name])
         if isinstance(self.stat_types[name], (T.TimestampType, T.TimestampNTZType)):
             # Written max is floored to ms, so the true max can exceed it by
             # up to 999µs — widen by exactly that (reference
@@ -104,7 +116,7 @@ class _SkippingRewriter:
         return c
 
     def _null_count(self, name: str) -> Column:
-        return self.stats_col.getField("nullCount").getField(name)
+        return self.stats_col.getField("nullCount").getField(self.phys[name])
 
     def _num_records(self) -> Column:
         return self.stats_col.getField("numRecords")
@@ -113,7 +125,7 @@ class _SkippingRewriter:
         return self._null_count(name) < self._num_records()
 
     def _partition_value(self, name: str) -> Column:
-        raw = F.col(PARTITION_VALUES_COLUMN).getItem(name)
+        raw = F.col(PARTITION_VALUES_COLUMN).getItem(self.phys[name])
         return parse_partition_column(raw, self.types[name])
 
     # -- classification ---------------------------------------------------

@@ -92,6 +92,36 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
         )
         t.append(_chunk(src, 8, 7))
         delete_with_dvs(t, "l_orderkey % 3 = 0")
+    elif kind == "cm":  # column mapping (name mode) + partitioned + CoW delete
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 4, 0),
+            partition_by=["l_returnflag"],
+            properties={"delta.columnMapping.mode": "name"},
+        )
+        t.append(_chunk(src, 4, 1))
+        t.delete("l_quantity > 40")
+    elif kind == "evo":  # schema evolution: int seed -> widen to long -> add col
+        from pyspark.sql import types as T
+
+        full = load_table(spark, sf_dir, "lineitem")
+        seed = _chunk(full, 4, 0).select(
+            "l_orderkey", F.col("l_suppkey").cast("int").alias("l_suppkey"), "l_quantity"
+        )
+        t = DeltaTable.create(spark, path, df=seed)
+        t.widen_column("l_suppkey", T.LongType())
+        t.add_column("l_flag", T.StringType())
+        more = _chunk(full, 4, 1).select(
+            "l_orderkey", "l_suppkey", "l_quantity", F.col("l_returnflag").alias("l_flag")
+        )
+        t.append(more)
+    elif kind == "ckpt2":  # V2 checkpoint with sidecars + post-checkpoint commit
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.append(_chunk(src, 4, 1))
+        t.append(_chunk(src, 4, 2))
+        t.checkpoint(v2=True)
+        t.append(_chunk(src, 4, 3))
     else:  # pragma: no cover - registry bug
         raise ValueError(f"unknown fixture kind {kind!r}")
 
@@ -228,6 +258,61 @@ register(
     f"""
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d09 column mapping: physical-name files/partitions/stats, logical reads
+
+
+def d09_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "cm")
+    return t.to_df(predicate="l_returnflag = 'A'")
+
+
+register(
+    "d09_delta_column_mapping",
+    d09_delta_column_mapping,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND NOT (l_quantity > 40) AND l_returnflag = 'A'
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d10 schema evolution: widened ints + NULL-filled added column
+
+
+def d10_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fixture(spark, sf_dir, "evo").to_df()
+
+
+register(
+    "d10_delta_schema_evolution",
+    d10_delta_schema_evolution,
+    """
+    SELECT l_orderkey, l_suppkey, l_quantity, CAST(NULL AS VARCHAR) AS l_flag
+    FROM lineitem WHERE l_orderkey % 4 = 0
+    UNION ALL
+    SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey % 4 = 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d11 V2 checkpoint: sidecar-resolved replay + post-checkpoint commit
+
+
+def d11_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "ckpt2")
+    return t.to_df(predicate="l_quantity >= 5")
+
+
+register(
+    "d11_delta_v2_checkpoint",
+    d11_delta_v2_checkpoint,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem WHERE l_quantity >= 5
     """,
 )
 

@@ -30,6 +30,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # INT64 timestamps carry parquet row-group min/max stats (INT96 does
     # not) — required for the footer-based write stats in functions/stats.py.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Column-mapped read schemas carry parquet.field.id; externally-written
+    # files may lack ids — fall back to name matching instead of failing.
+    "spark.sql.parquet.fieldId.read.ignoreMissing": "true",
 }
 
 

@@ -102,7 +102,7 @@ def table_changes(
         cols = []
         for f in snapshot.schema.fields:
             if f.name in set(pcols):
-                raw = F.col("__pv").getItem(f.name)
+                raw = F.col("__pv").getItem(physical_name(f))
                 cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
             else:
                 cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))

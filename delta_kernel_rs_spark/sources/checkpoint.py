@@ -202,41 +202,81 @@ def _driver_actions(snapshot: Snapshot) -> list[dict]:
     return actions
 
 
-def write_checkpoint(spark: SparkSession, table_path: str, version: int | None = None) -> int:
-    """Write a V1 classic checkpoint for ``version`` (default: latest);
-    returns the checkpointed version."""
-    snapshot = Snapshot.create(spark, table_path, version=version)
-    v = snapshot.version
-    storage = storage_for(spark, table_path)
-
-    replayed = _full_replay(snapshot)
-    file_actions = _pad_to_actions_schema(replayed)
-
-    driver_df = spark.createDataFrame(
-        [json.dumps(a) for a in _driver_actions(snapshot)], "string"
-    )
-    driver_actions = _pad_to_actions_schema(
-        spark.read.schema(ACTIONS_SCHEMA).json(driver_df.rdd.map(lambda r: r[0]))
-    )
-
-    out = file_actions.unionByName(driver_actions)
-    tmp_dir = f"{table_path.rstrip('/')}/{LOG_DIR}/.ckpt-tmp-{v}"
-    out.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+def _write_single_parquet(spark, storage, df: DataFrame, tmp_dir: str, final: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
     part = next(
         e.path for e in storage.list_recursive(tmp_dir) if e.path.endswith(".parquet")
     )
-    final = f"{table_path.rstrip('/')}/{LOG_DIR}/{classic_checkpoint_filename(v)}"
     storage.rename(part, final)
     from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
 
     _cleanup_dir(storage, tmp_dir)
 
-    # Row count from the written file's footer — never re-run the replay
-    # job just for the _last_checkpoint size field.
-    n_actions = _parquet_num_rows(final)
+
+def write_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    v2: bool = False,
+) -> int:
+    """Write a checkpoint for ``version`` (default: latest).
+
+    ``v2=False``: V1 classic single-file checkpoint. ``v2=True``: V2 layout
+    (reference kernel/src/checkpoint/mod.rs): file actions go to a sidecar
+    parquet under ``_delta_log/_sidecars/``; the top-level
+    ``{v}.checkpoint.{uuid}.parquet`` carries P&M/txn/domainMetadata, a
+    ``checkpointMetadata`` action and the ``sidecar`` pointers — the shape
+    the scan's ``resolved_checkpoint_df`` already reads.
+    """
+    import uuid as _uuid
+
+    snapshot = Snapshot.create(spark, table_path, version=version)
+    v = snapshot.version
+    storage = storage_for(spark, table_path)
+    log_dir = f"{table_path.rstrip('/')}/{LOG_DIR}"
+
+    replayed = _full_replay(snapshot)
+    file_actions = _pad_to_actions_schema(replayed)
+
+    driver_rows = [json.dumps(a) for a in _driver_actions(snapshot)]
+
+    def driver_df(rows: list[str]) -> DataFrame:
+        raw = spark.createDataFrame([(r,) for r in rows], "value STRING")
+        return _pad_to_actions_schema(
+            spark.read.schema(ACTIONS_SCHEMA).json(raw.rdd.map(lambda r: r[0]))
+        )
+
+    if not v2:
+        out = file_actions.unionByName(driver_df(driver_rows))
+        final = f"{log_dir}/{classic_checkpoint_filename(v)}"
+        _write_single_parquet(spark, storage, out, f"{log_dir}/.ckpt-tmp-{v}", final)
+        n_actions = _parquet_num_rows(final)
+    else:
+        sidecar_name = f"{_uuid.uuid4()}.parquet"
+        sidecar_final = f"{log_dir}/_sidecars/{sidecar_name}"
+        _write_single_parquet(
+            spark, storage, file_actions, f"{log_dir}/.ckpt-sidecar-tmp-{v}", sidecar_final
+        )
+        entry = storage.stat(sidecar_final)
+        top_rows = driver_rows + [
+            json.dumps({"checkpointMetadata": {"version": v}}),
+            json.dumps(
+                {
+                    "sidecar": {
+                        "path": sidecar_name,
+                        "sizeInBytes": entry.size,
+                        "modificationTime": entry.last_modified_ms,
+                    }
+                }
+            ),
+        ]
+        final = f"{log_dir}/{v:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+        _write_single_parquet(spark, storage, driver_df(top_rows), f"{log_dir}/.ckpt-tmp-{v}", final)
+        n_actions = _parquet_num_rows(final) + _parquet_num_rows(sidecar_final)
+
     hint = {"version": v, "size": n_actions, "parts": None}
     storage.put_overwrite(
-        f"{table_path.rstrip('/')}/{LOG_DIR}/_last_checkpoint",
+        f"{log_dir}/_last_checkpoint",
         json.dumps({k: val for k, val in hint.items() if val is not None}).encode(),
     )
     return v

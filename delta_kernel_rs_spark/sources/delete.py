@@ -90,6 +90,8 @@ def _candidate_df_with_lineage(scan):
             & (df["__row_index"] == deleted["dv_row_index"]),
             "left_anti",
         )
+    from delta_kernel_rs_spark.functions.schema_codec import physical_name as _pn
+
     pcols = snapshot.metadata.partition_columns
     if pcols:
         from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
@@ -100,12 +102,22 @@ def _candidate_df_with_lineage(scan):
             df["__file_path"] == F.col("__const_path"),
             "left",
         )
-        types = {f.name: f.dataType for f in snapshot.schema.fields}
+        fields = {f.name: f for f in snapshot.schema.fields}
         for p in pcols:
             df = df.withColumn(
-                p, parse_partition_column(F.col("__pv").getItem(p), types[p])
+                p,
+                parse_partition_column(
+                    F.col("__pv").getItem(_pn(fields[p])), fields[p].dataType
+                ),
             )
         df = df.drop("__const_path", "__pv")
+    # Present logical column names to the predicate/caller (data columns
+    # were read under their physical parquet names).
+    proj = [
+        F.col(_pn(f)).alias(f.name) if f.name not in set(pcols) else F.col(f.name)
+        for f in snapshot.schema.fields
+    ]
+    df = df.select(*proj, "__file_path", "__row_index")
     return df, files
 
 
@@ -169,20 +181,22 @@ def _write_cdc_files(table, rows_df, snap, change_type: str) -> list[dict]:
     from delta_kernel_rs_spark.functions.schema_codec import physical_name
 
     pcols = snap.metadata.partition_columns
+    fields = {f.name: f for f in snap.schema.fields}
+    phys_parts = [physical_name(fields[p]) for p in pcols]
     phys_cols = [
         F.col(f.name).alias(physical_name(f))
         for f in snap.schema.fields
         if f.name not in set(pcols)
     ]
     out = rows_df.select(
-        *[F.col(p) for p in pcols],
+        *[F.col(p).alias(physical_name(fields[p])) for p in pcols],
         *phys_cols,
         F.lit(change_type).alias("_change_type"),
     )
     staging = f"{table.path}/.cdc-staging-{uuid.uuid4().hex}"
     writer = out.write.mode("overwrite")
     if pcols:
-        writer = writer.partitionBy(*pcols)
+        writer = writer.partitionBy(*phys_parts)
     writer.parquet(staging)
     from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
     from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
@@ -200,7 +214,7 @@ def _write_cdc_files(table, rows_df, snap, change_type: str) -> list[dict]:
             {
                 "cdc": {
                     "path": _rel_path(table.path, f"{table.path}/{final_rel}"),
-                    "partitionValues": {k: raw_pv.get(k) for k in pcols},
+                    "partitionValues": {k: raw_pv.get(k) for k in phys_parts},
                     "size": entry.size,
                     "dataChange": False,
                 }

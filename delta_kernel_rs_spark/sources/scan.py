@@ -324,7 +324,8 @@ class Scan:
             if self.columns is not None and f.name not in self.columns:
                 continue
             if f.name in pcols:
-                raw = F.col("__pv").getItem(f.name)
+                # partitionValues keys are physical names under column mapping
+                raw = F.col("__pv").getItem(physical_name(f))
                 out_cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
             else:
                 out_cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))

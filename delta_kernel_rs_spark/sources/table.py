@@ -190,11 +190,62 @@ class DeltaTable:
 
         return delete_where(self, predicate)
 
+    # -- schema evolution ---------------------------------------------------
+    def alter_schema(self, new_schema: T.StructType) -> int:
+        """ALTER TABLE to ``new_schema`` with diff validation (reference
+        kernel/src/transaction/builder/schema_evolution.rs +
+        kernel/src/schema/diff.rs). Existing files resolve missing new
+        columns to NULL and widened types via parquet type promotion."""
+        from delta_kernel_rs_spark.functions.schema_diff import validate_schema_evolution
+
+        snap = self.snapshot()
+        cm_mode = snap.metadata.column_mapping_mode
+        validate_schema_evolution(
+            snap.schema, new_schema, snap.metadata.partition_columns, cm_mode
+        )
+        config = dict(snap.metadata.configuration)
+        if cm_mode != "none":
+            from delta_kernel_rs_spark.functions.schema_codec import (
+                assign_column_mapping,
+                max_column_id,
+            )
+
+            start = int(
+                config.get(
+                    "delta.columnMapping.maxColumnId", max_column_id(snap.schema)
+                )
+            )
+            new_schema, max_id = assign_column_mapping(new_schema, start_id=start)
+            config["delta.columnMapping.maxColumnId"] = str(max_id)
+        txn = Transaction(
+            self.spark,
+            self.path,
+            operation="ALTER TABLE",
+            read_snapshot=snap,
+            schema=new_schema,
+            partition_columns=snap.metadata.partition_columns,
+            configuration=config,
+        )
+        return txn.with_updated_metadata().commit()
+
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        snap = self.snapshot()
+        fields = list(snap.schema.fields) + [T.StructField(name, dtype, True)]
+        return self.alter_schema(T.StructType(fields))
+
+    def widen_column(self, name: str, dtype: T.DataType) -> int:
+        snap = self.snapshot()
+        fields = [
+            T.StructField(f.name, dtype if f.name == name else f.dataType, f.nullable, f.metadata)
+            for f in snap.schema.fields
+        ]
+        return self.alter_schema(T.StructType(fields))
+
     # -- maintenance ---------------------------------------------------------
-    def checkpoint(self, version: int | None = None) -> int:
+    def checkpoint(self, version: int | None = None, v2: bool = False) -> int:
         from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
 
-        return write_checkpoint(self.spark, self.path, version=version)
+        return write_checkpoint(self.spark, self.path, version=version, v2=v2)
 
     def maybe_checkpoint(self, version: int) -> None:
         snap = self.snapshot(version=version)

@@ -99,6 +99,15 @@ class Transaction:
         self._txn_actions: list[dict] = []
         self._domain_metadata: list[dict] = []
         self._extra_actions: list[dict] = []
+        self._update_metadata = False
+        if self.is_create and self.schema is not None and self._cm_mode() != "none":
+            from delta_kernel_rs_spark.functions.schema_codec import assign_column_mapping
+
+            self.schema, max_id = assign_column_mapping(self.schema)
+            self.configuration.setdefault("delta.columnMapping.maxColumnId", str(max_id))
+
+    def _cm_mode(self) -> str:
+        return self.configuration.get("delta.columnMapping.mode", "none")
 
     # -- staging --------------------------------------------------------
     def write_data(self, df: DataFrame) -> "Transaction":
@@ -128,13 +137,38 @@ class Transaction:
 
     # -- physical write --------------------------------------------------
     def _stage_files(self) -> list[dict]:
-        """Write the staged DataFrame and return fully-built add actions."""
+        """Write the staged DataFrame and return fully-built add actions.
+
+        Under column mapping the parquet files (and partition directories,
+        partitionValues keys, stats keys) use PHYSICAL names — the reference
+        contract at table_features/column_mapping.rs:28-34.
+        """
         if self._staged_df is None:
             return []
+        from pyspark.sql import functions as F
+
+        from delta_kernel_rs_spark.functions.schema_codec import (
+            PARQUET_FIELD_ID_KEY,
+            physical_name,
+        )
+
+        phys_of = {f.name: physical_name(f) for f in self.schema.fields}
+
+        def _phys_col(f):
+            fid = (f.metadata or {}).get(PARQUET_FIELD_ID_KEY)
+            if fid is not None:
+                # carry the parquet field id into the written file metadata
+                return F.col(f.name).alias(
+                    phys_of[f.name], metadata={PARQUET_FIELD_ID_KEY: int(fid)}
+                )
+            return F.col(f.name).alias(phys_of[f.name])
+
+        out_df = self._staged_df.select(*[_phys_col(f) for f in self.schema.fields])
+        phys_parts = [phys_of[p] for p in self.partition_columns]
         staging = f"{self.table_path}/.staging-{uuid.uuid4().hex}"
-        writer = self._staged_df.write.mode("overwrite")
-        if self.partition_columns:
-            writer = writer.partitionBy(*self.partition_columns)
+        writer = out_df.write.mode("overwrite")
+        if phys_parts:
+            writer = writer.partitionBy(*phys_parts)
         writer.parquet(staging)
 
         staged = [
@@ -164,9 +198,12 @@ class Transaction:
         if not moves:
             return []
 
-        # Footer-only stats (no second pass over the data just written).
+        # Footer-only stats (no second pass over the data just written);
+        # keys are the physical parquet column names by construction.
         data_fields = [
-            f for f in self.schema.fields if f.name not in set(self.partition_columns)
+            T.StructField(phys_of[f.name], f.dataType, True)
+            for f in self.schema.fields
+            if f.name not in set(self.partition_columns)
         ]
         read_schema = T.StructType(data_fields)
         stats_by_path = collect_file_stats_footer(
@@ -176,7 +213,7 @@ class Transaction:
         adds = []
         for final_abs, rel, dirpart, size, mtime in moves:
             raw_pv = parse_hive_partition_path(dirpart) if dirpart else {}
-            pv = {k: raw_pv[k] for k in self.partition_columns if k in raw_pv}
+            pv = {p: raw_pv[p] for p in phys_parts if p in raw_pv}
             raw_stats = stats_by_path.get(final_abs)
             adds.append(
                 {
@@ -193,20 +230,33 @@ class Transaction:
         return adds
 
     # -- commit -----------------------------------------------------------
+    def with_updated_metadata(self) -> "Transaction":
+        """Emit a metaData action with this transaction's (evolved) schema
+        and configuration — the ALTER TABLE commit shape."""
+        self._update_metadata = True
+        return self
+
     def _metadata_action(self) -> dict:
+        # The table id is assigned once at CREATE and must stay stable
+        # across metadata updates.
+        prior = self.read_snapshot.metadata if self.read_snapshot is not None else None
         return {
             "metaData": {
-                "id": str(uuid.uuid4()),
-                "name": self.name,
+                "id": prior.id if prior is not None else str(uuid.uuid4()),
+                "name": self.name if self.name is not None else (prior.name if prior else None),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": to_schema_string(self.schema),
                 "partitionColumns": self.partition_columns,
                 "configuration": self.configuration,
-                "createdTime": _now_ms(),
+                "createdTime": prior.created_time if prior is not None else _now_ms(),
             }
         }
 
     def _protocol_action(self) -> dict:
+        if self._cm_mode() != "none":
+            # Column mapping needs reader 2 / writer 5 (legacy table
+            # properties protocol; reference column_mapping.rs gating).
+            return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
         return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
     def _commit_info(self) -> dict:
@@ -226,6 +276,8 @@ class Transaction:
         actions: list[dict] = [self._commit_info()]
         if self.is_create:
             actions.append(self._protocol_action())
+            actions.append(self._metadata_action())
+        elif self._update_metadata:
             actions.append(self._metadata_action())
         actions.extend(self._txn_actions)
         actions.extend(self._domain_metadata)

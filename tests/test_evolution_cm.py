@@ -1,0 +1,197 @@
+"""Column-mapping mutations, schema evolution, V2 checkpoint round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.functions.schema_codec import (
+    COLUMN_MAPPING_PHYSICAL_NAME_KEY,
+)
+from delta_kernel_rs_spark.functions.schema_diff import (
+    SchemaEvolutionError,
+    validate_schema_evolution,
+)
+from delta_kernel_rs_spark.sources.delete import delete_where, delete_with_dvs
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+CM_PROPS = {"delta.columnMapping.mode": "name"}
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+
+
+# -- column mapping -----------------------------------------------------------
+
+
+def test_cm_create_append_read(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 40), properties=CM_PROPS)
+    t.append(_ints(spark, 40, 60))
+    snap = t.snapshot()
+    # schema carries physical names; parquet columns are col-<uuid>
+    assert all(
+        COLUMN_MAPPING_PHYSICAL_NAME_KEY in (f.metadata or {})
+        for f in snap.schema.fields
+    )
+    some_file = snap.scan().files()[0].path
+    phys_cols = spark.read.parquet(some_file).columns
+    assert all(c.startswith("col-") for c in phys_cols)
+    # but reads present logical names
+    df = t.to_df()
+    assert sorted(df.columns) == ["k", "part", "v"]
+    assert df.count() == 60
+
+
+def test_cm_partitioned_mutations(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=_ints(spark, 0, 60),
+        partition_by=["part"],
+        properties=CM_PROPS,
+    )
+    # partition dirs + partitionValues keys use physical names
+    add_pv = t.snapshot().scan().files()[0].partition_values
+    assert all(k.startswith("col-") for k in add_pv)
+
+    delete_where(t, "k >= 40")  # CoW rewrite on a column-mapped table
+    assert {r.k for r in t.to_df().collect()} == set(range(40))
+
+    delete_with_dvs(t, "k % 10 = 0")  # DV delete on a column-mapped table
+    assert {r.k for r in t.to_df().collect()} == {
+        k for k in range(40) if k % 10 != 0
+    }
+    # partition pruning against physical pv keys still works
+    pruned = t.to_df(predicate="part = '1'")
+    assert {r.k for r in pruned.collect()} == {
+        k for k in range(40) if k % 3 == 1 and k % 10 != 0
+    }
+
+
+def test_cm_stats_skipping_uses_physical_keys(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50), properties=CM_PROPS)
+    files = t.snapshot().scan().files()
+    # stats JSON in the log is keyed by physical names
+    adds = []
+    for p in sorted((tmp_path / "tbl" / "_delta_log").glob("*.json")):
+        for line in p.read_text().splitlines():
+            if '"add"' in line:
+                adds.append(json.loads(line)["add"])
+    stats = json.loads(adds[0]["stats"])
+    assert all(k.startswith("col-") for k in stats["minValues"])
+    # and the skipping rewrite prunes with them (k < 0 matches nothing)
+    from delta_kernel_rs_spark.plans.expressions import Col, Compare, Literal
+
+    scan = t.snapshot().scan(predicate=Compare("lt", Col("k"), Literal(-1)))
+    assert scan.files() == []
+    assert len(files) > 0
+
+
+# -- schema evolution ---------------------------------------------------------
+
+
+def test_add_column_resolves_null_for_old_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20))
+    t.add_column("extra", T.StringType())
+    t.append(
+        _ints(spark, 20, 30).withColumn("extra", F.lit("new"))
+    )
+    rows = {r.k: r.extra for r in t.to_df().collect()}
+    assert len(rows) == 30
+    assert all(v is None for k, v in rows.items() if k < 20)
+    assert all(v == "new" for k, v in rows.items() if k >= 20)
+
+
+def test_widen_column_reads_old_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    t = DeltaTable.create(spark, path, df=df)
+    t.widen_column("k", T.LongType())
+    snap = t.snapshot()
+    assert snap.schema["k"].dataType == T.LongType()
+    got = t.to_df()
+    assert got.schema["k"].dataType == T.LongType()
+    assert {r.k for r in got.collect()} == set(range(10))
+    t.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    assert t.to_df().count() == 15
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda s: T.StructType([f for f in s.fields if f.name != "v"]),  # drop
+        lambda s: T.StructType(
+            [
+                T.StructField("k", T.IntegerType(), True),  # narrow long->int
+                *[f for f in s.fields if f.name != "k"],
+            ]
+        ),
+        lambda s: T.StructType(
+            [T.StructField(f.name, f.dataType, False) for f in s.fields]  # tighten
+        ),
+        lambda s: T.StructType(
+            list(s.fields) + [T.StructField("req", T.LongType(), False)]  # non-null add
+        ),
+    ],
+)
+def test_illegal_evolutions_rejected(spark, tmp_path, mutate):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))
+    snap = t.snapshot()
+    with pytest.raises(SchemaEvolutionError):
+        t.alter_schema(mutate(snap.schema))
+    assert snap.version == t.snapshot().version  # nothing was committed
+
+
+def test_validate_allows_cm_drop():
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True, {COLUMN_MAPPING_PHYSICAL_NAME_KEY: "col-1"}),
+            T.StructField("b", T.LongType(), True, {COLUMN_MAPPING_PHYSICAL_NAME_KEY: "col-2"}),
+        ]
+    )
+    new = T.StructType([old.fields[0]])
+    validate_schema_evolution(old, new, [], column_mapping_mode="name")
+    with pytest.raises(SchemaEvolutionError):
+        validate_schema_evolution(old, new, [], column_mapping_mode="none")
+
+
+# -- V2 checkpoints -----------------------------------------------------------
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 30))
+    t.append(_ints(spark, 30, 50))
+    t.delete("k < 10")
+    v = t.checkpoint(v2=True)
+    log = tmp_path / "tbl" / "_delta_log"
+    top = list(log.glob(f"{v:020d}.checkpoint.*.parquet"))
+    assert len(top) == 1 and ".checkpoint.parquet" not in top[0].name
+    assert list(log.glob("_sidecars/*.parquet"))
+    # top-level file has no file actions; sidecar carries them
+    top_df = spark.read.parquet(str(top[0]))
+    assert top_df.filter(F.col("add.path").isNotNull()).count() == 0
+    assert top_df.filter(F.col("sidecar.path").isNotNull()).count() == 1
+    assert top_df.filter(F.col("checkpointMetadata.version").isNotNull()).count() == 1
+
+    # reads resolve through the sidecar; post-checkpoint commits still land
+    t.append(_ints(spark, 50, 60))
+    assert {r.k for r in t.to_df().collect()} == set(range(10, 60))
+
+    # a later checkpoint replays THROUGH the V2 checkpoint (sidecar resolution
+    # in _full_replay) without losing file actions
+    t.checkpoint()
+    assert {r.k for r in t.to_df().collect()} == set(range(10, 60))
