@@ -50,8 +50,10 @@ from delta_kernel_rs_spark.plans.expressions import (
     IsNull,
     Literal,
     NotDistinct,
+    OpaquePredicate,
     Or,
     Predicate,
+    UnknownPredicate,
     normalize,
 )
 
@@ -150,6 +152,17 @@ class _SkippingRewriter:
         """None = unknown (not rewritable) — caller treats per AND/OR rules."""
         if isinstance(p, BoolLiteral):
             return F.lit(p.value)
+        if isinstance(p, UnknownPredicate):
+            # unknown ⇒ NULL for skipping ONLY (reference mod.rs:503-511):
+            # never prunes alone, but lets a provably-false sibling conjunct
+            # still prune the file.
+            return F.lit(None).cast("boolean")
+        if isinstance(p, OpaquePredicate):
+            if p.skipping_fn is not None and not p.negated:
+                out = p.skipping_fn(self, p.children)
+                if out is not None:
+                    return out
+            return F.lit(None).cast("boolean")
         if isinstance(p, And):
             parts = [self.rewrite(c) for c in p.children]
             known = [x for x in parts if x is not None]

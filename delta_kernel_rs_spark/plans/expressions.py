@@ -253,6 +253,49 @@ class BoolLiteral(Predicate):
         return F.lit(self.value)
 
 
+@dataclass(frozen=True, eq=False)
+class OpaquePredicate(Predicate):
+    """Engine-defined predicate (the UDF surface) — reference
+    OpaquePredicateOp, expressions/mod.rs:194-275.
+
+    ``fn`` builds the evaluation Column from the child Columns;
+    ``skipping_fn`` (optional) is the ``as_data_skipping_predicate``
+    callback: given the rewriter, return a skipping Column or None. Without
+    it the op poisons skipping as NULL — the file is never pruned, and the
+    documented safety rule holds because our scans always re-apply the
+    predicate as the residual row filter.
+    """
+
+    name: str
+    children: tuple[Expr, ...]
+    fn: Any  # Callable[[list[Column]], Column]
+    skipping_fn: Any = None  # Callable[[rewriter, children], Column | None]
+    negated: bool = False
+
+    def to_spark(self) -> Column:
+        out = self.fn([c.to_spark() for c in self.children])
+        return ~out if self.negated else out
+
+    def inverted(self) -> "OpaquePredicate":
+        return OpaquePredicate(
+            self.name, self.children, self.fn, self.skipping_fn, not self.negated
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class UnknownPredicate(Predicate):
+    """Unevaluable op (reference Unknown, mod.rs:503-511): NEVER evaluated;
+    treated as NULL for data skipping ONLY — the actual filter must not
+    assume NULL (our scans keep the user's own residual filter)."""
+
+    name: str
+
+    def to_spark(self) -> Column:  # pragma: no cover - contract
+        raise NotImplementedError(
+            f"unknown predicate {self.name!r} cannot be evaluated"
+        )
+
+
 def invert(p: Predicate) -> Predicate:
     """Push NOT down, inverting children (reference mod.rs:533-538)."""
     if isinstance(p, Compare):
@@ -273,6 +316,10 @@ def invert(p: Predicate) -> Predicate:
         return p.child
     if isinstance(p, BoolLiteral):
         return BoolLiteral(None if p.value is None else not p.value)
+    if isinstance(p, OpaquePredicate):
+        return p.inverted()
+    if isinstance(p, UnknownPredicate):
+        return p  # NOT(unknown) is just as unknown
     return Not(p)
 
 

@@ -288,11 +288,21 @@ def q09_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    # Two-stage top-k: segment cardinality is tiny (5), so a single global
+    # window would sort the whole fact table in 5 tasks at scale. Stage 1
+    # keeps top-k per (segment, input partition) — high-cardinality key,
+    # fully parallel; any global top-k row is necessarily in its
+    # partition's top-k. Stage 2 ranks the ≤ k·partitions survivors.
+    pre_w = Window.partitionBy("c_mktsegment", F.spark_partition_id()).orderBy(*order_cols)
+    pre = (
+        joined.withColumn("prn", F.row_number().over(pre_w))
+        .filter(F.col("prn") <= 3)
+        .drop("prn")
     )
+    w = Window.partitionBy("c_mktsegment").orderBy(*order_cols)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
+        pre.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
     )

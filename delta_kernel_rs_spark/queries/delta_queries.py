@@ -122,6 +122,14 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
         t.append(_chunk(src, 4, 2))
         t.checkpoint(v2=True)
         t.append(_chunk(src, 4, 3))
+    elif kind == "rt":  # row tracking: baseRowId chain across two commits
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 4, 0),
+            properties={"delta.enableRowTracking": "true"},
+        )
+        t.append(_chunk(src, 4, 1))
     else:  # pragma: no cover - registry bug
         raise ValueError(f"unknown fixture kind {kind!r}")
 
@@ -324,6 +332,100 @@ def d07_delta_cdf_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fixture(spark, sf_dir, "cdf")
     return t.changes(0).select(*COLS, "_change_type", "_commit_version")
 
+
+# ---------------------------------------------------------------------------
+# d14 opaque (UDF-surface) predicate: NULL-poisoned skipping + residual eval
+
+
+def d14_delta_opaque_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with AND(rewritable, opaque): the opaque conjunct contributes no
+    pruning (NULL poison, file kept) but still filters rows; the rewritable
+    conjunct keeps data skipping active (reference expressions/mod.rs:
+    194-275 — engines must not treat unknown as NULL in the actual filter)."""
+    from delta_kernel_rs_spark.plans.expressions import (
+        And,
+        Col,
+        Compare,
+        Literal,
+        OpaquePredicate,
+    )
+
+    t = _fixture(spark, sf_dir, "plain")
+    pred = And(
+        (
+            Compare("le", Col("l_quantity"), Literal(25.0)),
+            OpaquePredicate(
+                "double_lt_30",
+                (Col("l_quantity"),),
+                fn=lambda cols: (cols[0] * 2) < 30,
+            ),
+        )
+    )
+    return t.to_df(
+        predicate=pred,
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+
+
+register(
+    "d14_delta_opaque_predicate",
+    d14_delta_opaque_predicate,
+    """
+    SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_quantity <= 25 AND l_quantity * 2 < 30
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d13 row tracking: dense unique row ids per commit (baseRowId + row_index)
+
+
+def d13_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-id invariants per commit: ids are dense [0, N) chained across
+    commits — v0 files own [0, nA), v1 files own [nA, nA+nB)."""
+    t = _fixture(spark, sf_dir, "rt")
+    df = t.to_df(with_row_ids=True)
+    return df.groupBy("row_commit_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_ids"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+    )
+
+
+register(
+    "d13_delta_row_tracking",
+    d13_delta_row_tracking,
+    """
+    WITH a AS (SELECT count(*) n FROM lineitem WHERE l_orderkey % 4 = 0),
+         b AS (SELECT count(*) n FROM lineitem WHERE l_orderkey % 4 = 1)
+    SELECT CAST(0 AS BIGINT) AS row_commit_version, a.n AS n_rows, a.n AS n_ids,
+           CAST(0 AS BIGINT) AS min_id, a.n - 1 AS max_id
+    FROM a
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), b.n, b.n, a.n, a.n + b.n - 1 FROM a, b
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d12 CDF net changes: collapse the range to surviving latest rows
+
+
+def d12_delta_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_kernel_rs_spark.sources.cdf import net_changes
+
+    t = _fixture(spark, sf_dir, "cdf")
+    return net_changes(t.changes(0), key_columns=COLS)
+
+
+register(
+    "d12_delta_cdf_net_changes",
+    d12_delta_cdf_net_changes,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 8 IN (3, 7) AND NOT (l_orderkey % 3 = 0)
+    """,
+)
 
 register(
     "d07_delta_cdf_rowlevel",

@@ -293,10 +293,18 @@ def table_changes(
 def net_changes(changes: DataFrame, key_columns: list[str]) -> DataFrame:
     """Collapse a CDF range to the latest post-image per key (reference
     table_changes/net_changes.rs): the newest change wins; a final 'delete'
-    removes the key."""
+    removes the key. Output: key columns + the latest non-key values."""
+    value_cols = [
+        c
+        for c in changes.columns
+        if not c.startswith("_") and c not in set(key_columns)
+    ]
     w = F.max_by(
-        F.struct(CHANGE_TYPE_COL, *[c for c in changes.columns if not c.startswith("_")]),
-        F.struct(COMMIT_VERSION_COL, F.when(F.col(CHANGE_TYPE_COL) == "update_postimage", 1).otherwise(0)),
+        F.struct(CHANGE_TYPE_COL, *value_cols),
+        F.struct(
+            COMMIT_VERSION_COL,
+            F.when(F.col(CHANGE_TYPE_COL) == "update_postimage", 1).otherwise(0),
+        ),
     )
     latest = (
         changes.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
@@ -305,6 +313,5 @@ def net_changes(changes: DataFrame, key_columns: list[str]) -> DataFrame:
     )
     return (
         latest.filter(F.col(f"w.{CHANGE_TYPE_COL}") != "delete")
-        .select(*key_columns, "w.*")
-        .drop(CHANGE_TYPE_COL)
+        .select(*key_columns, *[F.col(f"w.{c}").alias(c) for c in value_cols])
     )

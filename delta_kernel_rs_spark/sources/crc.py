@@ -1,0 +1,153 @@
+"""CRC (version checksum) files: ``{version:020d}.crc`` table-state summaries.
+
+Mirrors the reference crc module (kernel/src/crc/mod.rs — wire format
+``CrcRaw`` at :142-168: tableSizeBytes, numFiles, numMetadata=1,
+numProtocol=1, metadata, protocol, optional setTransactions /
+domainMetadata; reader kernel/src/crc/reader.rs; incremental update
+kernel/src/snapshot/incremental.rs). Two jobs:
+
+* **write**: full compute from a snapshot (one distributed agg over the
+  live file list), or the O(1) incremental path — prior ``{v-1}.crc`` plus
+  the single commit's actions — which is what keeps commit-time CRC
+  maintenance flat at any table size.
+* **read fast path**: snapshot construction reads ``{v}.crc`` to resolve
+  protocol & metadata without replaying the commit tail.
+
+CRC files are advisory: corrupt/missing files fall back to log replay, and
+writes never overwrite (put-if-absent).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR
+from delta_kernel_rs_spark.sources.storage import CommitConflict
+
+
+def crc_path(table_path: str, version: int) -> str:
+    return f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.crc"
+
+
+def read_crc(storage, table_path: str, version: int) -> dict | None:
+    """Parse ``{version}.crc`` or None (missing/corrupt — advisory only)."""
+    path = crc_path(table_path, version)
+    if not storage.exists(path):
+        return None
+    try:
+        raw = json.loads(storage.read_text(path))
+    except (ValueError, OSError):
+        return None
+    if raw.get("numMetadata") != 1 or raw.get("numProtocol") != 1:
+        return None  # spec: both MUST be 1 (reference mod.rs:174-185)
+    if "metadata" not in raw or "protocol" not in raw:
+        return None
+    return raw
+
+
+def write_crc_full(spark, table_path: str, snapshot) -> bool:
+    """Full CRC compute from a snapshot; returns False if one already
+    existed (never overwrite — reference writer contract)."""
+    files_df = snapshot.scan().scan_files_df()
+    agg = files_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("bytes")
+    ).collect()[0]
+    doc = _crc_doc(
+        n_files=agg.n or 0,
+        size_bytes=agg.bytes or 0,
+        metadata=_metadata_dict(snapshot),
+        protocol=_protocol_dict(snapshot),
+    )
+    return _put(snapshot.storage, table_path, snapshot.version, doc)
+
+
+def update_crc_incremental(spark, table_path: str, storage, version: int) -> bool:
+    """O(1) CRC maintenance: prior ``{v-1}.crc`` + this commit's actions.
+
+    Returns False (no write) when the prior CRC is missing — callers may
+    fall back to :func:`write_crc_full` or simply skip (advisory file).
+    """
+    prior = read_crc(storage, table_path, version - 1)
+    if prior is None:
+        return False
+    commit = f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.json"
+    try:
+        text = storage.read_text(commit)
+    except OSError:
+        return False
+    n_files = prior["numFiles"]
+    size_bytes = prior["tableSizeBytes"]
+    metadata = prior["metadata"]
+    protocol = prior["protocol"]
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            action = json.loads(line)
+        except ValueError:
+            continue
+        if "add" in action:
+            n_files += 1
+            size_bytes += action["add"].get("size") or 0
+        elif "remove" in action:
+            if action["remove"].get("dataChange", True):
+                n_files -= 1
+                size_bytes -= action["remove"].get("size") or 0
+        elif "metaData" in action:
+            metadata = action["metaData"]
+        elif "protocol" in action:
+            protocol = action["protocol"]
+    doc = _crc_doc(n_files, size_bytes, metadata, protocol)
+    return _put(storage, table_path, version, doc)
+
+
+def _crc_doc(n_files: int, size_bytes: int, metadata: dict, protocol: dict) -> dict:
+    return {
+        "tableSizeBytes": size_bytes,
+        "numFiles": n_files,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": metadata,
+        "protocol": protocol,
+    }
+
+
+def _metadata_dict(snapshot) -> dict:
+    m = snapshot.metadata
+    return {
+        "id": m.id,
+        "name": m.name,
+        "description": m.description,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": m.schema_string,
+        "partitionColumns": m.partition_columns,
+        "configuration": m.configuration,
+        "createdTime": m.created_time,
+    }
+
+
+def _protocol_dict(snapshot) -> dict:
+    p = snapshot.protocol
+    out: dict = {
+        "minReaderVersion": p.min_reader_version,
+        "minWriterVersion": p.min_writer_version,
+    }
+    if p.min_reader_version >= 3:
+        out["readerFeatures"] = p.reader_features
+    if p.min_writer_version >= 7:
+        out["writerFeatures"] = p.writer_features
+    return out
+
+
+def _put(storage, table_path: str, version: int, doc: dict) -> bool:
+    try:
+        storage.put_if_absent(
+            crc_path(table_path, version),
+            json.dumps({k: v for k, v in doc.items() if v is not None}).encode(),
+        )
+        return True
+    except CommitConflict:
+        return False

@@ -292,6 +292,9 @@ def delete_with_dvs(table, predicate) -> int:
                     "modificationTime": row.modification_time,
                     "dataChange": True,
                     "stats": row.stats,
+                    # Preserve row-tracking lineage across the DV swap.
+                    "baseRowId": info.base_row_id,
+                    "defaultRowCommitVersion": info.default_row_commit_version,
                     "deletionVector": {
                         "storageType": "u",
                         "pathOrInlineDv": uuid_enc,

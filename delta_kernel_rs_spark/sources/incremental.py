@@ -115,6 +115,7 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
             "deletion_vector"
         ),
         F.col("add.baseRowId").alias("base_row_id"),
+        F.col("add.defaultRowCommitVersion").alias("default_row_commit_version"),
         "commit_version",
     )
 
@@ -148,5 +149,6 @@ def refresh_scan_files(
                 dv=r.deletion_vector.asDict() if r.deletion_vector else None,
                 base_row_id=r.base_row_id,
                 commit_version=r.commit_version,
+                default_row_commit_version=r.default_row_commit_version,
             )
     return list(merged.values())

@@ -90,6 +90,7 @@ class ScanFile:
     dv: dict | None
     base_row_id: int | None
     commit_version: int
+    default_row_commit_version: int | None = None
 
 
 def file_constants_df(spark, files: list["ScanFile"]) -> DataFrame:
@@ -104,11 +105,18 @@ def file_constants_df(spark, files: list["ScanFile"]) -> DataFrame:
 class Scan:
     """A configured read of a snapshot (reference kernel/src/scan/mod.rs)."""
 
-    def __init__(self, snapshot, predicate=None, columns: list[str] | None = None):
+    def __init__(
+        self,
+        snapshot,
+        predicate=None,
+        columns: list[str] | None = None,
+        with_row_ids: bool = False,
+    ):
         self.snapshot = snapshot
         self.spark = snapshot.spark
         self.predicate = predicate
         self.columns = columns
+        self.with_row_ids = with_row_ids
         self._files_cache: list[ScanFile] | None = None
 
     # ------------------------------------------------------------------
@@ -222,6 +230,7 @@ class Scan:
             F.col("add.partitionValues").alias("partition_values"),
             F.col("add.deletionVector").alias("deletion_vector"),
             F.col("add.baseRowId").alias("base_row_id"),
+            F.col("add.defaultRowCommitVersion").alias("default_row_commit_version"),
             F.col("version").alias("commit_version"),
         )
         skip_pred = self._file_skipping_predicate()
@@ -252,6 +261,7 @@ class Scan:
                     dv=r.deletion_vector.asDict() if r.deletion_vector else None,
                     base_row_id=r.base_row_id,
                     commit_version=r.commit_version,
+                    default_row_commit_version=r.default_row_commit_version,
                 )
                 for r in rows
             ]
@@ -290,11 +300,11 @@ class Scan:
         df = reader.parquet(*[f.path for f in files])
 
         needs_dv = any(f.dv for f in files)
-        if pcols or needs_dv:
+        if pcols or needs_dv or self.with_row_ids:
             df = df.withColumn(
                 "__file_path", normalize_file_path(F.col("_metadata.file_path"))
             )
-        if needs_dv:
+        if needs_dv or self.with_row_ids:
             df = df.withColumn("__row_index", F.col("_metadata.row_index"))
             from delta_kernel_rs_spark.functions.dv import deleted_rows_df
 
@@ -329,6 +339,22 @@ class Scan:
                 out_cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
             else:
                 out_cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
+        if self.with_row_ids:
+            # Stable row id = baseRowId + row_index; commit version from the
+            # add's defaultRowCommitVersion (reference row_tracking.rs +
+            # transform_spec.rs:48-56 — materialized-column override would
+            # coalesce in front of this once writes materialize it).
+            row_consts = self.spark.createDataFrame(
+                [(f.path, f.base_row_id, f.default_row_commit_version) for f in files],
+                "__rid_path STRING, __base_row_id LONG, __drcv LONG",
+            )
+            df = df.join(
+                F.broadcast(row_consts), df["__file_path"] == F.col("__rid_path"), "left"
+            )
+            out_cols.append(
+                (F.col("__base_row_id") + F.col("__row_index")).alias("row_id")
+            )
+            out_cols.append(F.col("__drcv").alias("row_commit_version"))
         df = df.select(*out_cols)
 
         if self.predicate is not None:

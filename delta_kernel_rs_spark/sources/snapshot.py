@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string
@@ -160,7 +161,17 @@ class Snapshot:
     def _resolve_protocol_metadata(self) -> None:
         metadata_dict: dict | None = None
         protocol_dict: dict | None = None
+        # CRC fast path: {version}.crc carries P&M, skipping the commit-tail
+        # replay (reference kernel/src/crc + snapshot/incremental.rs).
+        from delta_kernel_rs_spark.sources.crc import read_crc
+
+        crc = read_crc(self.storage, self.table_path, self.version)
+        if crc is not None:
+            metadata_dict = crc["metadata"]
+            protocol_dict = crc["protocol"]
         for commit in reversed(self.log_segment.commit_files):
+            if metadata_dict is not None and protocol_dict is not None:
+                break
             md, pr = _scan_commit_for_pm(self.storage.read_text(commit.path))
             if metadata_dict is None:
                 metadata_dict = md
@@ -194,13 +205,46 @@ class Snapshot:
         )
 
     # -- scan ----------------------------------------------------------
-    def scan(self, predicate=None, columns: list[str] | None = None):
+    def scan(self, predicate=None, columns: list[str] | None = None, with_row_ids: bool = False):
         from delta_kernel_rs_spark.sources.scan import Scan
 
-        return Scan(self, predicate=predicate, columns=columns)
+        return Scan(self, predicate=predicate, columns=columns, with_row_ids=with_row_ids)
 
-    def to_df(self, predicate=None, columns: list[str] | None = None):
-        return self.scan(predicate=predicate, columns=columns).to_df()
+    def to_df(self, predicate=None, columns: list[str] | None = None, with_row_ids: bool = False):
+        return self.scan(
+            predicate=predicate, columns=columns, with_row_ids=with_row_ids
+        ).to_df()
+
+    def get_domain_metadata(self, domain: str) -> str | None:
+        """Latest live configuration for a metadata domain (reference
+        Snapshot::get_domain_metadata; row tracking reads
+        ``delta.rowTracking`` this way — kernel/src/row_tracking.rs)."""
+        for commit in reversed(self.log_segment.commit_files):
+            best = None
+            for line in self.storage.read_text(commit.path).splitlines():
+                if '"domainMetadata"' not in line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except ValueError:
+                    continue
+                dm = action.get("domainMetadata")
+                if dm and dm.get("domain") == domain:
+                    best = dm  # last one in the commit wins
+            if best is not None:
+                return None if best.get("removed") else best.get("configuration")
+        if self.log_segment.checkpoint_parts:
+            ckpt = self.spark.read.parquet(*self.log_segment.checkpoint_parts)
+            if "domainMetadata" in ckpt.columns:
+                rows = (
+                    ckpt.filter(F.col("domainMetadata.domain") == domain)
+                    .select("domainMetadata")
+                    .collect()
+                )
+                for r in rows:
+                    dm = r.domainMetadata.asDict()
+                    return None if dm.get("removed") else dm.get("configuration")
+        return None
 
     def incremental_actions(self, base_version: int):
         """File-action diff over (base_version, this version]; None when the

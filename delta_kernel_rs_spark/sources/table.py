@@ -82,8 +82,11 @@ class DeltaTable:
         version: int | None = None,
         predicate=None,
         columns: list[str] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
-        return self.snapshot(version=version).to_df(predicate=predicate, columns=columns)
+        return self.snapshot(version=version).to_df(
+            predicate=predicate, columns=columns, with_row_ids=with_row_ids
+        )
 
     def history(self) -> DataFrame:
         """commitInfo per version, newest first."""
@@ -132,6 +135,7 @@ class DeltaTable:
             .write_data(df)
             .commit()
         )
+        self.maybe_write_crc(version)
         if auto_checkpoint:
             self.maybe_checkpoint(version)
         return version
@@ -257,6 +261,24 @@ class DeltaTable:
         last = snap.log_segment.checkpoint_version or 0
         if version - last >= interval:
             self.checkpoint(version=version)
+
+    def write_crc(self, version: int | None = None) -> bool:
+        """Write the ``{version}.crc`` table-state summary (full compute)."""
+        from delta_kernel_rs_spark.sources.crc import write_crc_full
+
+        snap = self.snapshot(version=version)
+        return write_crc_full(self.spark, self.path, snap)
+
+    def maybe_write_crc(self, version: int) -> None:
+        """Best-effort O(1) CRC maintenance after a commit: extend the
+        previous version's CRC with this commit's actions (reference
+        snapshot/incremental.rs). Advisory — failures are swallowed."""
+        from delta_kernel_rs_spark.sources.crc import update_crc_incremental
+
+        try:
+            update_crc_incremental(self.spark, self.path, self.storage, version)
+        except Exception:  # pragma: no cover - advisory only
+            pass
 
     def compact_log(self, start_version: int, end_version: int) -> str:
         from delta_kernel_rs_spark.sources.checkpoint import write_log_compaction

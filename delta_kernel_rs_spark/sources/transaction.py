@@ -253,11 +253,21 @@ class Transaction:
         }
 
     def _protocol_action(self) -> dict:
+        min_r, min_w = 1, 2
+        writer_features: set[str] = set()
         if self._cm_mode() != "none":
             # Column mapping needs reader 2 / writer 5 (legacy table
             # properties protocol; reference column_mapping.rs gating).
-            return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
-        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            min_r, min_w = 2, 5
+        if self._row_tracking_enabled():
+            min_w = 7  # table-features protocol: list writer features
+            writer_features |= {"rowTracking", "domainMetadata"}
+            if self._cm_mode() != "none":
+                writer_features.add("columnMapping")
+        proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
+        if min_w >= 7:
+            proto["writerFeatures"] = sorted(writer_features)
+        return {"protocol": proto}
 
     def _commit_info(self) -> dict:
         return {
@@ -270,24 +280,65 @@ class Transaction:
             }
         }
 
+    ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+    def _row_tracking_enabled(self) -> bool:
+        return (
+            self.configuration.get("delta.enableRowTracking", "false").lower() == "true"
+        )
+
+    def _assign_row_ids(self, adds: list[dict], hwm_snapshot, version: int) -> dict:
+        """Assign baseRowId/defaultRowCommitVersion to staged adds and
+        return the updated high-water-mark domain metadata (reference
+        kernel/src/row_tracking.rs:17-50; first file of a fresh table gets
+        baseRowId = 0)."""
+        hwm = -1
+        if hwm_snapshot is not None:
+            conf = hwm_snapshot.get_domain_metadata(self.ROW_TRACKING_DOMAIN)
+            if conf:
+                try:
+                    hwm = int(json.loads(conf).get("rowIdHighWaterMark", -1))
+                except (ValueError, TypeError):
+                    hwm = -1
+        next_id = hwm + 1
+        for a in adds:
+            stats = a["add"].get("stats")
+            num = json.loads(stats).get("numRecords", 0) if stats else 0
+            a["add"]["baseRowId"] = next_id
+            a["add"]["defaultRowCommitVersion"] = version
+            next_id += num
+        return {
+            "domainMetadata": {
+                "domain": self.ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": next_id - 1}),
+                "removed": False,
+            }
+        }
+
     def commit(self) -> int:
         """Write data files, then atomically commit; returns the version."""
         adds = self._stage_files()
-        actions: list[dict] = [self._commit_info()]
+        base_actions: list[dict] = [self._commit_info()]
         if self.is_create:
-            actions.append(self._protocol_action())
-            actions.append(self._metadata_action())
+            base_actions.append(self._protocol_action())
+            base_actions.append(self._metadata_action())
         elif self._update_metadata:
-            actions.append(self._metadata_action())
-        actions.extend(self._txn_actions)
-        actions.extend(self._domain_metadata)
-        actions.extend(self._extra_actions)
-        actions.extend(adds)
-        payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
+            base_actions.append(self._metadata_action())
+        base_actions.extend(self._txn_actions)
+        base_actions.extend(self._domain_metadata)
+        base_actions.extend(self._extra_actions)
 
         version = 0 if self.read_snapshot is None else self.read_snapshot.version + 1
+        hwm_snapshot = self.read_snapshot
         attempts = 0
         while True:
+            actions = list(base_actions)
+            if adds and self._row_tracking_enabled():
+                # Row ids depend on the final commit version and the latest
+                # high-water mark — recompute per attempt.
+                actions.append(self._assign_row_ids(adds, hwm_snapshot, version))
+            actions.extend(adds)
+            payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
             path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
             try:
                 self.storage.put_if_absent(path, payload)
@@ -313,11 +364,14 @@ class Transaction:
                     raise ConcurrentModificationError(
                         f"gave up after {attempts} commit attempts at {self.table_path}"
                     ) from None
-                version = self._revalidate_and_next_version()
+                latest = self._revalidate()
+                hwm_snapshot = latest
+                version = latest.version + 1
 
-    def _revalidate_and_next_version(self) -> int:
+    def _revalidate(self):
         """Conflict path: blind appends are safe iff table metadata did not
-        change under us (reference retry loop transaction/mod.rs:1675-1724)."""
+        change under us (reference retry loop transaction/mod.rs:1675-1724).
+        Returns the latest snapshot (also the row-id high-water-mark source)."""
         from delta_kernel_rs_spark.sources.snapshot import Snapshot
 
         latest = Snapshot.create(self.spark, self.table_path)
@@ -331,7 +385,7 @@ class Transaction:
                 raise ConcurrentModificationError(
                     "table schema/partitioning changed concurrently"
                 )
-        return latest.version + 1
+        return latest
 
 
 def _now_ms() -> int:

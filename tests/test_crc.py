@@ -1,0 +1,92 @@
+"""CRC version-checksum tests (reference kernel/src/crc/mod.rs,
+snapshot/incremental.rs)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.crc import read_crc, update_crc_incremental
+from delta_kernel_rs_spark.sources.storage import LocalStorage
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_full_crc_write_and_shape(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    assert t.write_crc() is True
+    crc = json.loads((tmp_path / "tbl" / "_delta_log" / f"{0:020d}.crc").read_text())
+    assert crc["numMetadata"] == 1 and crc["numProtocol"] == 1
+    files = t.snapshot().scan().files()
+    assert crc["numFiles"] == len(files)
+    assert crc["tableSizeBytes"] == sum(f.size for f in files)
+    assert crc["metadata"]["schemaString"] == t.snapshot().metadata.schema_string
+    # never overwrite
+    assert t.write_crc() is False
+
+
+def test_incremental_crc_on_append(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    t.write_crc()
+    v = t.append(_ints(spark, 50, 70))  # maybe_write_crc extends v-1's CRC
+    storage = LocalStorage()
+    crc = read_crc(storage, path, v)
+    assert crc is not None
+    files = t.snapshot().scan().files()
+    assert crc["numFiles"] == len(files)
+    assert crc["tableSizeBytes"] == sum(f.size for f in files)
+
+
+def test_incremental_crc_tracks_cow_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    t.write_crc()
+    t.delete("k >= 25")
+    storage = LocalStorage()
+    v = t.snapshot().version
+    assert update_crc_incremental(spark, path, storage, v) in (True, False)
+    crc = read_crc(storage, path, v)
+    if crc is not None:
+        files = t.snapshot().scan().files()
+        assert crc["numFiles"] == len(files)
+
+
+def test_crc_fast_path_resolves_pm(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 30))
+    t.write_crc()
+
+    # With the CRC present, snapshot construction must not read commit
+    # files for P&M resolution.
+    import delta_kernel_rs_spark.sources.snapshot as snap_mod
+
+    calls = []
+    orig = snap_mod._scan_commit_for_pm
+
+    def spy(text):
+        calls.append(1)
+        return orig(text)
+
+    monkeypatch.setattr(snap_mod, "_scan_commit_for_pm", spy)
+    snap = t.snapshot()
+    assert snap.metadata.schema_string
+    assert calls == []  # P&M came from the CRC, not from commit replay
+    assert snap.to_df().count() == 30
+
+
+def test_corrupt_crc_falls_back(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))
+    crc_file = tmp_path / "tbl" / "_delta_log" / f"{0:020d}.crc"
+    crc_file.write_text("{not json")
+    snap = t.snapshot()  # replay fallback, no error
+    assert snap.to_df().count() == 10
+    with pytest.raises(Exception):
+        json.loads(crc_file.read_text())

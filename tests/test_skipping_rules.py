@@ -255,6 +255,45 @@ def test_timestamp_max_widened_by_999us(spark):
     assert _verdict(spark, eq_in_gap, stats) is True
 
 
+# -- opaque / unknown predicates (expressions/mod.rs:194-275, 498-511) ------
+def test_unknown_predicate_poisons_as_null(spark):
+    from delta_kernel_rs_spark.plans.expressions import Not, UnknownPredicate
+
+    stats = _stats_x(min=15, max=15, nulls=0)
+    u = UnknownPredicate("udf_thing")
+    assert _verdict(spark, u, stats) is None  # never prunes alone
+    assert _verdict(spark, Not(u), stats) is None  # NOT(unknown) = unknown
+    # ...but a provably-false sibling conjunct still prunes the file
+    assert _verdict(spark, And((Compare("lt", X, TEN), u)), stats) is False
+    # and in OR it keeps the whole disjunction unknown
+    assert _verdict(spark, Or((Compare("lt", X, TEN), u)), stats) is None
+
+
+def test_opaque_predicate_eval_and_skipping_hook(spark):
+    from delta_kernel_rs_spark.plans.expressions import OpaquePredicate
+
+    # evaluation side: the fn really runs
+    op = OpaquePredicate(
+        "is_even", (Col("x"),), fn=lambda cols: (cols[0] % 2) == 0
+    )
+    df = spark.createDataFrame([(2,), (3,)], "x long")
+    assert [r.x for r in df.filter(op.to_spark()).collect()] == [2]
+    assert [r.x for r in df.filter(op.inverted().to_spark()).collect()] == [3]
+
+    # skipping side: no hook -> NULL poison (keep); hook -> can prune
+    stats = _stats_x(min=5, max=9, nulls=0)
+    assert _verdict(spark, op, stats) is None
+    hooked = OpaquePredicate(
+        "ge_10",
+        (Col("x"),),
+        fn=lambda cols: cols[0] >= 10,
+        skipping_fn=lambda rw, children: rw._max("x") >= 10,
+    )
+    assert _verdict(spark, hooked, stats) is False  # max=9 proves no match
+    # negated opaque never uses the positive hook
+    assert _verdict(spark, Not(hooked), stats) is None
+
+
 # -- stats truncation contracts (default-engine/src/stats.rs:52,86) ---------
 def test_truncate_min_string_is_prefix():
     assert truncate_min_string("a" * 40) == "a" * 32
