@@ -126,6 +126,79 @@ class Coalesce(Expr):
         return F.coalesce(*[e.to_spark() for e in self.exprs])
 
 
+@dataclass(frozen=True, eq=False)
+class StructExpr(Expr):
+    """Struct constructor with optional row-keep predicate (reference
+    Expression::Struct, kernel/src/expressions/mod.rs:473-487): with a keep
+    predicate the struct is NULL for non-matching rows —
+    ``CASE WHEN p THEN struct(...) END``."""
+
+    fields: tuple[tuple[str, Expr], ...]
+    keep: "Predicate | None" = None
+
+    def to_spark(self) -> Column:
+        s = F.struct(*[e.to_spark().alias(name) for name, e in self.fields])
+        if self.keep is None:
+            return s
+        return F.when(self.keep.to_spark(), s)
+
+
+@dataclass(frozen=True)
+class FieldEdit:
+    op: str  # 'set' (insert-or-replace) | 'drop'
+    name: str
+    expr: "Expr | None" = None
+
+
+@dataclass(frozen=True, eq=False)
+class StructPatch(Expr):
+    """Sparse O(edits) struct edit (reference kernel/src/struct_patch.rs):
+    keep/replace/insert/drop fields of an input struct without enumerating
+    untouched fields. Lowers to Spark ``withField``/``dropFields`` chains —
+    the by-name semantics match the reference; Spark appends newly-inserted
+    fields at the end rather than at a requested position (positional
+    placement is cosmetic for by-name consumers)."""
+
+    input_path: str
+    edits: tuple[FieldEdit, ...]
+
+    def to_spark(self) -> Column:
+        col = F.col(self.input_path)
+        for e in self.edits:
+            if e.op == "drop":
+                col = col.dropFields(e.name)
+            else:
+                col = col.withField(e.name, e.expr.to_spark())
+        return col
+
+
+class StructPatchBuilder:
+    """Validating builder (reference StructPatchBuilder): one edit per
+    field name; conflicting set+drop on the same field is rejected."""
+
+    def __init__(self, input_path: str):
+        self._input_path = input_path
+        self._edits: list[FieldEdit] = []
+        self._names: set[str] = set()
+
+    def _add(self, edit: FieldEdit) -> "StructPatchBuilder":
+        if edit.name in self._names:
+            raise ValueError(f"conflicting edits for field {edit.name!r}")
+        self._names.add(edit.name)
+        self._edits.append(edit)
+        return self
+
+    def set(self, name: str, expr: "Expr") -> "StructPatchBuilder":
+        """Insert a new field or replace an existing one."""
+        return self._add(FieldEdit("set", name, expr))
+
+    def drop(self, name: str) -> "StructPatchBuilder":
+        return self._add(FieldEdit("drop", name))
+
+    def build(self) -> StructPatch:
+        return StructPatch(self._input_path, tuple(self._edits))
+
+
 # ---------------------------------------------------------------------------
 # Predicates (3VL)
 # ---------------------------------------------------------------------------

@@ -426,3 +426,51 @@ register(
     FROM orders
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q13 — struct constructor with keep-predicate + StructPatch sparse edits
+# (reference: Expression::Struct kernel/src/expressions/mod.rs:473-487,
+# struct patches kernel/src/struct_patch.rs).
+# ---------------------------------------------------------------------------
+def q13_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_kernel_rs_spark.plans.expressions import (
+        Arith,
+        Col,
+        Compare,
+        Literal,
+        StructExpr,
+        StructPatchBuilder,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # struct(t, v) kept only where value > 10 (NULL otherwise)...
+    kept = StructExpr(
+        fields=(("t", Col("event_type")), ("v", Col("value"))),
+        keep=Compare("gt", Col("value"), Literal(10.0)),
+    )
+    staged = events.select("event_id", kept.to_spark().alias("s"))
+    # ...then a sparse patch: add v2 = v*2, drop t — O(edits), untouched
+    # fields pass through (NULL struct stays NULL).
+    patch = (
+        StructPatchBuilder("s")
+        .set("v2", Arith("multiply", Col("s.v"), Literal(2.0)))
+        .drop("t")
+        .build()
+    )
+    patched = staged.select("event_id", patch.to_spark().alias("p"))
+    return patched.select(
+        "event_id", F.col("p.v").alias("v"), F.col("p.v2").alias("v2")
+    )
+
+
+register(
+    "q13_struct_ops",
+    q13_struct_ops,
+    """
+    SELECT event_id,
+           CASE WHEN value > 10 THEN value END AS v,
+           CASE WHEN value > 10 THEN value * CAST(2.0 AS DOUBLE) END AS v2
+    FROM events
+    """,
+)

@@ -1,0 +1,79 @@
+"""Streaming CDF source tests: readStream over the engine's change feed
+must match the batch CDF arms exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+from delta_kernel_rs_spark.sources.table import DeltaTable
+from delta_kernel_rs_spark.streaming import register_cdf_source
+
+CDF_PROPS = {"delta.enableChangeDataFeed": "true"}
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 30), properties=CDF_PROPS)
+    t.append(_ints(spark, 30, 50))
+    delete_with_dvs(t, "k % 4 = 0")
+    return t
+
+
+def _run_stream(spark, path, start=0, name="cdf_sink"):
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", path)
+        .option("startingVersion", start)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_matches_batch_cdf(spark, cdf_table):
+    got = _run_stream(spark, cdf_table.path, name="s1")
+    batch = cdf_table.changes(0)
+    a = {(r.k, r._change_type, r._commit_version) for r in got.collect()}
+    b = {(r.k, r._change_type, r._commit_version) for r in batch.collect()}
+    assert a == b
+    # commit timestamps line up too (same mtime-ms source)
+    ts_a = {r._commit_version: r._commit_timestamp for r in got.collect()}
+    ts_b = {r._commit_version: r._commit_timestamp for r in batch.collect()}
+    assert ts_a == ts_b
+
+
+def test_stream_starting_version_skips_history(spark, cdf_table):
+    got = _run_stream(spark, cdf_table.path, start=2, name="s2")
+    rows = got.collect()
+    assert {r._commit_version for r in rows} == {2}
+    assert all(r._change_type == "delete" for r in rows)
+    assert {r.k for r in rows} == {k for k in range(50) if k % 4 == 0}
+
+
+def test_stream_requires_cdf_enabled(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    DeltaTable.create(spark, path, df=_ints(spark, 0, 5))
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("s3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="change data feed"):
+        q.awaitTermination(120)
