@@ -73,43 +73,42 @@ def minhash_band_signatures(
 ) -> DataFrame:
     """(id, band, band_sig) rows: the LSH bucketing key per document.
 
-    Plan shape: explode shingles -> 32-bit hash -> P permuted values
-    (posexplode, P x rows but map-side only) -> min per (id, permutation)
-    (partial-aggregated before the shuffle) -> band signature = md5 of the
-    ordered per-band minima.
+    Plan shape: explode shingles -> 32-bit hash -> ONE groupBy(id) with P
+    per-permutation ``min((a_i*x+b_i) mod P)`` aggregate columns — no
+    P-fold row explosion, and Spark's partial aggregation reduces each
+    input partition to one row per doc before the single shuffle. Band
+    signatures are md5 over the in-order minima of each band.
     """
-    a_arr = F.array(*[F.lit(a) for a, _ in PERMUTATIONS])
-    b_arr = F.array(*[F.lit(b) for _, b in PERMUTATIONS])
     x = (md5_hash32(F.col("shingle")) % MINHASH_PRIME).alias("x")
-
     exploded = df.select(F.col(id_col), F.explode(shingle_col).alias("shingle")).select(
         id_col, x
     )
-    perms = exploded.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_PERMUTATIONS - 1)),
-                lambda i: (F.element_at(a_arr, i + 1) * F.col("x") + F.element_at(b_arr, i + 1))
-                % MINHASH_PRIME,
-            )
-        ).alias("p", "hv"),
+    minima = exploded.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"m{p}")
+            for p, (a, b) in enumerate(PERMUTATIONS)
+        ]
     )
-    minima = perms.groupBy(id_col, "p").agg(F.min("hv").alias("mv"))
-    return (
-        minima.withColumn("band", (F.col("p") / BAND_ROWS).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("p", "mv"))),
-                        lambda s: s["mv"].cast("string"),
-                    ),
-                )
-            ).alias("band_sig")
-        )
+    n_bands = N_PERMUTATIONS // BAND_ROWS
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{p}").cast("string")
+                            for p in range(band * BAND_ROWS, (band + 1) * BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return minima.select(F.col(id_col), F.explode(band_sigs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
 
 
@@ -170,15 +169,92 @@ def jaccard_pairs_exact(
     k: int = 3,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
+    method: str = "count",
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted index on shingles.
 
-    Pairs are generated only for documents sharing at least one shingle
-    (equi-join on the shingle itself), and optionally only within blocking
-    groups (``block_cols``), so the plan is a shuffle join + count
-    aggregation — never an all-pairs product. Intersection size is the join
-    count; union = |A| + |B| - intersection.
+    Two lossless plans, chosen by ``method``:
+
+    * ``"count"`` (default): full posting equi-join; the intersection size
+      IS the per-pair join count (map-side partial counts, one shuffle) —
+      no second verify pass. Best when the shingle vocabulary is small /
+      dense, where prefix pruning cannot remove anything.
+    * ``"prefix"`` (PPJoin-style): order each document's shingles by
+      global rarity; a qualifying pair must share its smallest common
+      shingle, which provably lies inside both documents' length
+      ``n - ceil(τ·n) + 1`` prefixes — candidates come from an equi-join
+      on PREFIX shingles only, then exact-intersection verify. Best at
+      corpus scale with realistic (large, skewed) vocabularies, where the
+      frequent shingles land in suffixes and never generate pairs.
     """
+    if method == "count":
+        return _jaccard_pairs_count(df, id_col, text_col, k, threshold, block_cols)
+    if method != "prefix":
+        raise ValueError(f"unknown method {method!r}")
+    docs = with_word_shingles(df, text_col=text_col, k=k)
+    block_cols = block_cols or []
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("shingles")
+    )
+    all_posting = base.select(F.col(id_col), F.explode("shingles").alias("g"))
+    freq = all_posting.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        all_posting.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cnt", "g"))), lambda s: s["g"]
+            ).alias("sorted_sh")
+        )
+    )
+    sets_df = base.join(ordered, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col("sorted_sh"),
+        F.size("sorted_sh").alias("n_sh"),
+        (
+            F.size("sorted_sh")
+            - F.ceil(F.lit(threshold) * F.size("sorted_sh")).cast("int")
+            + F.lit(1)
+        ).alias("prefix_len"),
+    )
+    posting = sets_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.slice("sorted_sh", 1, F.col("prefix_len"))).alias("g"),
+    )
+    join_on = [F.col("pa.g") == F.col("pb.g"), F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")]
+    join_on += [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_cols]
+    cands = (
+        posting.alias("pa")
+        .join(posting.alias("pb"), on=join_on)
+        .select(
+            F.col(f"pa.{id_col}").alias("doc_a"), F.col(f"pb.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sorted_sh"), F.col("sb.sorted_sh")))
+    return (
+        cands.join(sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sets_df.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(inter, F.col("sa.n_sh"), F.col("sb.n_sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_pairs_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    block_cols: list[str] | None,
+) -> DataFrame:
+    """Count-based exact similarity join: |A∩B| = posting-join row count."""
     docs = with_word_shingles(df, text_col=text_col, k=k)
     sets_df = docs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     block_cols = block_cols or []

@@ -130,6 +130,17 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
             properties={"delta.enableRowTracking": "true"},
         )
         t.append(_chunk(src, 4, 1))
+    elif kind == "rtc":  # row tracking + DV delete, for lineage-based CDF
+        from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 4, 0),
+            properties={"delta.enableRowTracking": "true"},
+        )
+        t.append(_chunk(src, 4, 1))
+        delete_with_dvs(t, "l_orderkey % 9 = 0")
     else:  # pragma: no cover - registry bug
         raise ValueError(f"unknown fixture kind {kind!r}")
 
@@ -404,6 +415,29 @@ register(
     FROM a
     UNION ALL
     SELECT CAST(1 AS BIGINT), b.n, b.n, a.n, a.n + b.n - 1 FROM a, b
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d15 CDF by row tracking: lineage-joined net changes (no cdc files needed)
+
+
+def d15_delta_cdf_by_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_kernel_rs_spark.sources.cdf import changes_by_row_tracking
+
+    t = _fixture(spark, sf_dir, "rtc")
+    return changes_by_row_tracking(spark, t.path, base_version=0)
+
+
+register(
+    "d15_delta_cdf_by_row_tracking",
+    d15_delta_cdf_by_row_tracking,
+    f"""
+    SELECT {_COLS_SQL}, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM lineitem WHERE l_orderkey % 4 = 1 AND NOT (l_orderkey % 9 = 0)
+    UNION ALL
+    SELECT {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 4 = 0 AND l_orderkey % 9 = 0
     """,
 )
 

@@ -315,3 +315,58 @@ def net_changes(changes: DataFrame, key_columns: list[str]) -> DataFrame:
         latest.filter(F.col(f"w.{CHANGE_TYPE_COL}") != "delete")
         .select(*key_columns, *[F.col(f"w.{c}").alias(c) for c in value_cols])
     )
+
+
+def changes_by_row_tracking(
+    spark: SparkSession,
+    table_path: str,
+    base_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Net change rows reconstructed from row lineage instead of cdc files
+    (reference CdfMode by-row-tracking, table_changes/mod.rs:90-162).
+
+    Requires row tracking: joins the base and end snapshots full-outer on
+    the stable ``row_id``. A row id present only in the end snapshot is an
+    insert; only in the base snapshot, a delete; present in both with
+    different values, an update pre/post-image pair. Rows that appear and
+    disappear entirely inside the range are invisible — this is the NET
+    view, which is exactly what row-lineage CDF provides when no cdc files
+    were written.
+    """
+    snapshot = Snapshot.create(spark, table_path, version=end_version)
+    end_version = snapshot.version
+    base = Snapshot.create(spark, table_path, version=base_version)
+    data_cols = [f.name for f in snapshot.schema.fields]
+
+    pre = base.to_df(with_row_ids=True).select(
+        F.col("row_id"), F.struct(*data_cols).alias("pre")
+    )
+    post = snapshot.to_df(with_row_ids=True).select(
+        F.col("row_id"), F.struct(*data_cols).alias("post")
+    )
+    joined = pre.join(post, "row_id", "full_outer")
+    ct = (
+        F.when(F.col("pre").isNull(), F.lit("insert"))
+        .when(F.col("post").isNull(), F.lit("delete"))
+        .when(~F.col("pre").eqNullSafe(F.col("post")), F.lit("update"))
+    )
+    changed = joined.withColumn("__ct", ct).filter(F.col("__ct").isNotNull())
+    version_col = F.lit(end_version).cast("long")
+
+    def arm(src: str, change: str, only: str) -> DataFrame:
+        return (
+            changed.filter(F.col("__ct") == only)
+            .select(
+                *[F.col(f"{src}.{c}").alias(c) for c in data_cols],
+                F.lit(change).alias(CHANGE_TYPE_COL),
+                version_col.alias(COMMIT_VERSION_COL),
+            )
+        )
+
+    return (
+        arm("post", "insert", "insert")
+        .unionByName(arm("pre", "delete", "delete"))
+        .unionByName(arm("pre", "update_preimage", "update"))
+        .unionByName(arm("post", "update_postimage", "update"))
+    )

@@ -83,6 +83,19 @@ def test_minhash_matches_exact_jaccard_join(docs):
     assert lsh == exact
 
 
+def test_prefix_filter_matches_count_join(docs):
+    """PPJoin prefix filtering is lossless: both exact methods agree."""
+    count = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs_exact(docs, k=3, threshold=0.4, method="count").collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs_exact(docs, k=3, threshold=0.4, method="prefix").collect()
+    }
+    assert count == prefix and count
+
+
 def test_simhash_close_for_neardups(docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fp[0] == fp[1]  # identical text -> identical fingerprint

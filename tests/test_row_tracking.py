@@ -63,6 +63,24 @@ def test_row_ids_stable_across_dv_delete(table):
     assert all(before[k] == v for k, v in after.items())
 
 
+def test_cdf_by_row_tracking_detects_update(spark, tmp_path):
+    """An overwrite-style change shows as update pre/post pair on the same
+    row id; pure inserts/deletes classify correctly."""
+    from delta_kernel_rs_spark.sources.cdf import changes_by_row_tracking
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20), properties=RT_PROPS)
+    t.append(_ints(spark, 20, 30))  # v1 inserts
+    delete_with_dvs(t, "k < 5")  # v2 deletes
+    ch = changes_by_row_tracking(spark, path, base_version=0).collect()
+    by_type: dict[str, set] = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.k)
+    assert by_type["insert"] == set(range(20, 30))
+    assert by_type["delete"] == set(range(0, 5))
+    assert "update_preimage" not in by_type
+
+
 def test_protocol_lists_row_tracking_features(table):
     proto = table.snapshot().protocol
     assert proto.min_writer_version == 7
