@@ -262,23 +262,47 @@ class Transaction:
         if self._row_tracking_enabled():
             min_w = 7  # table-features protocol: list writer features
             writer_features |= {"rowTracking", "domainMetadata"}
-            if self._cm_mode() != "none":
-                writer_features.add("columnMapping")
+        if self._ict_enabled():
+            min_w = 7
+            writer_features.add("inCommitTimestamp")
+        if min_w >= 7 and self._cm_mode() != "none":
+            writer_features.add("columnMapping")
         proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
         if min_w >= 7:
             proto["writerFeatures"] = sorted(writer_features)
         return {"protocol": proto}
 
-    def _commit_info(self) -> dict:
-        return {
-            "commitInfo": {
-                "timestamp": _now_ms(),
-                "operation": self.operation,
-                "operationParameters": {},
-                "engineInfo": ENGINE_INFO,
-                "txnId": str(uuid.uuid4()),
-            }
+    def _ict_enabled(self) -> bool:
+        return (
+            self.configuration.get("delta.enableInCommitTimestamps", "false").lower()
+            == "true"
+        )
+
+    def _commit_info(self, version: int | None = None) -> dict:
+        info: dict = {
+            "timestamp": _now_ms(),
+            "operation": self.operation,
+            "operationParameters": {},
+            "engineInfo": ENGINE_INFO,
+            "txnId": str(uuid.uuid4()),
         }
+        if self._ict_enabled() and version is not None:
+            # ICT must be strictly monotonic (reference in-commit timestamps;
+            # history_manager relies on it for binary search): clamp against
+            # the previous commit's ICT.
+            prev = self._prev_ict(version - 1)
+            info["inCommitTimestamp"] = max(_now_ms(), (prev or 0) + 1)
+        return {"commitInfo": info}
+
+    def _prev_ict(self, version: int) -> int | None:
+        if version < 0:
+            return None
+        path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
+        try:
+            first = self.storage.read_text(path).split("\n", 1)[0]
+            return (json.loads(first).get("commitInfo") or {}).get("inCommitTimestamp")
+        except (OSError, ValueError):
+            return None
 
     ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
@@ -318,7 +342,7 @@ class Transaction:
     def commit(self) -> int:
         """Write data files, then atomically commit; returns the version."""
         adds = self._stage_files()
-        base_actions: list[dict] = [self._commit_info()]
+        base_actions: list[dict] = []
         if self.is_create:
             base_actions.append(self._protocol_action())
             base_actions.append(self._metadata_action())
@@ -332,7 +356,9 @@ class Transaction:
         hwm_snapshot = self.read_snapshot
         attempts = 0
         while True:
-            actions = list(base_actions)
+            # commitInfo first (mandatory when ICT is enabled); the ICT and
+            # any row-id assignment depend on the attempt's version.
+            actions = [self._commit_info(version), *base_actions]
             if adds and self._row_tracking_enabled():
                 # Row ids depend on the final commit version and the latest
                 # high-water mark — recompute per attempt.

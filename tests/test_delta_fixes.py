@@ -147,3 +147,35 @@ def test_dv_read_verifies_crc(spark, tmp_path):
     dv_path.write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="CRC"):
         read_dv_row_indexes(storage, path, dv_files[0].dv)
+
+
+def test_in_commit_timestamps_monotonic(spark, tmp_path):
+    """ICT writes: strictly increasing inCommitTimestamp, feature listed,
+    timestamp travel resolves via ICT (reference in-commit timestamps +
+    history_manager ICT-aware search)."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=_ints(spark, 0, 10),
+        properties={"delta.enableInCommitTimestamps": "true"},
+    )
+    t.append(_ints(spark, 10, 20))
+    t.append(_ints(spark, 20, 30))
+    log = tmp_path / "tbl" / "_delta_log"
+    icts = []
+    for p in sorted(log.glob("*.json")):
+        first = p.read_text().splitlines()[0]
+        icts.append(_json.loads(first)["commitInfo"]["inCommitTimestamp"])
+    assert len(icts) == 3
+    assert icts[0] < icts[1] < icts[2]
+    proto = t.snapshot().protocol
+    assert "inCommitTimestamp" in proto.writer_features
+
+    from delta_kernel_rs_spark.sources.history import version_at_timestamp
+
+    assert version_at_timestamp(spark, path, icts[1]) == 1
+    assert version_at_timestamp(spark, path, icts[2] - 1) == 1
+    assert t.snapshot(timestamp_ms=icts[0]).version == 0
