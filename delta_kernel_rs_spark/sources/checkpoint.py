@@ -218,12 +218,16 @@ def write_checkpoint(
     table_path: str,
     version: int | None = None,
     v2: bool = False,
+    parts: int | None = None,
 ) -> int:
     """Write a checkpoint for ``version`` (default: latest).
 
-    ``v2=False``: V1 classic single-file checkpoint. ``v2=True``: V2 layout
-    (reference kernel/src/checkpoint/mod.rs): file actions go to a sidecar
-    parquet under ``_delta_log/_sidecars/``; the top-level
+    ``v2=False``: V1 classic checkpoint — single file, or ``parts`` N
+    multi-part files ``{v}.checkpoint.{i}.{n}.parquet`` (file actions
+    hash-distributed across parts, P&M in part 1), which keeps each part
+    writable in parallel and bounded on very large tables. ``v2=True``: V2
+    layout (reference kernel/src/checkpoint/mod.rs): file actions go to a
+    sidecar parquet under ``_delta_log/_sidecars/``; the top-level
     ``{v}.checkpoint.{uuid}.parquet`` carries P&M/txn/domainMetadata, a
     ``checkpointMetadata`` action and the ``sidecar`` pointers — the shape
     the scan's ``resolved_checkpoint_df`` already reads.
@@ -245,6 +249,26 @@ def write_checkpoint(
         return _pad_to_actions_schema(
             spark.read.schema(ACTIONS_SCHEMA).json(raw.rdd.map(lambda r: r[0]))
         )
+
+    if not v2 and parts and parts > 1:
+        key = F.coalesce(F.col("add.path"), F.col("remove.path"))
+        part_col = (F.abs(F.hash(key)) % parts).cast("int")
+        tagged = file_actions.withColumn("__part", part_col)
+        n_actions = 0
+        for i in range(1, parts + 1):
+            chunk = tagged.filter(F.col("__part") == (i - 1)).drop("__part")
+            if i == 1:
+                chunk = chunk.unionByName(driver_df(driver_rows))
+            final = f"{log_dir}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            _write_single_parquet(
+                spark, storage, chunk, f"{log_dir}/.ckpt-tmp-{v}-{i}", final
+            )
+            n_actions += _parquet_num_rows(final)
+        hint = {"version": v, "size": n_actions, "parts": parts}
+        storage.put_overwrite(
+            f"{log_dir}/_last_checkpoint", json.dumps(hint).encode()
+        )
+        return v
 
     if not v2:
         out = file_actions.unionByName(driver_df(driver_rows))

@@ -246,10 +246,14 @@ class DeltaTable:
         return self.alter_schema(T.StructType(fields))
 
     # -- maintenance ---------------------------------------------------------
-    def checkpoint(self, version: int | None = None, v2: bool = False) -> int:
+    def checkpoint(
+        self, version: int | None = None, v2: bool = False, parts: int | None = None
+    ) -> int:
         from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
 
-        return write_checkpoint(self.spark, self.path, version=version, v2=v2)
+        return write_checkpoint(
+            self.spark, self.path, version=version, v2=v2, parts=parts
+        )
 
     def maybe_checkpoint(self, version: int) -> None:
         snap = self.snapshot(version=version)

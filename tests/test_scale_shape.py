@@ -1,0 +1,72 @@
+"""Scale-shape regression tests: costs that must stay flat as the table
+grows (VERDICT round-1 'done' criteria) + multi-part checkpoint writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _ints(spark, lo, hi, partitions=None):
+    df = spark.range(lo, hi).select(F.col("id").alias("k"))
+    return df.repartition(partitions) if partitions else df
+
+
+def test_commit_never_lists_table_root(spark, tmp_path, monkeypatch):
+    """The commit path must not do an O(table) recursive listing — only the
+    staging dir it just wrote (the round-1 bottleneck at many files)."""
+    from delta_kernel_rs_spark.sources import storage as storage_mod
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 500, partitions=32))
+
+    listed: list[str] = []
+    orig = storage_mod.LocalStorage.list_recursive
+
+    def spy(self, directory):
+        listed.append(directory)
+        return orig(self, directory)
+
+    monkeypatch.setattr(storage_mod.LocalStorage, "list_recursive", spy)
+    t.append(_ints(spark, 500, 600, partitions=8), auto_checkpoint=False)
+    table_root_listings = [
+        d for d in listed if d.rstrip("/") == path and "/.staging-" not in d
+    ]
+    assert table_root_listings == []
+    assert any(".staging-" in d for d in listed)  # staging listed once
+
+
+def test_scan_plan_size_flat_with_many_files(spark, tmp_path):
+    """The scan collects only the file list; the plan has ONE parquet scan
+    node regardless of file count (no per-file arms)."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 2000, partitions=64))
+    df = t.to_df()
+    n_files = len(t.snapshot().scan().files())
+    assert n_files >= 32
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") + plan.count("BatchScan") <= 2
+    assert df.count() == 2000
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 300, partitions=16))
+    t.append(_ints(spark, 300, 400, partitions=8))
+    t.delete("k < 50")
+    v = t.checkpoint(parts=3)
+    log = tmp_path / "tbl" / "_delta_log"
+    part_files = sorted(log.glob(f"{v:020d}.checkpoint.*.0000000003.parquet"))
+    assert len(part_files) == 3
+    import json
+
+    hint = json.loads((log / "_last_checkpoint").read_text())
+    assert hint["parts"] == 3 and hint["version"] == v
+    # all parts together hold the full live file set; reads resolve it
+    t.append(_ints(spark, 400, 450))
+    assert {r.k for r in t.to_df().collect()} == set(range(50, 450))
+    # P&M lives in part 1 only
+    p1 = spark.read.parquet(str(part_files[0]))
+    assert p1.filter(F.col("metaData.id").isNotNull()).count() == 1
