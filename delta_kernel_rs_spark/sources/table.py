@@ -125,6 +125,17 @@ class DeltaTable:
 
         return table_changes(self.spark, self.path, start_version, end_version)
 
+    def changes_between_timestamps(self, start_ms: int, end_ms: int) -> DataFrame:
+        """Time-bounded CDF (reference timestamp_range_to_versions,
+        history_manager/mod.rs:632): resolve the version range via commit
+        timestamps (ICT-aware), then serve the change feed."""
+        from delta_kernel_rs_spark.sources.history import timestamp_range_to_versions
+
+        start_v, end_v = timestamp_range_to_versions(
+            self.spark, self.path, start_ms, end_ms
+        )
+        return self.changes(start_v, end_v)
+
     # -- writes ------------------------------------------------------------
     def append(self, df: DataFrame, auto_checkpoint: bool = True) -> int:
         snap = self.snapshot()

@@ -43,6 +43,14 @@ class SchemaMismatchError(Exception):
     pass
 
 
+class ConstraintViolationError(Exception):
+    """Staged data violates a CHECK constraint, invariant, or NOT NULL."""
+
+
+class AppendOnlyError(Exception):
+    """The table is delta.appendOnly and the transaction removes data."""
+
+
 def _json_line(action: dict) -> str:
     """Serialize one action omitting null fields (reference
     JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760)."""
@@ -134,6 +142,60 @@ class Transaction:
         """Stage raw actions (remove/cdc/...) built by higher-level ops."""
         self._extra_actions.extend(actions)
         return self
+
+    def _constraint_predicates(self) -> list[tuple[str, str]]:
+        """(name, SQL) pairs to enforce on writes: CHECK constraints from
+        ``delta.constraints.*`` table properties, column invariants from
+        ``delta.invariants`` field metadata, and NOT NULL fields (reference
+        write-side verification; invariants/constraints metadata keys at
+        kernel/src/schema/mod.rs:253-320)."""
+        out: list[tuple[str, str]] = []
+        for key, expr in sorted(self.configuration.items()):
+            if key.startswith("delta.constraints."):
+                out.append((key[len("delta.constraints."):], expr))
+        if self.schema is not None:
+            for f in self.schema.fields:
+                meta = f.metadata or {}
+                inv = meta.get("delta.invariants")
+                if inv:
+                    try:
+                        expr = json.loads(inv)["expression"]["expression"]
+                        out.append((f"invariant({f.name})", expr))
+                    except (ValueError, KeyError, TypeError):
+                        pass
+                if not f.nullable:
+                    out.append((f"notnull({f.name})", f"{f.name} IS NOT NULL"))
+        return out
+
+    def _enforce_constraints(self) -> None:
+        constraints = self._constraint_predicates()
+        if not constraints or self._staged_df is None:
+            return
+        from pyspark.sql import functions as F
+
+        df = self._staged_df
+        # NOT NULL checks the staged plan already guarantees are free.
+        guaranteed = {f.name for f in df.schema.fields if not f.nullable}
+        constraints = [
+            (name, expr)
+            for name, expr in constraints
+            if not (
+                name.startswith("notnull(") and name[8:-1] in guaranteed
+            )
+        ]
+        if not constraints:
+            return
+        violation = None
+        for _, expr in constraints:
+            v = ~F.expr(expr).eqNullSafe(F.lit(True))  # NULL verdict violates
+            violation = v if violation is None else (violation | v)
+        bad = df.filter(violation).limit(1).collect()
+        if bad:
+            details = ", ".join(f"{name}: {expr}" for name, expr in constraints)
+            raise ConstraintViolationError(
+                f"staged data violates table constraints [{details}]; "
+                f"example row: {bad[0]}"
+            )
 
     # -- physical write --------------------------------------------------
     def _stage_files(self) -> list[dict]:
@@ -341,6 +403,18 @@ class Transaction:
 
     def commit(self) -> int:
         """Write data files, then atomically commit; returns the version."""
+        if (
+            self.configuration.get("delta.appendOnly", "false").lower() == "true"
+            and any(
+                "remove" in a and (a["remove"].get("dataChange", True))
+                for a in self._extra_actions
+            )
+        ):
+            raise AppendOnlyError(
+                f"table {self.table_path} is append-only (delta.appendOnly); "
+                "deletes/updates are not permitted"
+            )
+        self._enforce_constraints()
         adds = self._stage_files()
         base_actions: list[dict] = []
         if self.is_create:
