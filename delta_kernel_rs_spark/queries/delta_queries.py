@@ -419,6 +419,42 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# d16 ScanJson: schema'd NDJSON read (the kernel's JsonHandler read shape)
+
+
+def d16_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScanJson plan node (reference plans/ir/nodes.rs:187-210 +
+    JsonHandler.read_json_files, lib.rs:661-729): declared-schema NDJSON
+    read — missing fields resolve NULL, no inference. The fixture NDJSON is
+    round-tripped from the events table (Spark writes shortest-roundtrip
+    doubles, so values survive bit-exactly)."""
+    key = (sf_dir, "json")
+    if key not in _FIXTURES:
+        path = f"{tempfile.mkdtemp(prefix='dkrs_json_')}/events_ndjson"
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .json(path)
+        )
+        _FIXTURES[key] = path
+    return spark.read.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE,"
+        " missing_col STRING"
+    ).json(_FIXTURES[key])
+
+
+register(
+    "d16_scan_json",
+    d16_scan_json,
+    """
+    SELECT event_id, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS missing_col
+    FROM events
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # d15 CDF by row tracking: lineage-joined net changes (no cdc files needed)
 
 

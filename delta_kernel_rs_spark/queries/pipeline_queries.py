@@ -402,3 +402,53 @@ register(
     WHERE {_dk_fold_dot("a.embedding", "b.embedding")} / sqrt(a.norm2*b.norm2) >= 0.4
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p13 end-to-end prep pass: dedup -> quality filter -> token accounting
+
+
+def p13_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shape of a real training-data prep pass: exact dedup
+    survivors -> quality-score gate -> token accounting, all in one lazy
+    plan (dedup is a semi-join against the survivor set, so Catalyst keeps
+    a single pipeline with two shuffles total)."""
+    from delta_kernel_rs_spark.operators.dedup import exact_duplicate_groups
+    from delta_kernel_rs_spark.operators.text import quality_columns, token_stat_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_duplicate_groups(docs).select("doc_id")
+    quality = quality_columns("text")
+    tokens = token_stat_columns("text")
+    return (
+        docs.join(survivors, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            quality["quality_score"].alias("quality_score"),
+            tokens["n_tokens_re"].alias("n_tokens"),
+            tokens["chars_per_token"].alias("chars_per_token"),
+        )
+        .filter(F.col("quality_score") >= 0.55)
+    )
+
+
+_DK_SCORE = (
+    f"CAST(0.4 AS DOUBLE)*({_DK_TTR}) "
+    f"+ CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE), "
+    f"CAST({_DK_NW} AS DOUBLE)/CAST(128.0 AS DOUBLE)) "
+    f"+ CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE), ({_DK_AWL})/CAST(8.0 AS DOUBLE))"
+)
+
+register(
+    "p13_pipeline_end_to_end",
+    p13_pipeline_end_to_end,
+    f"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT doc_id,
+           {_DK_SCORE} AS quality_score,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM surv) AND {_DK_SCORE} >= 0.55
+    """,
+)
