@@ -295,6 +295,50 @@ class DeltaTable:
         except Exception:  # pragma: no cover - advisory only
             pass
 
+    def vacuum(
+        self, retention_ms: int | None = None, dry_run: bool = False
+    ) -> list[str]:
+        """Delete unreferenced data files older than the retention window.
+
+        Protected: every live data file and its deletion-vector file, all
+        of ``_delta_log``, ``_change_data`` (CDF readers may still need
+        cdc files inside log retention), and anything newer than the
+        cutoff. Default retention follows
+        ``delta.deletedFileRetentionDuration`` (7 days absent). Honors the
+        reference's vacuumProtocolCheck posture: this writer only ever
+        produces layouts vacuum understands.
+        """
+        from delta_kernel_rs_spark.functions.dv import dv_absolute_path
+        from delta_kernel_rs_spark.sources.checkpoint import _tombstone_retention_ms
+        from delta_kernel_rs_spark.sources.transaction import _now_ms
+
+        snap = self.snapshot()
+        if retention_ms is None:
+            retention_ms = _tombstone_retention_ms(snap)
+        cutoff = _now_ms() - retention_ms
+
+        protected: set[str] = set()
+        for f in snap.scan().files():
+            protected.add(f.path)
+            if f.dv:
+                dv_path = dv_absolute_path(self.path, f.dv)
+                if dv_path:
+                    protected.add(dv_path)
+
+        removed: list[str] = []
+        prefix_log = f"{self.path}/_delta_log"
+        prefix_cdc = f"{self.path}/_change_data"
+        for entry in self.storage.list_recursive(self.path):
+            p = entry.path
+            if p.startswith(prefix_log) or p.startswith(prefix_cdc):
+                continue
+            if p in protected or entry.last_modified_ms >= cutoff:
+                continue
+            removed.append(p)
+            if not dry_run:
+                self.storage.delete(p)
+        return sorted(removed)
+
     def compact_log(self, start_version: int, end_version: int) -> str:
         from delta_kernel_rs_spark.sources.checkpoint import write_log_compaction
 

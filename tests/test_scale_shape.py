@@ -70,3 +70,32 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     # P&M lives in part 1 only
     p1 = spark.read.parquet(str(part_files[0]))
     assert p1.filter(F.col("metaData.id").isNotNull()).count() == 1
+
+
+def test_vacuum_removes_only_unreferenced_old_files(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100))
+    t.delete("k >= 60")  # CoW rewrite strands the original files
+    delete_with_dvs(t, "k % 7 = 0")  # live files now carry a DV file
+
+    live_before = {r.k for r in t.to_df().collect()}
+    preview = t.vacuum(retention_ms=0, dry_run=True)
+    assert preview  # the pre-rewrite files are vacuum candidates
+
+    removed = t.vacuum(retention_ms=0)
+    assert sorted(removed) == sorted(preview)
+    # table still reads exactly the same rows; DV file survived
+    assert {r.k for r in t.to_df().collect()} == live_before
+    assert list((tmp_path / "tbl").glob("deletion_vector_*.bin"))
+    # second vacuum finds nothing
+    assert t.vacuum(retention_ms=0) == []
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    t.delete("k < 25")
+    # everything is younger than a day: nothing eligible
+    assert t.vacuum(retention_ms=86_400_000, dry_run=True) == []
