@@ -13,11 +13,19 @@ skipping, DV application, transforms, CDF, commits, checkpoints) as
 idiomatic PySpark.
 
 Layout:
-  sources/    delta log listing, snapshot, scan, table facade, CDF, writes
-  plans/      expression AST, log-replay plan shapes, data-skipping rewriter
-  functions/  schemaString codec, partition-value codec, stats, DV codec
-  operators/  LLM-data-pipeline operators (dedup, similarity, text, multimodal)
-  streaming/  incremental / streaming-shaped readers
+  sources/    log segment + snapshot (CRC fast path), scan (skipping, DVs,
+              row ids), transaction (ACID, stats, constraints, row
+              tracking, ICT), delete (CoW + DV), CDF (+ net / lineage
+              modes), checkpoints (V1/multipart/V2), incremental scan,
+              history, vacuum
+  plans/      expression AST (3VL, struct ops, opaque/unknown) +
+              data-skipping rewriter
+  functions/  schemaString codec + column mapping, partition-value codec,
+              footer stats + truncation contracts, DV roaring codec,
+              schema-evolution diff
+  operators/  LLM-data-pipeline operators (dedup, similarity/ANN, text
+              analysis, multimodal plumbing)
+  streaming/  spark.readStream.format("delta_cdf") streaming change feed
   queries/    oracle-checked query registry consumed by __spark_entry__.py
 """
 

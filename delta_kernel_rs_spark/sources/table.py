@@ -203,7 +203,9 @@ class DeltaTable:
         """
         from delta_kernel_rs_spark.sources.delete import delete_where
 
-        return delete_where(self, predicate)
+        version = delete_where(self, predicate)
+        self.maybe_write_crc(version)
+        return version
 
     # -- schema evolution ---------------------------------------------------
     def alter_schema(self, new_schema: T.StructType) -> int:
@@ -241,7 +243,9 @@ class DeltaTable:
             partition_columns=snap.metadata.partition_columns,
             configuration=config,
         )
-        return txn.with_updated_metadata().commit()
+        version = txn.with_updated_metadata().commit()
+        self.maybe_write_crc(version)
+        return version
 
     def add_column(self, name: str, dtype: T.DataType) -> int:
         snap = self.snapshot()
