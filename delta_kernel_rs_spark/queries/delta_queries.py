@@ -419,6 +419,57 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# d17 MERGE (upsert): matched rows updated, new keys inserted, rest kept
+
+
+def d17_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    key = (sf_dir, "merge")
+    if key not in _FIXTURES:
+        path = f"{tempfile.mkdtemp(prefix='dkrs_merge_')}/tbl"
+        src = _src(spark, sf_dir)
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        consts = [
+            F.lit(0).cast("long").alias("l_partkey"),
+            F.lit(-1.0).alias("l_quantity"),
+            F.lit(0.0).alias("l_extendedprice"),
+            F.lit(_dt.datetime(1995, 1, 1)).alias("l_shipdate"),
+            F.lit("X").alias("l_returnflag"),
+        ]
+        updates = (
+            _chunk(src, 8, 0).select("l_orderkey").distinct().select("l_orderkey", *consts)
+        )
+        inserts = (
+            _chunk(src, 4, 2)
+            .filter(F.col("l_orderkey") % 3 == 0)
+            .select("l_orderkey")
+            .distinct()
+            .select("l_orderkey", *consts)
+        )
+        t.upsert(updates.unionByName(inserts), keys=["l_orderkey"])
+        _FIXTURES[key] = path
+    return DeltaTable(spark, _FIXTURES[key]).to_df()
+
+
+register(
+    "d17_delta_merge_upsert",
+    d17_delta_merge_upsert,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 8 = 0)
+    UNION ALL
+    SELECT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
+           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
+    FROM lineitem WHERE l_orderkey % 8 = 0
+    UNION ALL
+    SELECT DISTINCT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
+           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
+    FROM lineitem WHERE l_orderkey % 4 = 2 AND l_orderkey % 3 = 0
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # d16 ScanJson: schema'd NDJSON read (the kernel's JsonHandler read shape)
 
 

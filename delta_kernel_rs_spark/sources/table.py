@@ -194,6 +194,14 @@ class DeltaTable:
                     best = rows[0].v
         return best
 
+    def upsert(self, source_df: DataFrame, keys: list[str]) -> int:
+        """MERGE by key: matched target rows take the source's values,
+        unmatched source rows are inserted; untouched files stay in place.
+        See sources/merge.py for semantics (incl. CDF update images)."""
+        from delta_kernel_rs_spark.sources.merge import upsert
+
+        return upsert(self, source_df, keys)
+
     def delete(self, predicate) -> int:
         """Row-level delete by file rewrite (copy-on-write).
 
