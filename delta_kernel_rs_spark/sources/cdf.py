@@ -75,6 +75,18 @@ def table_changes(
         raise ChangeDataFeedError(
             "change data feed is not enabled (delta.enableChangeDataFeed)"
         )
+    # CDF must have been enabled for the WHOLE range, not just at the end
+    # snapshot (reference table_changes/mod.rs:90-162). Commits inside the
+    # range that carry a metaData action are checked in the replay loop
+    # below, but commits written while CDF was off carry no metaData at
+    # all — so also resolve the table metadata AS OF start_version.
+    if start_version < snapshot.version:
+        start_snap = Snapshot.create(spark, table_path, version=start_version)
+        if not start_snap.metadata.cdf_enabled:
+            raise ChangeDataFeedError(
+                f"change data feed was not enabled at version {start_version}; "
+                "the requested range cannot be served"
+            )
     storage = storage_for(spark, table_path)
     log_dir = f"{table_path}/_delta_log"
 

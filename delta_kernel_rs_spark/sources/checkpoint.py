@@ -252,7 +252,10 @@ def write_checkpoint(
 
     if not v2 and parts and parts > 1:
         key = F.coalesce(F.col("add.path"), F.col("remove.path"))
-        part_col = (F.abs(F.hash(key)) % parts).cast("int")
+        # pmod, not abs(hash)%parts: hash can return Int.MinValue whose abs
+        # stays negative — that action would match no part filter and be
+        # silently dropped from the checkpoint.
+        part_col = F.pmod(F.hash(key), F.lit(parts)).cast("int")
         tagged = file_actions.withColumn("__part", part_col)
         n_actions = 0
         for i in range(1, parts + 1):

@@ -246,8 +246,103 @@ class HadoopStorage:
         self._fs.delete(self._jpath(path), False)
 
 
+class ArrowStorage:
+    """Read-side storage handler over ``pyarrow.fs`` (file/hdfs/s3/gcs).
+
+    Needs no SparkSession or JVM, so it works on executors and inside
+    Python Data Source readers (the streaming CDF source). Write-side
+    methods are limited to overwrite semantics — pyarrow.fs has no atomic
+    put-if-absent, so this handler never serves as a commit primitive.
+    """
+
+    def __init__(self, base_url: str):
+        import pyarrow.fs as pafs
+
+        self._fs, _ = pafs.FileSystem.from_uri(self._uri(base_url))
+
+    @staticmethod
+    def _uri(path: str) -> str:
+        return path if "://" in path else f"file://{path}"
+
+    def _rel(self, path: str) -> str:
+        import pyarrow.fs as pafs
+
+        _, rel = pafs.FileSystem.from_uri(self._uri(path))
+        return rel
+
+    def list_dir(self, directory: str) -> list[FileEntry]:
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(self._rel(directory), allow_not_found=True)
+        out = [
+            FileEntry(
+                info.path,
+                info.size or 0,
+                int(info.mtime.timestamp() * 1000) if info.mtime else 0,
+            )
+            for info in self._fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+        ]
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
+        return [
+            f
+            for f in self.list_dir(directory)
+            if f.path.rsplit("/", 1)[-1] >= start_name
+        ]
+
+    def list_recursive(self, directory: str) -> list[FileEntry]:
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(
+            self._rel(directory), recursive=True, allow_not_found=True
+        )
+        out = [
+            FileEntry(
+                info.path,
+                info.size or 0,
+                int(info.mtime.timestamp() * 1000) if info.mtime else 0,
+            )
+            for info in self._fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+        ]
+        out.sort(key=lambda f: f.path)
+        return out
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._fs.open_input_stream(self._rel(path)) as fh:
+            return fh.read()
+
+    def stat(self, path: str) -> FileEntry:
+        info = self._fs.get_file_info(self._rel(path))
+        return FileEntry(
+            path,
+            info.size or 0,
+            int(info.mtime.timestamp() * 1000) if info.mtime else 0,
+        )
+
+    def exists(self, path: str) -> bool:
+        import pyarrow.fs as pafs
+
+        return self._fs.get_file_info(self._rel(path)).type != pafs.FileType.NotFound
+
+
 def storage_for(spark, table_path: str):
     """Pick a storage handler for the table URL."""
     if "://" not in table_path or table_path.startswith("file://"):
         return LocalStorage()
     return HadoopStorage(spark, table_path)
+
+
+def storage_for_uri(table_path: str):
+    """Pick a SparkSession-free storage handler (streaming sources,
+    executor-side code). Local paths keep the POSIX handler (atomic
+    put-if-absent available); remote URIs get the pyarrow.fs handler."""
+    if "://" not in table_path or table_path.startswith("file://"):
+        return LocalStorage()
+    return ArrowStorage(table_path)

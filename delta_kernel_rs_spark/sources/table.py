@@ -307,18 +307,76 @@ class DeltaTable:
         except Exception:  # pragma: no cover - advisory only
             pass
 
+    def _tombstone_deletion_timestamps(self) -> dict[str, int]:
+        """(absolute data-file path → newest remove.deletionTimestamp) over
+        the whole retained log (commits + checkpoint tombstones).
+
+        Vacuum eligibility must follow the *logical* deletion time, not the
+        physical file mtime: a file written long ago but deleted five
+        minutes ago is still needed by time travel / CDF readers inside the
+        retention window (reference tombstone semantics,
+        kernel/src/checkpoint — expired-tombstone filtering)."""
+        import urllib.parse
+
+        from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
+        from delta_kernel_rs_spark.sources.scan import resolved_checkpoint_df
+
+        seg = self.snapshot().log_segment
+        arms = []
+        if seg.commit_files:
+            raw = self.spark.read.schema(SCAN_ACTIONS_SCHEMA).json(
+                [c.path for c in seg.commit_files]
+            )
+            arms.append(raw)
+        if seg.checkpoint_parts:
+            ckpt = resolved_checkpoint_df(self.spark, seg)
+            if "remove" in ckpt.columns:
+                arms.append(ckpt.select("remove"))
+        from delta_kernel_rs_spark.functions.dv import dv_absolute_path
+
+        out: dict[str, int] = {}
+
+        def record(abs_p: str, ts: int | None) -> None:
+            ts = ts if ts is not None else 0
+            if abs_p not in out or ts > out[abs_p]:
+                out[abs_p] = ts
+
+        for arm in arms:
+            rows = (
+                arm.filter(F.col("remove").isNotNull())
+                .groupBy(
+                    F.col("remove.path").alias("p"),
+                    F.col("remove.deletionVector").alias("dv"),
+                )
+                .agg(F.max("remove.deletionTimestamp").alias("ts"))
+                .collect()
+            )
+            for r in rows:
+                rel = urllib.parse.unquote(r.p)
+                abs_p = rel if ("://" in rel or rel.startswith("/")) else f"{self.path}/{rel}"
+                record(abs_p, r.ts)
+                # The superseded DV file shares the remove's deletion time.
+                if r.dv and r.dv.storageType:
+                    dv_path = dv_absolute_path(self.path, r.dv.asDict())
+                    if dv_path:
+                        record(dv_path, r.ts)
+        return out
+
     def vacuum(
         self, retention_ms: int | None = None, dry_run: bool = False
     ) -> list[str]:
-        """Delete unreferenced data files older than the retention window.
+        """Delete unreferenced data files whose *deletion* is older than the
+        retention window.
 
         Protected: every live data file and its deletion-vector file, all
         of ``_delta_log``, ``_change_data`` (CDF readers may still need
-        cdc files inside log retention), and anything newer than the
-        cutoff. Default retention follows
-        ``delta.deletedFileRetentionDuration`` (7 days absent). Honors the
-        reference's vacuumProtocolCheck posture: this writer only ever
-        produces layouts vacuum understands.
+        cdc files inside log retention), and anything deleted after the
+        cutoff. Eligibility uses the remove action's ``deletionTimestamp``
+        (the logical delete time) — physical mtime is only the fallback
+        for files the log never tracked (orphaned writer temp output).
+        Default retention follows ``delta.deletedFileRetentionDuration``
+        (7 days absent). Honors the reference's vacuumProtocolCheck
+        posture: this writer only ever produces layouts vacuum understands.
         """
         from delta_kernel_rs_spark.functions.dv import dv_absolute_path
         from delta_kernel_rs_spark.sources.checkpoint import _tombstone_retention_ms
@@ -336,6 +394,7 @@ class DeltaTable:
                 dv_path = dv_absolute_path(self.path, f.dv)
                 if dv_path:
                     protected.add(dv_path)
+        deletion_ts = self._tombstone_deletion_timestamps()
 
         removed: list[str] = []
         prefix_log = f"{self.path}/_delta_log"
@@ -344,7 +403,12 @@ class DeltaTable:
             p = entry.path
             if p.startswith(prefix_log) or p.startswith(prefix_cdc):
                 continue
-            if p in protected or entry.last_modified_ms >= cutoff:
+            if p in protected:
+                continue
+            # Logical deletion time when the log tracked the file; physical
+            # mtime only for untracked strays.
+            effective_ts = deletion_ts.get(p, entry.last_modified_ms)
+            if effective_ts >= cutoff:
                 continue
             removed.append(p)
             if not dry_run:

@@ -164,7 +164,10 @@ class Transaction:
                     except (ValueError, KeyError, TypeError):
                         pass
                 if not f.nullable:
-                    out.append((f"notnull({f.name})", f"{f.name} IS NOT NULL"))
+                    # Backtick-quoted so names with spaces/dots/specials
+                    # parse as one column, not a nested-field path.
+                    quoted = f.name.replace("`", "``")
+                    out.append((f"notnull({f.name})", f"`{quoted}` IS NOT NULL"))
         return out
 
     def _enforce_constraints(self) -> None:
@@ -217,13 +220,16 @@ class Transaction:
         phys_of = {f.name: physical_name(f) for f in self.schema.fields}
 
         def _phys_col(f):
+            # Backtick-quoted: names with dots must resolve as one column,
+            # not a nested-field path.
+            src = F.col("`" + f.name.replace("`", "``") + "`")
             fid = (f.metadata or {}).get(PARQUET_FIELD_ID_KEY)
             if fid is not None:
                 # carry the parquet field id into the written file metadata
-                return F.col(f.name).alias(
+                return src.alias(
                     phys_of[f.name], metadata={PARQUET_FIELD_ID_KEY: int(fid)}
                 )
-            return F.col(f.name).alias(phys_of[f.name])
+            return src.alias(phys_of[f.name])
 
         out_df = self._staged_df.select(*[_phys_col(f) for f in self.schema.fields])
         phys_parts = [phys_of[p] for p in self.partition_columns]

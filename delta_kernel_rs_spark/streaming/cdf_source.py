@@ -35,7 +35,7 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 
 from delta_kernel_rs_spark.functions.dv import read_dv_row_indexes
 from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string, physical_name
-from delta_kernel_rs_spark.sources.storage import LocalStorage
+from delta_kernel_rs_spark.sources.storage import storage_for_uri
 
 CDF_COLS = [
     T.StructField("_change_type", T.StringType(), True),
@@ -113,7 +113,9 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         opts = {k.lower(): v for k, v in options.items()}
         self._path = opts["path"].rstrip("/")
         self._start = int(opts.get("startingversion", 0))
-        self._storage = LocalStorage()
+        # Resolved from the table URI (pyarrow.fs for remote schemes) —
+        # works on the driver and executors without a SparkSession.
+        self._storage = storage_for_uri(self._path)
         meta = _latest_metadata(self._storage, self._path)
         conf = meta.get("configuration") or {}
         if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
@@ -272,7 +274,9 @@ class DeltaCdfDataSource(DataSource):
         return "delta_cdf"
 
     def schema(self) -> T.StructType:
-        meta = _latest_metadata(LocalStorage(), self.options["path"])
+        meta = _latest_metadata(
+            storage_for_uri(self.options["path"]), self.options["path"]
+        )
         table_schema = parse_schema_string(meta["schemaString"])
         return T.StructType(list(table_schema.fields) + CDF_COLS)
 

@@ -179,3 +179,62 @@ def test_in_commit_timestamps_monotonic(spark, tmp_path):
     assert version_at_timestamp(spark, path, icts[1]) == 1
     assert version_at_timestamp(spark, path, icts[2] - 1) == 1
     assert t.snapshot(timestamp_ms=icts[0]).version == 0
+
+
+def test_cdf_gate_checks_metadata_at_start_version(spark, tmp_path):
+    """Commits written while CDF was OFF (and carrying no metaData action
+    themselves) must not be silently served: the gate resolves the table
+    metadata as of start_version, not just the end snapshot."""
+    from delta_kernel_rs_spark.sources.cdf import ChangeDataFeedError, table_changes
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))  # v0, CDF off
+    t.append(_ints(spark, 10, 20))  # v1, CDF off, no metaData action
+    snap = t.snapshot()
+    config = dict(snap.metadata.configuration)
+    config["delta.enableChangeDataFeed"] = "true"
+    Transaction(
+        spark,
+        path,
+        operation="SET TBLPROPERTIES",
+        read_snapshot=snap,
+        schema=snap.schema,
+        partition_columns=snap.metadata.partition_columns,
+        configuration=config,
+    ).with_updated_metadata().commit()  # v2 enables CDF
+    t.append(_ints(spark, 20, 30))  # v3, CDF on
+
+    with pytest.raises(ChangeDataFeedError):
+        table_changes(spark, path, 0)  # range starts before CDF was on
+    with pytest.raises(ChangeDataFeedError):
+        table_changes(spark, path, 1)
+    # from the enabling version onward it serves fine
+    assert table_changes(spark, path, 3).count() == 10
+
+
+def test_not_null_constraint_handles_special_column_names(spark, tmp_path):
+    """NOT NULL enforcement must survive column names with spaces/dots."""
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.transaction import ConstraintViolationError
+
+    schema = T.StructType(
+        [
+            T.StructField("weird name.with dots", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    path = str(tmp_path / "tbl")
+    df_ok = spark.createDataFrame([(1, 2)], schema)
+    t = DeltaTable.create(spark, path, df=df_ok, schema=schema)
+    bad_schema = T.StructType(
+        [
+            T.StructField("weird name.with dots", T.LongType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    df_bad = spark.createDataFrame([(None, 3)], bad_schema)
+    with pytest.raises(ConstraintViolationError):
+        Transaction(
+            spark, path, operation="WRITE", read_snapshot=t.snapshot()
+        ).write_data(df_bad).commit()

@@ -99,3 +99,29 @@ def test_vacuum_respects_retention(spark, tmp_path):
     t.delete("k < 25")
     # everything is younger than a day: nothing eligible
     assert t.vacuum(retention_ms=86_400_000, dry_run=True) == []
+
+
+def test_vacuum_uses_logical_deletion_time_not_mtime(spark, tmp_path):
+    """A file written long ago but DELETED recently must survive vacuum
+    inside the retention window (time travel / CDF readers still need it) —
+    eligibility follows remove.deletionTimestamp, never physical mtime."""
+    import os
+    import time
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100))
+    # Age every data file's mtime far beyond any retention window.
+    week_ago = time.time() - 14 * 86_400
+    for p in (tmp_path / "tbl").glob("**/*.parquet"):
+        if "_delta_log" not in str(p):
+            os.utime(p, (week_ago, week_ago))
+    t.delete("k < 40")  # logical delete happens NOW
+
+    # One-day retention: the just-deleted (but old-mtime) files must stay.
+    assert t.vacuum(retention_ms=86_400_000, dry_run=True) == []
+    # Time travel to v0 still works.
+    assert t.to_df(version=0).count() == 100
+    # Zero retention: now they are eligible.
+    removed = t.vacuum(retention_ms=0)
+    assert removed
+    assert {r.k for r in t.to_df().collect()} == set(range(40, 100))
