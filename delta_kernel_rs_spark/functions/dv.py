@@ -241,6 +241,96 @@ def write_dv_file(storage, table_path: str, dv_blobs: list[bytes]) -> tuple[str,
     return z85_encode(u.bytes), spans
 
 
+def dv_diff_df(spark, rows: list[tuple], table_path: str):
+    """Row-level diff of (old DV, new DV) pairs, decoded on EXECUTORS.
+
+    ``rows``: (group, file_path, version, ts_ms, old_dv|None, new_dv|None)
+    where the DVs are descriptor dicts. Output one row per differing row
+    index: (group, file_path, version, ts_ms, row_index, side) with side
+    'new_only' (newly deleted) or 'old_only' (restored). A None old DV
+    makes every new index 'new_only' — the shape exclusion sets need.
+
+    The *descriptors* are tiny and parallelize; the bitmaps (potentially
+    hundreds of millions of indexes per file on a 100 TB table) are only
+    ever materialized inside executor workers — the driver never sees a
+    row index (reference resolves DV sibling pairs the same way,
+    table_changes/resolve_dvs.rs; scan twin: deleted_rows_df below).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def desc_cols(dv: dict | None):
+        if not dv:
+            return (None, None, None, None)
+        return (
+            dv.get("storageType"),
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv_absolute_path(table_path, dv),
+        )
+
+    desc_rows = [
+        (group, path, version, ts_ms, *desc_cols(old), *desc_cols(new))
+        for group, path, version, ts_ms, old, new in rows
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows,
+        "group STRING, file_path STRING, version LONG, ts_ms LONG,"
+        " old_st STRING, old_p STRING, old_off LONG, old_path STRING,"
+        " new_st STRING, new_p STRING, new_off LONG, new_path STRING",
+    ).repartition(max(1, min(len(desc_rows), 64)))
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.fs as pafs
+
+        blob_cache: dict[str, bytes] = {}
+
+        def indexes(st, p_or_inline, off, abs_path) -> set[int]:
+            if st is None or (isinstance(st, float) and pd.isna(st)):
+                return set()
+            if st == "i":
+                return set(decode_treemap(z85_decode(p_or_inline)))
+            # Arrow→pandas turns a null int64 offset into NaN — normalize.
+            off = None if (off is None or pd.isna(off)) else int(off)
+            blob = blob_cache.get(abs_path)
+            if blob is None:
+                fs, rel = pafs.FileSystem.from_uri(
+                    abs_path if "://" in abs_path else f"file://{abs_path}"
+                )
+                with fs.open_input_stream(rel) as fh:
+                    blob = fh.read()
+                blob_cache[abs_path] = blob
+            return set(decode_treemap(extract_dv_blob(blob, off)))
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                old = indexes(r.old_st, r.old_p, r.old_off, r.old_path)
+                new = indexes(r.new_st, r.new_p, r.new_off, r.new_path)
+                for side, vals in (("new_only", new - old), ("old_only", old - new)):
+                    ordered = sorted(vals)
+                    for start in range(0, len(ordered), 1 << 20):
+                        chunk = ordered[start : start + (1 << 20)]
+                        if not chunk:
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "group": [r.group] * len(chunk),
+                                "file_path": [r.file_path] * len(chunk),
+                                "version": pd.Series([r.version] * len(chunk), dtype="int64"),
+                                "ts_ms": pd.Series([r.ts_ms] * len(chunk), dtype="int64"),
+                                "row_index": pd.Series(chunk, dtype="int64"),
+                                "side": [side] * len(chunk),
+                            }
+                        )
+
+    return desc_df.mapInPandas(
+        diff,
+        "group STRING, file_path STRING, version LONG, ts_ms LONG,"
+        " row_index LONG, side STRING",
+    )
+
+
 def deleted_rows_df(spark, files, table_path: str):
     """(file_path, row_index) DataFrame of all deleted rows across files.
 

@@ -2,11 +2,24 @@
 
 Mirrors the reference's table_changes module (kernel/src/table_changes/
 mod.rs:1-170 — output columns ``_change_type``/``_commit_version``/
-``_commit_timestamp`` :164-166; log_replay.rs — cdc actions supersede
-add/remove within a commit; resolve_dvs.rs — DV add/remove sibling pairs
-become row-level deltas; physical_to_logical.rs — column injection).
+``_commit_timestamp`` :164-166; log_replay.rs:46-100 — cdc actions
+supersede add/remove within a commit; resolve_dvs.rs — DV add/remove
+sibling pairs become row-level deltas; physical_to_logical.rs — column
+injection).
 
-Arms per commit:
+Scale shape (100 TB posture):
+  * ONE distributed JSON read covers every commit in the range — the
+    driver never parses commit bodies, and the plan has a CONSTANT number
+    of nodes regardless of range length (one read per change *type*, not
+    four arms per commit);
+  * per-commit version/timestamp are joined from a broadcast
+    (path → version, ts) map, the same trick the scan uses for file
+    constants;
+  * DV bitmaps (old/new sibling pairs and exclusion sets) are decoded and
+    diffed on EXECUTORS via ``functions.dv.dv_diff_df`` — the driver only
+    ships descriptors, never row indexes.
+
+Change classification per commit:
   * commits WITH cdc actions → read the cdc parquet files; they physically
     contain ``_change_type`` (insert/delete/update_preimage/update_postimage)
   * plain adds (dataChange)   → whole file as 'insert'
@@ -18,16 +31,16 @@ Arms per commit:
 
 from __future__ import annotations
 
-import json
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from delta_kernel_rs_spark.functions.dv import read_dv_row_indexes
+from delta_kernel_rs_spark.functions.dv import dv_diff_df
 from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
 from delta_kernel_rs_spark.functions.schema_codec import physical_name
+from delta_kernel_rs_spark.sources.actions import CDF_ACTIONS_SCHEMA
 from delta_kernel_rs_spark.sources.scan import normalize_file_path
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 from delta_kernel_rs_spark.sources.storage import storage_for
@@ -77,9 +90,9 @@ def table_changes(
         )
     # CDF must have been enabled for the WHOLE range, not just at the end
     # snapshot (reference table_changes/mod.rs:90-162). Commits inside the
-    # range that carry a metaData action are checked in the replay loop
-    # below, but commits written while CDF was off carry no metaData at
-    # all — so also resolve the table metadata AS OF start_version.
+    # range that carry a metaData action are checked in the replay below,
+    # but commits written while CDF was off carry no metaData at all — so
+    # also resolve the table metadata AS OF start_version.
     if start_version < snapshot.version:
         start_snap = Snapshot.create(spark, table_path, version=start_version)
         if not start_snap.metadata.cdf_enabled:
@@ -90,204 +103,254 @@ def table_changes(
     storage = storage_for(spark, table_path)
     log_dir = f"{table_path}/_delta_log"
 
+    # -- range availability + commit timestamps (one listing, no reads) ---
+    listing = {
+        e.path.rsplit("/", 1)[-1]: e for e in storage.list_dir(log_dir)
+    }
+    commit_paths: list[str] = []
+    mtime_ms: dict[int, int] = {}
+    for v in range(start_version, end_version + 1):
+        name = f"{v:020d}.json"
+        entry = listing.get(name)
+        if entry is None:
+            raise ChangeDataFeedError(
+                f"commit {v} is missing from the log — the requested CDF "
+                f"range [{start_version}, {end_version}] is unavailable "
+                "(log retention may have expired it)"
+            )
+        commit_paths.append(f"{log_dir}/{name}")
+        mtime_ms[v] = entry.last_modified_ms
+
     pcols = snapshot.metadata.partition_columns
     phys_fields = _physical_fields(snapshot)
+    read_schema = T.StructType(phys_fields)
 
+    # -- ONE distributed read over every commit in the range --------------
+    # Version comes from the commit filename ({v:020d}.json), computed
+    # in-plan — no per-commit arms, no driver-side body parse.
+    raw = (
+        spark.read.schema(CDF_ACTIONS_SCHEMA)
+        .json(commit_paths)
+        .withColumn(
+            "version",
+            F.split(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1), r"\."
+            )
+            .getItem(0)
+            .cast("long"),
+        )
+    )
+
+    # Range gate: any metaData action inside the range with CDF off.
+    gate = (
+        raw.filter(F.col("metaData").isNotNull())
+        .select(
+            "version",
+            F.coalesce(
+                F.lower(
+                    F.col("metaData.configuration").getItem(
+                        "delta.enableChangeDataFeed"
+                    )
+                ),
+                F.lit("false"),
+            ).alias("flag"),
+        )
+        .filter(F.col("flag") != "true")
+        .select("version")
+        .collect()
+    )
+    if gate:
+        v = min(r.version for r in gate)
+        raise ChangeDataFeedError(
+            f"change data feed was not enabled at version {v}; "
+            "the requested range cannot be served"
+        )
+
+    # In-commit timestamps (tiny: one row per commit).
+    ict = {
+        r.version: r.ict
+        for r in raw.filter(F.col("commitInfo.inCommitTimestamp").isNotNull())
+        .select("version", F.col("commitInfo.inCommitTimestamp").alias("ict"))
+        .collect()
+    }
+    ts_of = {v: ict.get(v, mtime_ms[v]) for v in range(start_version, end_version + 1)}
+
+    # cdc actions (tiny: one row per cdc file).
+    cdc_rows = (
+        raw.filter(F.col("cdc").isNotNull())
+        .select("version", "cdc.path", F.col("cdc.partitionValues").alias("pv"))
+        .collect()
+    )
+    cdc_versions = {r.version for r in cdc_rows}
+
+    # File events: at most one add and one remove per (version, path) —
+    # both present = DV swap. Only dataChange actions participate, and cdc
+    # supersedes add/remove within its commit.
+    events = (
+        raw.filter(
+            (F.col("add.dataChange") == True)  # noqa: E712
+            | (F.col("remove.dataChange") == True)  # noqa: E712
+        )
+        .groupBy(
+            "version",
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+        )
+        .agg(
+            F.first("add", ignorenulls=True).alias("add"),
+            F.first("remove", ignorenulls=True).alias("remove"),
+        )
+        .collect()
+    )
+
+    # -- classify into four global task groups -----------------------------
+    insert_tasks: dict[str, tuple[int, dict]] = {}  # abs path -> (version, pv)
+    delete_tasks: dict[str, tuple[int, dict]] = {}
+    swap_pv: dict[str, dict] = {}
+    ins_dv_rows: list[tuple] = []  # exclusion sets, decoded on executors
+    del_dv_rows: list[tuple] = []
+    swap_dv_rows: list[tuple] = []
+
+    def dv_dict(dv) -> dict | None:
+        if dv is None or dv.storageType is None:
+            return None
+        return dv.asDict()
+
+    for r in events:
+        if r.version in cdc_versions:
+            continue
+        abs_p = _abs_path(table_path, r.path)
+        ts = ts_of[r.version]
+        if r.add is not None and r.remove is not None:
+            # DV swap: same path removed+added → row-level bitmap diff.
+            swap_pv[abs_p] = dict(r.add.partitionValues or {})
+            swap_dv_rows.append(
+                (
+                    "swap",
+                    abs_p,
+                    r.version,
+                    ts,
+                    dv_dict(r.remove.deletionVector),
+                    dv_dict(r.add.deletionVector),
+                )
+            )
+        elif r.add is not None:
+            insert_tasks[abs_p] = (r.version, dict(r.add.partitionValues or {}))
+            new_dv = dv_dict(r.add.deletionVector)
+            if new_dv:
+                ins_dv_rows.append(("ins", abs_p, r.version, ts, None, new_dv))
+        else:
+            delete_tasks[abs_p] = (r.version, dict(r.remove.partitionValues or {}))
+            old_dv = dv_dict(r.remove.deletionVector)
+            if old_dv:
+                del_dv_rows.append(("del", abs_p, r.version, ts, None, old_dv))
+
+    # -- shared arm plumbing ----------------------------------------------
     def with_lineage(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "__file_path", normalize_file_path(F.col("_metadata.file_path"))
         ).withColumn("__row_index", F.col("_metadata.row_index"))
 
-    def join_constants(df: DataFrame, pv_by_path: dict[str, dict]) -> DataFrame:
-        """Per-file partition values via one broadcast join (not per-file
-        DataFrame arms — a commit adding thousands of files must stay one
-        read with one plan node)."""
+    def join_constants(df: DataFrame, by_path: dict[str, tuple[int, dict]]) -> DataFrame:
+        """Per-file (partition values, version, timestamp) via one broadcast
+        join — a commit range touching thousands of files stays one read
+        with one plan node."""
         consts = spark.createDataFrame(
-            [(p, pv or {}) for p, pv in pv_by_path.items()],
-            "__const_path STRING, __pv MAP<STRING,STRING>",
+            [(p, pv or {}, v, ts_of[v]) for p, (v, pv) in by_path.items()],
+            "__const_path STRING, __pv MAP<STRING,STRING>, __v LONG, __ts LONG",
         )
         return df.join(
             F.broadcast(consts), df["__file_path"] == F.col("__const_path"), "left"
         )
 
-    def logical_projection(df: DataFrame, change_type: str | None) -> DataFrame:
+    def logical_projection(df: DataFrame, change_type) -> DataFrame:
         cols = []
         for f in snapshot.schema.fields:
             if f.name in set(pcols):
-                raw = F.col("__pv").getItem(physical_name(f))
-                cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
+                raw_pv = F.col("__pv").getItem(physical_name(f))
+                cols.append(parse_partition_column(raw_pv, f.dataType).alias(f.name))
             else:
                 cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
-        ct = F.lit(change_type) if change_type is not None else F.col(CHANGE_TYPE_COL)
-        cols.append(ct.alias(CHANGE_TYPE_COL))
+        cols.append(change_type.alias(CHANGE_TYPE_COL))
+        cols.append(F.col("__v").alias(COMMIT_VERSION_COL))
+        cols.append(F.timestamp_millis(F.col("__ts")).alias(COMMIT_TIMESTAMP_COL))
         return df.select(*cols)
 
-    def idx_df(pairs: list[tuple[str, int]]) -> DataFrame:
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {"p": [p for p, _ in pairs], "ri": [ri for _, ri in pairs]}
+    def excl_join(df: DataFrame, dv_rows: list[tuple]) -> DataFrame:
+        """Anti-join away rows hidden by a file's DV (decoded distributed)."""
+        excl = dv_diff_df(spark, dv_rows, table_path).select(
+            F.col("file_path").alias("xp"), F.col("row_index").alias("xri")
         )
-        return spark.createDataFrame(pdf, "p STRING, ri LONG")
-
-    def idx_join(df: DataFrame, pairs: list[tuple[str, int]], how: str) -> DataFrame:
-        idx = idx_df(pairs)
         return df.join(
-            idx,
-            (df["__file_path"] == idx["p"]) & (df["__row_index"] == idx["ri"]),
-            how,
+            excl,
+            (df["__file_path"] == F.col("xp"))
+            & (df["__row_index"] == F.col("xri")),
+            "left_anti",
         )
 
-    read_schema = T.StructType(phys_fields)
     arms: list[DataFrame] = []
-    for v in range(start_version, end_version + 1):
-        commit_path = f"{log_dir}/{v:020d}.json"
-        try:
-            commit_text = storage.read_text(commit_path)
-        except OSError as exc:
-            raise ChangeDataFeedError(
-                f"commit {v} is missing from the log — the requested CDF "
-                f"range [{start_version}, {end_version}] is unavailable "
-                "(log retention may have expired it)"
-            ) from exc
-        adds, removes, cdcs = [], [], []
-        ict = None
-        for line in commit_text.splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                action = json.loads(line)
-            except ValueError:
-                continue
-            if "add" in action:
-                adds.append(action["add"])
-            elif "remove" in action:
-                removes.append(action["remove"])
-            elif "cdc" in action:
-                cdcs.append(action["cdc"])
-            elif "commitInfo" in action:
-                ict = action["commitInfo"].get("inCommitTimestamp")
-            elif "metaData" in action:
-                # CDF must be enabled across the WHOLE range, not just at
-                # the end snapshot (reference table_changes/mod.rs:90-162).
-                conf = action["metaData"].get("configuration") or {}
-                if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
-                    raise ChangeDataFeedError(
-                        f"change data feed was not enabled at version {v}; "
-                        "the requested range cannot be served"
-                    )
-        ts_ms = ict if ict is not None else storage.stat(commit_path).last_modified_ms
-        ts_col = F.timestamp_millis(F.lit(ts_ms))
 
-        def stamp(df: DataFrame) -> DataFrame:
-            return df.withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long")).withColumn(
-                COMMIT_TIMESTAMP_COL, ts_col
+    if insert_tasks:
+        df = with_lineage(spark.read.schema(read_schema).parquet(*insert_tasks))
+        if ins_dv_rows:
+            df = excl_join(df, ins_dv_rows)
+        df = join_constants(df, insert_tasks)
+        arms.append(logical_projection(df, F.lit("insert")))
+
+    if delete_tasks:
+        df = with_lineage(spark.read.schema(read_schema).parquet(*delete_tasks))
+        if del_dv_rows:
+            df = excl_join(df, del_dv_rows)
+        df = join_constants(df, delete_tasks)
+        arms.append(logical_projection(df, F.lit("delete")))
+
+    if swap_dv_rows:
+        # One read over all swapped files; the executor-decoded bitmap diff
+        # carries (version, ts, side) per row — an inner join turns it into
+        # row-level 'delete'/'insert' changes. The same path may be swapped
+        # at several versions in the range; each diff row is version-tagged.
+        diff = dv_diff_df(spark, swap_dv_rows, table_path).select(
+            F.col("file_path").alias("dp"),
+            F.col("row_index").alias("dri"),
+            F.col("version").alias("__v"),
+            F.col("ts_ms").alias("__ts"),
+            "side",
+        )
+        swap_df = with_lineage(spark.read.schema(read_schema).parquet(*swap_pv))
+        pv_consts = spark.createDataFrame(
+            [(p, pv or {}) for p, pv in swap_pv.items()],
+            "__const_path STRING, __pv MAP<STRING,STRING>",
+        )
+        joined = (
+            swap_df.join(
+                diff,
+                (swap_df["__file_path"] == F.col("dp"))
+                & (swap_df["__row_index"] == F.col("dri")),
+                "inner",
             )
-
-        if cdcs:
-            # cdc supersedes add/remove for this commit: ONE read over all
-            # cdc files, partition values joined per file.
-            cdc_schema = T.StructType(
-                phys_fields + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
+            .join(
+                F.broadcast(pv_consts),
+                swap_df["__file_path"] == F.col("__const_path"),
+                "left",
             )
-            pv_by_path = {
-                _abs_path(table_path, c["path"]): c.get("partitionValues") or {}
-                for c in cdcs
-            }
-            df = with_lineage(
-                spark.read.schema(cdc_schema).parquet(*pv_by_path.keys())
-            )
-            df = join_constants(df, pv_by_path)
-            arms.append(stamp(logical_projection(df, None)))
-            continue
+        )
+        ct = F.when(F.col("side") == "new_only", F.lit("delete")).otherwise(
+            F.lit("insert")
+        )
+        arms.append(logical_projection(joined, ct))
 
-        adds_by_path = {a["path"]: a for a in adds if a.get("dataChange")}
-        removes_by_path = {r["path"]: r for r in removes if r.get("dataChange")}
-
-        # Classify into whole-file arms + row-level DV work, then build at
-        # most four reads for the entire commit regardless of file count.
-        insert_paths: dict[str, dict] = {}  # abs path -> pv
-        insert_excl: list[tuple[str, int]] = []  # DV'd rows hidden on add
-        delete_paths: dict[str, dict] = {}
-        delete_excl: list[tuple[str, int]] = []
-        swap_deleted: list[tuple[str, int]] = []
-        swap_restored: list[tuple[str, int]] = []
-        swap_pv: dict[str, dict] = {}
-
-        for path, add in adds_by_path.items():
-            remove = removes_by_path.pop(path, None)
-            abs_p = _abs_path(table_path, path)
-            pv = add.get("partitionValues") or {}
-            if remove is None:
-                insert_paths[abs_p] = pv
-                if add.get("deletionVector"):
-                    insert_excl.extend(
-                        (abs_p, ri)
-                        for ri in read_dv_row_indexes(
-                            storage, table_path, add["deletionVector"]
-                        )
-                    )
-                continue
-            # DV swap: same path removed+added → row-level diff
-            old_dv = set(
-                read_dv_row_indexes(storage, table_path, remove["deletionVector"])
-                if remove.get("deletionVector")
-                else []
-            )
-            new_dv = set(
-                read_dv_row_indexes(storage, table_path, add["deletionVector"])
-                if add.get("deletionVector")
-                else []
-            )
-            swap_pv[abs_p] = pv
-            swap_deleted.extend((abs_p, ri) for ri in sorted(new_dv - old_dv))
-            swap_restored.extend((abs_p, ri) for ri in sorted(old_dv - new_dv))
-
-        for path, remove in removes_by_path.items():
-            abs_p = _abs_path(table_path, path)
-            delete_paths[abs_p] = remove.get("partitionValues") or {}
-            if remove.get("deletionVector"):
-                delete_excl.extend(
-                    (abs_p, ri)
-                    for ri in read_dv_row_indexes(
-                        storage, table_path, remove["deletionVector"]
-                    )
-                )
-
-        if insert_paths:
-            df = with_lineage(spark.read.schema(read_schema).parquet(*insert_paths))
-            if insert_excl:
-                df = idx_join(df, insert_excl, "left_anti")
-            df = join_constants(df, insert_paths)
-            arms.append(stamp(logical_projection(df, "insert")))
-        if delete_paths:
-            df = with_lineage(spark.read.schema(read_schema).parquet(*delete_paths))
-            if delete_excl:
-                df = idx_join(df, delete_excl, "left_anti")
-            df = join_constants(df, delete_paths)
-            arms.append(stamp(logical_projection(df, "delete")))
-        if swap_deleted or swap_restored:
-            swap_df = with_lineage(
-                spark.read.schema(read_schema).parquet(*swap_pv)
-            )
-            swap_df = join_constants(swap_df, swap_pv)
-            if swap_deleted:
-                arms.append(
-                    stamp(
-                        logical_projection(
-                            idx_join(swap_df, swap_deleted, "left_semi"), "delete"
-                        )
-                    )
-                )
-            if swap_restored:
-                arms.append(
-                    stamp(
-                        logical_projection(
-                            idx_join(swap_df, swap_restored, "left_semi"), "insert"
-                        )
-                    )
-                )
+    if cdc_rows:
+        # cdc supersedes add/remove for its commit: ONE read over all cdc
+        # files in the range; the physical files carry _change_type.
+        cdc_schema = T.StructType(
+            phys_fields + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
+        )
+        cdc_tasks = {
+            _abs_path(table_path, r.path): (r.version, dict(r.pv or {}))
+            for r in cdc_rows
+        }
+        df = with_lineage(spark.read.schema(cdc_schema).parquet(*cdc_tasks))
+        df = join_constants(df, cdc_tasks)
+        arms.append(logical_projection(df, F.col(CHANGE_TYPE_COL)))
 
     if not arms:
         fields = list(snapshot.schema.fields) + [
