@@ -57,6 +57,19 @@ def _pred_to_column(predicate):
     return predicate
 
 
+def _typed_predicate(predicate):
+    """Typed AST for file pruning: Predicate as-is; strings through the SQL
+    parser (None outside the grammar — every candidate file is then read,
+    which is safe, just unpruned)."""
+    if isinstance(predicate, Predicate):
+        return predicate
+    if isinstance(predicate, str):
+        from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
+
+        return try_parse_sql_predicate(predicate)
+    return None
+
+
 def _rel_path(table_path: str, abs_path: str) -> str:
     rel = abs_path[len(table_path.rstrip("/")) + 1 :]
     return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
@@ -124,7 +137,7 @@ def _candidate_df_with_lineage(scan):
 def delete_where(table, predicate) -> int:
     """Copy-on-write delete; returns the committed version."""
     snap = table.snapshot()
-    scan = snap.scan(predicate=predicate if isinstance(predicate, Predicate) else None)
+    scan = snap.scan(predicate=_typed_predicate(predicate))
     df, files = _candidate_df_with_lineage(scan)
     pred_col = _pred_to_column(predicate)
     if df is None:
@@ -228,7 +241,7 @@ def delete_with_dvs(table, predicate) -> int:
     """DV-based delete: no data rewrite — write roaring bitmaps and swap
     the ``add`` entries to carry DV descriptors."""
     snap = table.snapshot()
-    scan = snap.scan(predicate=predicate if isinstance(predicate, Predicate) else None)
+    scan = snap.scan(predicate=_typed_predicate(predicate))
     df, files = _candidate_df_with_lineage(scan)
     if df is None:
         return snap.version

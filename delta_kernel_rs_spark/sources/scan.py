@@ -118,6 +118,17 @@ class Scan:
         self.columns = columns
         self.with_row_ids = with_row_ids
         self._files_cache: list[ScanFile] | None = None
+        # String predicates are parsed into the typed AST so the default
+        # API gets file skipping + partition pruning too (reference
+        # workloads/src/predicate_parser.rs); outside the grammar the
+        # string stays a residual row filter only.
+        self._parsed_predicate = None
+        if isinstance(predicate, str):
+            from delta_kernel_rs_spark.plans.sql_parser import (
+                try_parse_sql_predicate,
+            )
+
+            self._parsed_predicate = try_parse_sql_predicate(predicate)
 
     # ------------------------------------------------------------------
     # Log replay → live adds
@@ -240,12 +251,13 @@ class Scan:
 
     def _file_skipping_predicate(self) -> Column | None:
         """Partition pruning + stats-based data skipping (plans/data_skipping)."""
-        if self.predicate is None:
+        pred = self._parsed_predicate if self._parsed_predicate is not None else self.predicate
+        if pred is None:
             return None
         from delta_kernel_rs_spark.plans.data_skipping import file_skipping_predicate
 
         return file_skipping_predicate(
-            self.predicate,
+            pred,
             self.snapshot.schema,
             self.snapshot.metadata.partition_columns,
         )
