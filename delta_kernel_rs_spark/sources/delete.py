@@ -75,8 +75,13 @@ def _rel_path(table_path: str, abs_path: str) -> str:
     return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
 
 
-def _candidate_df_with_lineage(scan):
+def _candidate_df_with_lineage(scan, files=None):
     """Scan DataFrame that keeps ``__file_path``/``__row_index`` visible.
+
+    ``files`` narrows the read to an explicit subset (the rewrite phase
+    passes the matched files so the second pass reads ONLY them — a
+    filter on the derived ``__file_path`` column could not prune files,
+    Catalyst doesn't push ``_metadata``-derived predicates to the scan).
 
     Rows already hidden by a file's deletion vector are excluded up front:
     a rewrite or DV update must never resurrect them (reference keys replay
@@ -85,7 +90,8 @@ def _candidate_df_with_lineage(scan):
     """
     snapshot = scan.snapshot
     spark = snapshot.spark
-    files = scan.files()
+    if files is None:
+        files = scan.files()
     if not files:
         return None, files
     df = spark.read.schema(scan._physical_read_schema()).parquet(
@@ -149,9 +155,14 @@ def delete_where(table, predicate) -> int:
     if not matched_paths:
         return snap.version
 
-    kept = (
-        df.filter(F.col("__file_path").isin(list(matched_paths)) & ~pred_col.eqNullSafe(F.lit(True)))
-        .select(*[f.name for f in snap.schema.fields])
+    # Rewrite phase reads ONLY the matched files — a second targeted scan,
+    # not a __file_path filter over the full candidate set (which Catalyst
+    # cannot use for file pruning).
+    touched_df, _ = _candidate_df_with_lineage(
+        scan, files=[f for f in files if f.path in matched_paths]
+    )
+    kept = touched_df.filter(~pred_col.eqNullSafe(F.lit(True))).select(
+        *[f.name for f in snap.schema.fields]
     )
     cdc_actions: list[dict] = []
     if snap.metadata.cdf_enabled:
@@ -159,7 +170,9 @@ def delete_where(table, predicate) -> int:
         # insert/delete pairs; when CDF is on, the deleted rows must be
         # recorded as cdc files, which supersede add/remove in the reader
         # (reference table_changes/log_replay.rs — cdc wins).
-        deleted_rows = df.filter(pred_col).select(*[f.name for f in snap.schema.fields])
+        deleted_rows = touched_df.filter(pred_col).select(
+            *[f.name for f in snap.schema.fields]
+        )
         cdc_actions = _write_cdc_files(table, deleted_rows, snap, "delete")
     file_info = {f.path: f for f in files}
     removes = []

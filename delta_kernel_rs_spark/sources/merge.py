@@ -77,7 +77,11 @@ def upsert(table, source_df: DataFrame, keys: list[str]) -> int:
     cdc_actions: list[dict] = []
     removes: list[dict] = []
     if matched_paths:
-        touched = df.filter(F.col("__file_path").isin(list(matched_paths)))
+        # Second, targeted read of only the matched files (a __file_path
+        # filter over the full scan cannot prune files in Catalyst).
+        touched, _ = _candidate_df_with_lineage(
+            scan, files=[f for f in files if f.path in matched_paths]
+        )
         s_cols = [F.col(f"s.{c}").alias(f"__s_{c}") for c in cols]
         joined = touched.alias("t").join(
             src.alias("s"), [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"

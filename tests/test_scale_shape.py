@@ -3,6 +3,8 @@ grows (VERDICT round-1 'done' criteria) + multi-part checkpoint writes."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -125,3 +127,69 @@ def test_vacuum_uses_logical_deletion_time_not_mtime(spark, tmp_path):
     removed = t.vacuum(retention_ms=0)
     assert removed
     assert {r.k for r in t.to_df().collect()} == set(range(40, 100))
+
+
+def test_delete_rewrite_reads_only_matched_files(spark, tmp_path, monkeypatch):
+    """The DELETE rewrite phase must issue a second, targeted read of the
+    matched files — not filter the full-table scan on derived __file_path
+    (which Catalyst cannot prune)."""
+    from delta_kernel_rs_spark.sources import transaction as txn_mod
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100, partitions=1))
+    for i in range(1, 6):
+        t.append(_ints(spark, i * 100, (i + 1) * 100, partitions=1),
+                 auto_checkpoint=False)
+
+    files = {f.path for f in t.snapshot().scan().files()}
+    assert len(files) == 6
+    captured: list[set[str]] = []
+    orig = txn_mod.Transaction.write_data
+
+    def spy(self, df):
+        captured.append({re.sub(r"^file:/+", "/", p) for p in df.inputFiles()})
+        return orig(self, df)
+
+    monkeypatch.setattr(txn_mod.Transaction, "write_data", spy)
+    t.delete("k >= 550")  # matches only the last file (500..600)
+    assert len(captured) == 1
+    assert len(captured[0]) == 1 and captured[0] <= files
+    assert t.to_df().count() == 550
+
+
+def test_upsert_rewrite_reads_only_matched_files(spark, tmp_path, monkeypatch):
+    """The MERGE rewrite arm must be a targeted read of matched files. (The
+    full write plan still contains the column-pruned key scan for insert
+    detection — that one is semantically required — so the assertion spies
+    on the file subsets handed to the candidate reader, not inputFiles().)"""
+    from delta_kernel_rs_spark.sources import delete as delete_mod
+    from delta_kernel_rs_spark.sources import merge as merge_mod
+
+    def _kv(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_kv(0, 100))
+    for i in range(1, 4):
+        t.append(_kv(i * 100, (i + 1) * 100), auto_checkpoint=False)
+    files = {f.path for f in t.snapshot().scan().files()}
+    assert len(files) == 4
+
+    subsets: list[int | None] = []
+    orig = delete_mod._candidate_df_with_lineage
+
+    def spy(scan, files=None):
+        subsets.append(None if files is None else len(files))
+        return orig(scan, files=files)
+
+    monkeypatch.setattr(merge_mod, "_candidate_df_with_lineage", spy)
+    src = spark.createDataFrame([(350, 9999)], "k LONG, v LONG")  # one file hit
+    t.upsert(src, keys=["k"])
+    # first call: full candidate scan (key matching); second: 1 matched file
+    assert subsets == [None, 1]
+    rows = {(r.k, r.v) for r in t.to_df().filter("k = 350").collect()}
+    assert rows == {(350, 9999)}
