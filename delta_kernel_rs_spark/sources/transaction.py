@@ -455,24 +455,74 @@ class Transaction:
                     raise ConcurrentModificationError(
                         f"table already exists at {self.table_path}"
                     ) from None
-                if self._extra_actions:
-                    # Only blind appends may be re-committed at a new
-                    # version; staged remove/cdc/DV-swap actions were built
-                    # against the read snapshot, so a version conflict means
-                    # the caller must rebase and re-derive them (reference
-                    # ConflictedTransaction, transaction/mod.rs:153,749).
-                    raise ConcurrentModificationError(
-                        "conflicting commit detected; this transaction "
-                        "carries non-append actions and must be re-run "
-                        "against a fresh snapshot"
-                    ) from None
                 if attempts >= MAX_COMMIT_ATTEMPTS:
                     raise ConcurrentModificationError(
                         f"gave up after {attempts} commit attempts at {self.table_path}"
                     ) from None
                 latest = self._revalidate()
+                if self._extra_actions:
+                    # Non-append transactions (removes / DV swaps / cdc) can
+                    # be REBASED instead of failed outright: examine the
+                    # commits that won the race; if they touched a disjoint
+                    # set of file keys and changed no metadata/protocol,
+                    # this transaction's staged actions are still valid at
+                    # the new version (reference conflict examination,
+                    # transaction/mod.rs:1675-1724 CommitResult::Conflicted).
+                    self._check_rebase_conflicts(version, latest.version)
                 hwm_snapshot = latest
                 version = latest.version + 1
+
+    def _touched_paths(self) -> set[str]:
+        """Relative file paths this transaction removes or swaps (its staged
+        remove/add actions — cdc files are fresh and can never collide)."""
+        out: set[str] = set()
+        for a in self._extra_actions:
+            for kind in ("remove", "add"):
+                body = a.get(kind)
+                if body and body.get("path"):
+                    out.add(body["path"])
+        return out
+
+    def _check_rebase_conflicts(self, from_version: int, to_version: int) -> None:
+        """Examine the commits that won the race (``[from_version,
+        to_version]``). Safe to rebase iff none of them changed
+        metadata/protocol and their file actions are disjoint from this
+        transaction's removes/DV-swaps; otherwise the staged actions were
+        derived from a stale snapshot and the caller must re-run.
+
+        Mirrors the reference's conflict examination
+        (transaction/mod.rs:1675-1724): a delete/delete overlap or a
+        swap of a file we are removing is a true conflict; concurrent
+        writers touching disjoint files serialize cleanly.
+        """
+        ours = self._touched_paths()
+        for v in range(from_version, to_version + 1):
+            path = f"{self.table_path}/{LOG_DIR}/{commit_filename(v)}"
+            try:
+                text = self.storage.read_text(path)
+            except OSError:
+                continue  # racing writer may still be flushing; be strict below
+            for line in text.splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except ValueError:
+                    continue
+                if "metaData" in action or "protocol" in action:
+                    raise ConcurrentModificationError(
+                        f"table metadata/protocol changed concurrently at "
+                        f"version {v}; re-run against a fresh snapshot"
+                    )
+                for kind in ("remove", "add"):
+                    body = action.get(kind)
+                    if body and body.get("path") in ours:
+                        raise ConcurrentModificationError(
+                            f"concurrent commit {v} touched file "
+                            f"{body['path']!r} that this transaction "
+                            "removes/rewrites; re-run against a fresh snapshot"
+                        )
 
     def _revalidate(self):
         """Conflict path: blind appends are safe iff table metadata did not

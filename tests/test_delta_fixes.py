@@ -51,29 +51,82 @@ def test_cow_delete_respects_existing_dvs(spark, tmp_path):
     assert removes and all(r.get("deletionVector") for r in removes)
 
 
-def test_non_append_conflict_refuses_retry(spark, tmp_path):
+def test_non_append_conflict_rebases_when_disjoint(spark, tmp_path):
+    """A DELETE racing a DISJOINT commit rebases and commits at the new
+    version (reference conflict examination, transaction/mod.rs:1675-1724);
+    it only refuses when the winner touched the same files or metadata."""
     path = str(tmp_path / "tbl")
     t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))
     snap = t.snapshot()
 
-    # A competing append lands first.
+    # A competing append lands first — touches only NEW files.
     t.append(_ints(spark, 10, 20))
 
+    live = t.snapshot(version=0).scan().files()
+    rel = live[0].path.rsplit("/", 1)[-1]
     txn = Transaction(spark, path, operation="DELETE", read_snapshot=snap)
-    txn.add_actions(
-        [{"remove": {"path": "bogus.parquet", "dataChange": True}}]
-    )
-    with pytest.raises(ConcurrentModificationError):
-        txn.commit()
+    txn.add_actions([{"remove": {"path": rel, "dataChange": True}}])
+    v = txn.commit()  # disjoint → rebased, not refused
+    assert v == 2
 
-    # A blind append from the same stale snapshot retries fine.
+    # A blind append from the same stale snapshot retries fine too.
     v = (
         Transaction(spark, path, operation="WRITE", read_snapshot=snap)
         .write_data(_ints(spark, 20, 30))
         .commit()
     )
-    assert v == 2
-    assert t.to_df().count() == 30
+    assert v == 3
+
+
+def test_concurrent_disjoint_deletes_both_commit(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100).repartition(4))
+    snap = t.snapshot()
+    files = sorted(f.path.rsplit("/", 1)[-1] for f in snap.scan().files())
+    assert len(files) >= 3
+
+    def delete_txn(rel):
+        txn = Transaction(spark, path, operation="DELETE", read_snapshot=snap)
+        txn.add_actions([{"remove": {"path": rel, "dataChange": True}}])
+        return txn
+
+    v1 = delete_txn(files[0]).commit()
+    v2 = delete_txn(files[1]).commit()  # stale snapshot, disjoint file
+    assert (v1, v2) == (1, 2)
+    remaining = {f.path.rsplit("/", 1)[-1] for f in t.snapshot().scan().files()}
+    assert files[0] not in remaining and files[1] not in remaining
+
+
+def test_concurrent_overlapping_deletes_one_fails(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100).repartition(4))
+    snap = t.snapshot()
+    rel = snap.scan().files()[0].path.rsplit("/", 1)[-1]
+
+    def delete_txn():
+        txn = Transaction(spark, path, operation="DELETE", read_snapshot=snap)
+        txn.add_actions([{"remove": {"path": rel, "dataChange": True}}])
+        return txn
+
+    assert delete_txn().commit() == 1
+    with pytest.raises(ConcurrentModificationError, match="touched file"):
+        delete_txn().commit()
+
+
+def test_rebase_refuses_after_concurrent_metadata_change(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))
+    snap = t.snapshot()
+    rel = snap.scan().files()[0].path.rsplit("/", 1)[-1]
+
+    from pyspark.sql import types as T
+
+    t.add_column("extra", T.LongType())  # metadata change wins the race
+
+    txn = Transaction(spark, path, operation="DELETE", read_snapshot=snap)
+    txn.add_actions([{"remove": {"path": rel, "dataChange": True}}])
+    with pytest.raises(ConcurrentModificationError):
+        txn.commit()
 
 
 def test_dv_protocol_merges_existing_features(spark, tmp_path):
