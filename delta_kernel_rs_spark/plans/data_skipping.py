@@ -130,6 +130,32 @@ class _SkippingRewriter:
         raw = F.col(PARTITION_VALUES_COLUMN).getItem(self.phys[name])
         return parse_partition_column(raw, self.types[name])
 
+    _INT_BOUNDS = {
+        T.ByteType: 2**7 - 1,
+        T.ShortType: 2**15 - 1,
+        T.IntegerType: 2**31 - 1,
+        T.LongType: 2**63 - 1,
+    }
+
+    def _stat_literal(self, name: str, value) -> Column | None:
+        """Literal cast to the stat column's type for min/max comparison.
+
+        Returns None (⇒ unknown, never prunes) when the cast would be
+        lossy: a fractional double against an integral column truncates
+        toward zero under Spark's non-ANSI cast (``x < 0.5`` on an int
+        column would rewrite to ``min < 0`` and wrongly prune a file whose
+        min is 0), and an out-of-range integer wraps.  Sound because the
+        residual row filter still evaluates the true predicate.
+        """
+        t = self.stat_types[name]
+        bound = self._INT_BOUNDS.get(type(t))
+        if bound is not None:
+            if isinstance(value, float) and value != int(value):
+                return None
+            if isinstance(value, (int, float)) and not -bound - 1 <= value <= bound:
+                return None
+        return F.lit(value).cast(t)
+
     # -- classification ---------------------------------------------------
     def _col_lit(self, p: Compare) -> tuple[Col, Literal] | None:
         """Return (column, literal) for a comparison, swapping sides so the
@@ -190,7 +216,9 @@ class _SkippingRewriter:
             if not self._has_stats(c):
                 return None
             lo, hi = self._min(c.path), self._max(c.path)
-            lv = F.lit(v.value).cast(self.stat_types[c.path])
+            lv = self._stat_literal(c.path, v.value)
+            if lv is None:
+                return None
             if p.op == "lt":
                 out = lo < lv
             elif p.op == "le":
@@ -236,7 +264,10 @@ class _SkippingRewriter:
                     lo, hi = self._min(c.path), self._max(c.path)
                     out = None
                     for v in p.values:
-                        lv = F.lit(v).cast(self.stat_types[c.path])
+                        lv = self._stat_literal(c.path, v)
+                        if lv is None:
+                            # one lossy disjunct makes the whole IN unknown
+                            return None
                         term = (lo <= lv) & (hi >= lv)
                         out = term if out is None else (out | term)
                     if out is not None:
@@ -265,7 +296,9 @@ class _SkippingRewriter:
                         else has_null
                     )
                 lo, hi = self._min(c.path), self._max(c.path)
-                lv = F.lit(v.value).cast(self.stat_types[c.path])
+                lv = self._stat_literal(c.path, v.value)
+                if lv is None:
+                    return None
                 if isinstance(p, Distinct):
                     return (self._null_count(c.path) > 0) | ~((lo == lv) & (hi == lv))
                 return self._not_all_null(c.path) & (lo <= lv) & (hi >= lv)

@@ -95,9 +95,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(
+        self, tokens: list[tuple[str, str]], bool_columns: set[str] | None = None
+    ):
         self.toks = tokens
         self.i = 0
+        self.bool_columns = bool_columns
 
     # -- token helpers ----------------------------------------------------
     def peek(self) -> tuple[str, str] | None:
@@ -200,11 +203,18 @@ class _Parser:
             right = self.parse_operand()
             return Compare(_CMP_OPS[t[1]], left, right)
 
-        # A bare boolean column / literal used as a predicate.
+        # A bare boolean column / literal used as a predicate. The implicit
+        # `= TRUE` is only sound when the column is KNOWN boolean — for an
+        # int column it would prune files via boolean-cast stats while the
+        # residual F.expr fails analysis; stay residual-only instead.
         if isinstance(left, Literal) and isinstance(left.value, bool):
             return BoolLiteral(left.value)
         if isinstance(left, Col):
-            return Compare("eq", left, Literal(True))
+            if self.bool_columns is not None and left.path in self.bool_columns:
+                return Compare("eq", left, Literal(True))
+            raise SqlParseError(
+                f"bare column {left.path!r} is not a known boolean column"
+            )
         raise SqlParseError("expected a comparison operator")
 
     # -- operand grammar ----------------------------------------------------
@@ -295,14 +305,25 @@ class _Parser:
         return text[1:-1].replace("''", "'")
 
 
-def parse_sql_predicate(text: str) -> Predicate:
+def parse_sql_predicate(text: str, schema=None) -> Predicate:
     """Parse ``text`` into a Predicate AST; raises SqlParseError outside
-    the supported grammar (callers fall back to ``F.expr``)."""
-    return _Parser(_tokenize(text)).parse()
+    the supported grammar (callers fall back to ``F.expr``).
+
+    ``schema`` (optional StructType) is only consulted to validate bare
+    boolean-column predicates (``predicate="flag"``)."""
+    return _Parser(_tokenize(text), _bool_columns(schema)).parse()
 
 
-def try_parse_sql_predicate(text: str) -> Predicate | None:
+def _bool_columns(schema) -> set[str] | None:
+    if schema is None:
+        return None
+    from pyspark.sql import types as T
+
+    return {f.name for f in schema.fields if isinstance(f.dataType, T.BooleanType)}
+
+
+def try_parse_sql_predicate(text: str, schema=None) -> Predicate | None:
     try:
-        return parse_sql_predicate(text)
+        return parse_sql_predicate(text, schema)
     except SqlParseError:
         return None

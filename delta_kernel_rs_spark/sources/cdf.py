@@ -141,71 +141,71 @@ def table_changes(
         )
     )
 
-    # Range gate: any metaData action inside the range with CDF off.
-    gate = (
-        raw.filter(F.col("metaData").isNotNull())
-        .select(
+    # -- ONE metadata job: gate + ICT + cdc + file events in one collect --
+    # (was 4 separate jobs, each re-reading the commit-range JSON; the rows
+    # collected are still O(file-actions-in-range) — the commit bodies
+    # themselves, never row data). Add/remove pairing per (version, path)
+    # happens driver-side over the collected actions, which also drops the
+    # groupBy shuffle the old events job paid.
+    meta_rows = (
+        raw.select(
             "version",
-            F.coalesce(
-                F.lower(
-                    F.col("metaData.configuration").getItem(
-                        "delta.enableChangeDataFeed"
-                    )
-                ),
-                F.lit("false"),
-            ).alias("flag"),
+            F.col("metaData").isNotNull().alias("has_meta"),
+            F.lower(
+                F.col("metaData.configuration").getItem("delta.enableChangeDataFeed")
+            ).alias("cdf_flag"),
+            F.col("commitInfo.inCommitTimestamp").alias("ict"),
+            F.col("cdc.path").alias("cdc_path"),
+            F.col("cdc.partitionValues").alias("cdc_pv"),
+            F.when(F.col("add.dataChange") == True, F.col("add")).alias(  # noqa: E712
+                "add"
+            ),
+            F.when(F.col("remove.dataChange") == True, F.col("remove")).alias(  # noqa: E712
+                "remove"
+            ),
         )
-        .filter(F.col("flag") != "true")
-        .select("version")
+        .filter(
+            F.col("has_meta")
+            | F.col("ict").isNotNull()
+            | F.col("cdc_path").isNotNull()
+            | F.col("add").isNotNull()
+            | F.col("remove").isNotNull()
+        )
         .collect()
     )
-    if gate:
-        v = min(r.version for r in gate)
+
+    gate_violations: list[int] = []
+    ict: dict[int, int] = {}
+    cdc_rows: list = []
+    # (version, path) → [add_action|None, remove_action|None]; a path with
+    # file events at several versions in the range (add@v5, remove@v7,
+    # re-add@v9 via RESTORE) keeps one event per version — keying by path
+    # alone would collapse them and drop change rows (round-3 ADVICE).
+    event_map: dict[tuple[int, str], list] = {}
+    for r in meta_rows:
+        if r.has_meta and (r.cdf_flag or "false") != "true":
+            gate_violations.append(r.version)
+        if r.ict is not None:
+            ict[r.version] = r.ict
+        if r.cdc_path is not None:
+            cdc_rows.append(r)
+        for i, action in enumerate((r.add, r.remove)):
+            if action is not None:
+                slot = event_map.setdefault((r.version, action.path), [None, None])
+                if slot[i] is None:
+                    slot[i] = action
+    if gate_violations:
         raise ChangeDataFeedError(
-            f"change data feed was not enabled at version {v}; "
+            f"change data feed was not enabled at version {min(gate_violations)}; "
             "the requested range cannot be served"
         )
-
-    # In-commit timestamps (tiny: one row per commit).
-    ict = {
-        r.version: r.ict
-        for r in raw.filter(F.col("commitInfo.inCommitTimestamp").isNotNull())
-        .select("version", F.col("commitInfo.inCommitTimestamp").alias("ict"))
-        .collect()
-    }
     ts_of = {v: ict.get(v, mtime_ms[v]) for v in range(start_version, end_version + 1)}
-
-    # cdc actions (tiny: one row per cdc file).
-    cdc_rows = (
-        raw.filter(F.col("cdc").isNotNull())
-        .select("version", "cdc.path", F.col("cdc.partitionValues").alias("pv"))
-        .collect()
-    )
     cdc_versions = {r.version for r in cdc_rows}
 
-    # File events: at most one add and one remove per (version, path) —
-    # both present = DV swap. Only dataChange actions participate, and cdc
-    # supersedes add/remove within its commit.
-    events = (
-        raw.filter(
-            (F.col("add.dataChange") == True)  # noqa: E712
-            | (F.col("remove.dataChange") == True)  # noqa: E712
-        )
-        .groupBy(
-            "version",
-            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
-        )
-        .agg(
-            F.first("add", ignorenulls=True).alias("add"),
-            F.first("remove", ignorenulls=True).alias("remove"),
-        )
-        .collect()
-    )
-
     # -- classify into four global task groups -----------------------------
-    insert_tasks: dict[str, tuple[int, dict]] = {}  # abs path -> (version, pv)
-    delete_tasks: dict[str, tuple[int, dict]] = {}
-    swap_pv: dict[str, dict] = {}
+    insert_tasks: dict[tuple[int, str], dict] = {}  # (version, abs path) -> pv
+    delete_tasks: dict[tuple[int, str], dict] = {}
+    swap_pv: dict[str, dict] = {}  # pv is a property of the physical file
     ins_dv_rows: list[tuple] = []  # exclusion sets, decoded on executors
     del_dv_rows: list[tuple] = []
     swap_dv_rows: list[tuple] = []
@@ -215,34 +215,34 @@ def table_changes(
             return None
         return dv.asDict()
 
-    for r in events:
-        if r.version in cdc_versions:
+    for (version, rel_path), (add, remove) in event_map.items():
+        if version in cdc_versions:
             continue
-        abs_p = _abs_path(table_path, r.path)
-        ts = ts_of[r.version]
-        if r.add is not None and r.remove is not None:
+        abs_p = _abs_path(table_path, rel_path)
+        ts = ts_of[version]
+        if add is not None and remove is not None:
             # DV swap: same path removed+added → row-level bitmap diff.
-            swap_pv[abs_p] = dict(r.add.partitionValues or {})
+            swap_pv[abs_p] = dict(add.partitionValues or {})
             swap_dv_rows.append(
                 (
                     "swap",
                     abs_p,
-                    r.version,
+                    version,
                     ts,
-                    dv_dict(r.remove.deletionVector),
-                    dv_dict(r.add.deletionVector),
+                    dv_dict(remove.deletionVector),
+                    dv_dict(add.deletionVector),
                 )
             )
-        elif r.add is not None:
-            insert_tasks[abs_p] = (r.version, dict(r.add.partitionValues or {}))
-            new_dv = dv_dict(r.add.deletionVector)
+        elif add is not None:
+            insert_tasks[(version, abs_p)] = dict(add.partitionValues or {})
+            new_dv = dv_dict(add.deletionVector)
             if new_dv:
-                ins_dv_rows.append(("ins", abs_p, r.version, ts, None, new_dv))
+                ins_dv_rows.append(("ins", abs_p, version, ts, None, new_dv))
         else:
-            delete_tasks[abs_p] = (r.version, dict(r.remove.partitionValues or {}))
-            old_dv = dv_dict(r.remove.deletionVector)
+            delete_tasks[(version, abs_p)] = dict(remove.partitionValues or {})
+            old_dv = dv_dict(remove.deletionVector)
             if old_dv:
-                del_dv_rows.append(("del", abs_p, r.version, ts, None, old_dv))
+                del_dv_rows.append(("del", abs_p, version, ts, None, old_dv))
 
     # -- shared arm plumbing ----------------------------------------------
     def with_lineage(df: DataFrame) -> DataFrame:
@@ -250,16 +250,20 @@ def table_changes(
             "__file_path", normalize_file_path(F.col("_metadata.file_path"))
         ).withColumn("__row_index", F.col("_metadata.row_index"))
 
-    def join_constants(df: DataFrame, by_path: dict[str, tuple[int, dict]]) -> DataFrame:
+    def join_constants(
+        df: DataFrame, tasks: dict[tuple[int, str], dict]
+    ) -> DataFrame:
         """Per-file (partition values, version, timestamp) via one broadcast
         join — a commit range touching thousands of files stays one read
-        with one plan node."""
+        with one plan node. The constants table has one row per (version,
+        path) event, and the join is on path alone: a file with events at
+        several versions fans out to one change row set per version."""
         consts = spark.createDataFrame(
-            [(p, pv or {}, v, ts_of[v]) for p, (v, pv) in by_path.items()],
+            [(p, pv or {}, v, ts_of[v]) for (v, p), pv in tasks.items()],
             "__const_path STRING, __pv MAP<STRING,STRING>, __v LONG, __ts LONG",
         )
         return df.join(
-            F.broadcast(consts), df["__file_path"] == F.col("__const_path"), "left"
+            F.broadcast(consts), df["__file_path"] == F.col("__const_path"), "inner"
         )
 
     def logical_projection(df: DataFrame, change_type) -> DataFrame:
@@ -276,31 +280,45 @@ def table_changes(
         return df.select(*cols)
 
     def excl_join(df: DataFrame, dv_rows: list[tuple]) -> DataFrame:
-        """Anti-join away rows hidden by a file's DV (decoded distributed)."""
+        """Anti-join away rows hidden by a file's DV (decoded distributed).
+
+        Runs AFTER join_constants so the match is on (path, row_index,
+        version): a DV on a re-add@v9 must not exclude rows from the same
+        path's plain add@v5 (round-3 ADVICE)."""
         excl = dv_diff_df(spark, dv_rows, table_path).select(
-            F.col("file_path").alias("xp"), F.col("row_index").alias("xri")
+            F.col("file_path").alias("xp"),
+            F.col("row_index").alias("xri"),
+            F.col("version").alias("xv"),
         )
         return df.join(
             excl,
             (df["__file_path"] == F.col("xp"))
-            & (df["__row_index"] == F.col("xri")),
+            & (df["__row_index"] == F.col("xri"))
+            & (df["__v"] == F.col("xv")),
             "left_anti",
         )
+
+    def read_paths(tasks: dict[tuple[int, str], dict]) -> list[str]:
+        return sorted({p for (_, p) in tasks})
 
     arms: list[DataFrame] = []
 
     if insert_tasks:
-        df = with_lineage(spark.read.schema(read_schema).parquet(*insert_tasks))
+        df = with_lineage(
+            spark.read.schema(read_schema).parquet(*read_paths(insert_tasks))
+        )
+        df = join_constants(df, insert_tasks)
         if ins_dv_rows:
             df = excl_join(df, ins_dv_rows)
-        df = join_constants(df, insert_tasks)
         arms.append(logical_projection(df, F.lit("insert")))
 
     if delete_tasks:
-        df = with_lineage(spark.read.schema(read_schema).parquet(*delete_tasks))
+        df = with_lineage(
+            spark.read.schema(read_schema).parquet(*read_paths(delete_tasks))
+        )
+        df = join_constants(df, delete_tasks)
         if del_dv_rows:
             df = excl_join(df, del_dv_rows)
-        df = join_constants(df, delete_tasks)
         arms.append(logical_projection(df, F.lit("delete")))
 
     if swap_dv_rows:
@@ -345,10 +363,12 @@ def table_changes(
             phys_fields + [T.StructField(CHANGE_TYPE_COL, T.StringType(), True)]
         )
         cdc_tasks = {
-            _abs_path(table_path, r.path): (r.version, dict(r.pv or {}))
+            (r.version, _abs_path(table_path, r.cdc_path)): dict(r.cdc_pv or {})
             for r in cdc_rows
         }
-        df = with_lineage(spark.read.schema(cdc_schema).parquet(*cdc_tasks))
+        df = with_lineage(
+            spark.read.schema(cdc_schema).parquet(*read_paths(cdc_tasks))
+        )
         df = join_constants(df, cdc_tasks)
         arms.append(logical_projection(df, F.col(CHANGE_TYPE_COL)))
 

@@ -57,7 +57,7 @@ def _pred_to_column(predicate):
     return predicate
 
 
-def _typed_predicate(predicate):
+def _typed_predicate(predicate, schema=None):
     """Typed AST for file pruning: Predicate as-is; strings through the SQL
     parser (None outside the grammar — every candidate file is then read,
     which is safe, just unpruned)."""
@@ -66,7 +66,7 @@ def _typed_predicate(predicate):
     if isinstance(predicate, str):
         from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
 
-        return try_parse_sql_predicate(predicate)
+        return try_parse_sql_predicate(predicate, schema)
     return None
 
 
@@ -143,7 +143,7 @@ def _candidate_df_with_lineage(scan, files=None):
 def delete_where(table, predicate) -> int:
     """Copy-on-write delete; returns the committed version."""
     snap = table.snapshot()
-    scan = snap.scan(predicate=_typed_predicate(predicate))
+    scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))
     df, files = _candidate_df_with_lineage(scan)
     pred_col = _pred_to_column(predicate)
     if df is None:
@@ -254,7 +254,7 @@ def delete_with_dvs(table, predicate) -> int:
     """DV-based delete: no data rewrite — write roaring bitmaps and swap
     the ``add`` entries to carry DV descriptors."""
     snap = table.snapshot()
-    scan = snap.scan(predicate=_typed_predicate(predicate))
+    scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))
     df, files = _candidate_df_with_lineage(scan)
     if df is None:
         return snap.version

@@ -128,7 +128,9 @@ class Scan:
                 try_parse_sql_predicate,
             )
 
-            self._parsed_predicate = try_parse_sql_predicate(predicate)
+            self._parsed_predicate = try_parse_sql_predicate(
+                predicate, snapshot.schema
+            )
 
     # ------------------------------------------------------------------
     # Log replay → live adds

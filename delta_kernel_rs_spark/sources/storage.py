@@ -256,18 +256,40 @@ class ArrowStorage:
     """
 
     def __init__(self, base_url: str):
+        import urllib.parse
+
         import pyarrow.fs as pafs
 
-        self._fs, _ = pafs.FileSystem.from_uri(self._uri(base_url))
+        uri = self._uri(base_url)
+        self._fs, base_rel = pafs.FileSystem.from_uri(uri)
+        # scheme://authority prefix that turns a filesystem-relative path
+        # back into a full URI. Two layouts exist: S3/GCS fold the bucket
+        # into the fs path ("bucket/key"), so the prefix is bare
+        # "scheme://"; HDFS/file keep authority out of the path ("/key"),
+        # so the prefix carries it.
+        parsed = urllib.parse.urlsplit(uri)
+        if parsed.netloc and base_rel.startswith(parsed.netloc):
+            self._prefix = f"{parsed.scheme}://"
+        else:
+            self._prefix = f"{parsed.scheme}://{parsed.netloc}"
 
     @staticmethod
     def _uri(path: str) -> str:
         return path if "://" in path else f"file://{path}"
 
+    def _full(self, rel: str) -> str:
+        """Filesystem-relative path → full URI (listings/stat must return
+        paths that round-trip through read_text/read_bytes)."""
+        return f"{self._prefix}{rel}"
+
     def _rel(self, path: str) -> str:
+        # A path without a scheme is already filesystem-relative (POSIX
+        # paths double as LocalFileSystem paths; S3 paths are bucket/key).
+        if "://" not in path:
+            return path
         import pyarrow.fs as pafs
 
-        _, rel = pafs.FileSystem.from_uri(self._uri(path))
+        _, rel = pafs.FileSystem.from_uri(path)
         return rel
 
     def list_dir(self, directory: str) -> list[FileEntry]:
@@ -276,7 +298,7 @@ class ArrowStorage:
         sel = pafs.FileSelector(self._rel(directory), allow_not_found=True)
         out = [
             FileEntry(
-                info.path,
+                self._full(info.path),
                 info.size or 0,
                 int(info.mtime.timestamp() * 1000) if info.mtime else 0,
             )
@@ -301,7 +323,7 @@ class ArrowStorage:
         )
         out = [
             FileEntry(
-                info.path,
+                self._full(info.path),
                 info.size or 0,
                 int(info.mtime.timestamp() * 1000) if info.mtime else 0,
             )

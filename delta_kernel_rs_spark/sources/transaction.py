@@ -500,8 +500,14 @@ class Transaction:
             path = f"{self.table_path}/{LOG_DIR}/{commit_filename(v)}"
             try:
                 text = self.storage.read_text(path)
-            except OSError:
-                continue  # racing writer may still be flushing; be strict below
+            except OSError as e:
+                # Never rebase past a commit we could not examine: its file
+                # actions might overlap ours, and skipping it would let stale
+                # removes/DV-swaps land on top (lost update / double-remove).
+                raise ConcurrentModificationError(
+                    f"cannot examine racing commit {v} ({e}); "
+                    "re-run against a fresh snapshot"
+                ) from e
             for line in text.splitlines():
                 line = line.strip()
                 if not line:
