@@ -470,6 +470,72 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# d18 multi-clause MERGE: WHEN MATCHED [AND cond] UPDATE / DELETE +
+# WHEN NOT MATCHED [AND cond] INSERT, first-firing-clause-wins
+
+
+def d18_delta_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE (reference building blocks
+    kernel/src/transaction/update.rs): matched rows with l_quantity <= 25
+    are updated (expression assignments over s/t), other matched rows are
+    deleted, and qualifying unmatched source keys are inserted."""
+    import datetime as _dt
+
+    key = (sf_dir, "merge3")
+    if key not in _FIXTURES:
+        path = f"{tempfile.mkdtemp(prefix='dkrs_merge3_')}/tbl"
+        src = _src(spark, sf_dir)
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        consts = [
+            F.lit(0).cast("long").alias("l_partkey"),
+            F.lit(-1.0).alias("l_quantity"),
+            F.lit(0.0).alias("l_extendedprice"),
+            F.lit(_dt.datetime(1995, 1, 1)).alias("l_shipdate"),
+            F.lit("X").alias("l_returnflag"),
+        ]
+        matched_keys = _chunk(src, 8, 0).select("l_orderkey").distinct()
+        insert_keys = (
+            _chunk(src, 4, 2)
+            .filter(F.col("l_orderkey") % 3 == 0)
+            .select("l_orderkey")
+            .distinct()
+        )
+        merge_src = matched_keys.unionByName(insert_keys).select("l_orderkey", *consts)
+        t.merge(
+            merge_src,
+            on=["l_orderkey"],
+            when_matched_update={
+                "l_quantity": "t.l_quantity + 100",
+                "l_returnflag": "'U'",
+            },
+            when_matched_update_condition="t.l_quantity <= 25",
+            when_matched_delete=True,
+            when_not_matched_insert="*",
+            when_not_matched_insert_condition="s.l_orderkey % 5 = 0",
+        )
+        _FIXTURES[key] = path
+    return DeltaTable(spark, _FIXTURES[key]).to_df()
+
+
+register(
+    "d18_delta_merge_multi_clause",
+    d18_delta_merge_multi_clause,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 8 = 0)
+    UNION ALL
+    SELECT l_orderkey, l_partkey, l_quantity + 100, l_extendedprice,
+           l_shipdate, 'U'
+    FROM lineitem WHERE l_orderkey % 8 = 0 AND l_quantity <= 25
+    UNION ALL
+    SELECT DISTINCT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
+           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
+    FROM lineitem
+    WHERE l_orderkey % 4 = 2 AND l_orderkey % 3 = 0 AND l_orderkey % 5 = 0
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # d16 ScanJson: schema'd NDJSON read (the kernel's JsonHandler read shape)
 
 

@@ -227,10 +227,17 @@ def _write_cdc_files(table, rows_df, snap, change_type: str) -> list[dict]:
     from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
     from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
 
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
     actions = []
     for entry in table.storage.list_recursive(staging):
         if not entry.path.endswith(".parquet"):
             continue
+        uri = entry.path if "://" in entry.path else f"file://{entry.path}"
+        fs, fs_rel = pafs.FileSystem.from_uri(uri)
+        if pq.read_metadata(fs_rel, filesystem=fs).num_rows == 0:
+            continue  # schema-only part file — no change rows to publish
         rel = entry.path[len(staging.rstrip("/")) + 1 :]
         final_rel = f"_change_data/{rel}"
         table.storage.rename(entry.path, f"{table.path}/{final_rel}")

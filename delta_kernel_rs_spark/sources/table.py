@@ -202,6 +202,13 @@ class DeltaTable:
 
         return upsert(self, source_df, keys)
 
+    def merge(self, source_df: DataFrame, on: list[str], **clauses) -> int:
+        """Multi-clause MERGE INTO (WHEN MATCHED [AND cond] UPDATE/DELETE,
+        WHEN NOT MATCHED [AND cond] INSERT). See sources/merge.py."""
+        from delta_kernel_rs_spark.sources.merge import merge
+
+        return merge(self, source_df, on, **clauses)
+
     def delete(self, predicate) -> int:
         """Row-level delete by file rewrite (copy-on-write).
 

@@ -283,6 +283,11 @@ class Transaction:
             raw_pv = parse_hive_partition_path(dirpart) if dirpart else {}
             pv = {p: raw_pv[p] for p in phys_parts if p in raw_pv}
             raw_stats = stats_by_path.get(final_abs)
+            if raw_stats is not None and raw_stats.get("numRecords") == 0:
+                # Spark writes schema-only part files for empty partitions;
+                # a zero-row add is pure log noise — drop file and action.
+                self.storage.delete(final_abs)
+                continue
             adds.append(
                 {
                     "add": {
@@ -431,6 +436,11 @@ class Transaction:
         base_actions.extend(self._txn_actions)
         base_actions.extend(self._domain_metadata)
         base_actions.extend(self._extra_actions)
+
+        if not self.is_create and not base_actions and not adds and self.read_snapshot is not None:
+            # Nothing to commit (e.g. a MERGE whose source changed no rows):
+            # skip the empty version bump, report the version we read.
+            return self.read_snapshot.version
 
         version = 0 if self.read_snapshot is None else self.read_snapshot.version + 1
         hwm_snapshot = self.read_snapshot
