@@ -33,12 +33,19 @@ from delta_kernel_rs_spark.operators.hashing import (
     PERMUTATIONS,
     md5_hash32,
 )
+from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
 
 def with_word_shingles(
     df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
 ) -> DataFrame:
-    """Add the distinct set of word k-shingles; drops rows with < k words."""
+    """Add the distinct set of word k-shingles; drops rows with < k words.
+
+    Shingle construction is the CPU-heavy head of every text-similarity
+    plan, so under-partitioned input (a single parquet row group) is
+    fanned out first — see ``operators.parallel``.
+    """
+    df = ensure_min_parallelism(df)
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     shingles = F.array_distinct(
@@ -162,6 +169,55 @@ def neardup_pairs_minhash(
     )
 
 
+#: Chooser knobs: docs sampled for vocabulary statistics, and the
+#: estimated per-posting join fanout (Σf²/Σf, scaled to the full corpus)
+#: above which the count-method posting join is considered quadratic
+#: enough that prefix pruning pays for its extra passes.
+JACCARD_AUTO_SAMPLE_DOCS = 2_000
+JACCARD_AUTO_FANOUT_CUTOFF = 1_000.0
+
+
+def _choose_jaccard_method(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    block_cols: list[str],
+) -> str:
+    """Vocabulary-statistics chooser between ``count`` and ``prefix``.
+
+    The count method's posting self-join materializes Σ_g f_g(f_g-1)/2
+    intermediate rows (f_g = shingle g's document frequency within its
+    block); its cost per input posting is the fanout Σf²/Σf. On dense
+    small vocabularies that stays modest and count wins (no extra
+    passes); on large skewed vocabularies it explodes and PPJoin-style
+    prefix pruning wins. Estimate the fanout from a bounded sample of
+    docs (frequency scales linearly in corpus size, so sampled fanout
+    is scaled back up by N/m) and compare against the cutoff.
+    """
+    n_docs = df.count()
+    m = min(n_docs, JACCARD_AUTO_SAMPLE_DOCS)
+    if m == 0:
+        return "count"
+    sample = with_word_shingles(df.limit(m), text_col=text_col, k=k)
+    posting = sample.select(
+        *[F.col(c) for c in block_cols], F.explode("shingles").alias("g")
+    )
+    stats = (
+        posting.groupBy(*block_cols, "g")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum("f").alias("tot"),
+            F.sum(F.col("f") * F.col("f")).alias("f2"),
+        )
+        .collect()[0]
+    )
+    if not stats.tot:
+        return "count"
+    est_fanout = (stats.f2 / stats.tot) * (n_docs / m)
+    return "prefix" if est_fanout > JACCARD_AUTO_FANOUT_CUTOFF else "count"
+
+
 def jaccard_pairs_exact(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -169,13 +225,13 @@ def jaccard_pairs_exact(
     k: int = 3,
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
-    method: str = "count",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted index on shingles.
 
     Two lossless plans, chosen by ``method``:
 
-    * ``"count"`` (default): full posting equi-join; the intersection size
+    * ``"count"``: full posting equi-join; the intersection size
       IS the per-pair join count (map-side partial counts, one shuffle) —
       no second verify pass. Best when the shingle vocabulary is small /
       dense, where prefix pruning cannot remove anything.
@@ -186,7 +242,12 @@ def jaccard_pairs_exact(
       on PREFIX shingles only, then exact-intersection verify. Best at
       corpus scale with realistic (large, skewed) vocabularies, where the
       frequent shingles land in suffixes and never generate pairs.
+    * ``"auto"`` (default): pick between them from sampled vocabulary
+      statistics — see :func:`_choose_jaccard_method`. Both plans are
+      lossless, so the choice affects cost only, never the result.
     """
+    if method == "auto":
+        method = _choose_jaccard_method(df, id_col, text_col, k, block_cols or [])
     if method == "count":
         return _jaccard_pairs_count(df, id_col, text_col, k, threshold, block_cols)
     if method != "prefix":
@@ -293,6 +354,7 @@ def simhash(
     ``bits`` aggregate expressions in a single groupBy — constant row width,
     no explode-by-bit blowup, partial-aggregated map-side.
     """
+    df = ensure_min_parallelism(df)
     words = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),

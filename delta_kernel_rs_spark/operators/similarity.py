@@ -23,14 +23,22 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
+
 DIMS = 64
 
 
 def _fold_dot(a: str, b: str, dims: int = DIMS) -> str:
-    """SQL for a left-fold dot product of two array columns (index order)."""
+    """SQL for a left-fold dot product of two array columns (index order).
+
+    ``zip_with`` walks both arrays positionally — the same products in the
+    same order as an indexed ``element_at`` loop (bit-identical result,
+    hash-compatible with the DuckDB oracle's ``list_reduce`` fold) without
+    materializing an index sequence per evaluation.
+    """
     return (
-        f"aggregate(transform(sequence(1,{dims}), "
-        f"i -> CAST(element_at({a},i) AS DOUBLE)*CAST(element_at({b},i) AS DOUBLE)), "
+        f"aggregate(zip_with({a},{b},"
+        f"(x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), "
         f"CAST(0.0 AS DOUBLE), (acc,v) -> acc+v)"
     )
 
@@ -63,7 +71,7 @@ def cosine_topk(
     neighbor id. The query side is broadcast; the corpus side never
     shuffles until the per-query top-k window.
     """
-    corpus = _with_norm2(df, vec_col, dims).select(
+    corpus = _with_norm2(ensure_min_parallelism(df), vec_col, dims).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e"), F.col("norm2").alias("en2")
     )
     queries = _with_norm2(query_df, vec_col, dims).select(
@@ -96,7 +104,7 @@ def ivf_assign(
     cents = _with_norm2(centroid_df, vec_col, dims).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c"), F.col("norm2").alias("cn2")
     )
-    vecs = _with_norm2(df, vec_col, dims)
+    vecs = _with_norm2(ensure_min_parallelism(df), vec_col, dims)
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "ccos", cosine_expr(vec_col, "c", "norm2", "cn2", dims)
     )
@@ -165,11 +173,26 @@ def embedding_neardup_blocked(
     only inside ``block_col`` groups (equi-join shuffle on the block key).
     For corpora without a natural block key, use
     :func:`random_hyperplane_buckets` as the key instead.
+
+    Each vector is normalized ONCE before the pair join (``x/sqrt(norm2)``
+    per element), so per-pair scoring is a bare 64-element dot fold — no
+    per-pair norms, sqrt, or division. The normalization happens below the
+    join's shuffle boundary, so Catalyst cannot inline it into the
+    per-pair expressions.
     """
-    side = _with_norm2(df, vec_col, dims).select(
-        F.col(id_col), F.col(vec_col), F.col("norm2"), F.col(block_col)
+    side = (
+        _with_norm2(ensure_min_parallelism(df), vec_col, dims)
+        .withColumn(
+            "nvec",
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE)/sqrt(norm2))"),
+        )
+        .select(F.col(id_col), F.col("nvec"), F.col(block_col))
     )
     a, b = side.alias("a"), side.alias("b")
+    dot = (
+        "aggregate(zip_with(a.nvec, b.nvec, (x,y) -> x*y), "
+        "CAST(0.0 AS DOUBLE), (acc,v) -> acc+v)"
+    )
     return (
         a.join(
             b,
@@ -182,9 +205,7 @@ def embedding_neardup_blocked(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.col(f"a.{block_col}").alias("block"),
-            cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "a.norm2", "b.norm2", dims).alias(
-                "cosine"
-            ),
+            F.expr(dot).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

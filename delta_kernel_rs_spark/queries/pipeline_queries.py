@@ -383,6 +383,13 @@ register(
 # ---------------------------------------------------------------------------
 # p12 embedding-cosine near-dup, blocked
 
+#: dot of the pre-normalized vectors — mirrors the Spark side's
+#: normalize-once-then-bare-fold pair scoring (operators/similarity.py).
+_dk_fold_norm_dot = (
+    "list_reduce(list_transform(range(1,65), i -> a.nvec[i]*b.nvec[i]), "
+    "(acc,v) -> acc+v)"
+)
+
 
 def p12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pairs with cosine >= 0.4 inside label blocks."""
@@ -395,11 +402,15 @@ register(
     "p12_embedding_neardup_blocked",
     p12_embedding_neardup_blocked,
     f"""
-    WITH n AS (SELECT vec_id, label, embedding, {_DK_NORM2} norm2 FROM embeddings)
+    WITH m AS (SELECT vec_id, label, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    n AS (SELECT vec_id, label,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)/sqrt(norm2)) nvec
+          FROM m)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
-           {_dk_fold_dot("a.embedding", "b.embedding")} / sqrt(a.norm2*b.norm2) AS cosine
+           {_dk_fold_norm_dot} AS cosine
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_dk_fold_dot("a.embedding", "b.embedding")} / sqrt(a.norm2*b.norm2) >= 0.4
+    WHERE {_dk_fold_norm_dot} >= 0.4
     """,
 )
 

@@ -96,6 +96,16 @@ def test_prefix_filter_matches_count_join(docs):
     assert count == prefix and count
 
 
+def test_jaccard_auto_chooser(docs, monkeypatch):
+    """auto picks count on a dense small vocabulary; forcing the fanout
+    cutoff down flips it to prefix — and both return the same pairs."""
+    from delta_kernel_rs_spark.operators import dedup
+
+    assert dedup._choose_jaccard_method(docs, "doc_id", "text", 3, []) == "count"
+    monkeypatch.setattr(dedup, "JACCARD_AUTO_FANOUT_CUTOFF", 0.0)
+    assert dedup._choose_jaccard_method(docs, "doc_id", "text", 3, []) == "prefix"
+
+
 def test_simhash_close_for_neardups(docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fp[0] == fp[1]  # identical text -> identical fingerprint
