@@ -117,6 +117,10 @@ def _type_to_json(dt: T.DataType) -> Any:
         return "interval year to month"
     if isinstance(dt, T.DayTimeIntervalType):
         return "interval day to second"
+    if isinstance(dt, T.VariantType):
+        # kernel/src/schema/mod.rs:2298-2301 — `variant` round-trips as a
+        # primitive spelling (parse side is parse_type above).
+        return "variant"
     for name, spark_type in _PRIMITIVES.items():
         if dt == spark_type:
             return name

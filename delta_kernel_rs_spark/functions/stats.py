@@ -132,7 +132,14 @@ def collect_file_stats_footer(
         for path in it:
             uri = path if "://" in path else f"file://{path}"
             fs, rel = pafs.FileSystem.from_uri(uri)
-            meta = pq.read_metadata(rel, filesystem=fs)
+            try:
+                meta = pq.read_metadata(rel, filesystem=fs)
+            except OSError:
+                # Footer carries a logical type this pyarrow build cannot
+                # parse (e.g. Spark VARIANT). Stats become unknown for the
+                # whole file — readers already treat missing stats that way.
+                yield path, None
+                continue
             mins: dict[str, Any] = {}
             maxs: dict[str, Any] = {}
             nulls: dict[str, Any] = {}

@@ -54,6 +54,8 @@ class Protocol:
             "rowTracking",
             "domainMetadata",
             "inCommitTimestamp",
+            "variantType",
+            "variantType-preview",
         }
     )
 

@@ -51,6 +51,18 @@ class AppendOnlyError(Exception):
     """The table is delta.appendOnly and the transaction removes data."""
 
 
+def _schema_has_variant(dt: T.DataType) -> bool:
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(dt.valueType)
+    return False
+
+
 def _json_line(action: dict) -> str:
     """Serialize one action omitting null fields (reference
     JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760)."""
@@ -338,9 +350,20 @@ class Transaction:
         if self._ict_enabled():
             min_w = 7
             writer_features.add("inCommitTimestamp")
+        reader_features: set[str] = set()
+        if self.schema is not None and _schema_has_variant(self.schema):
+            # Variant is a reader-writer table feature (reader 3 / writer 7;
+            # kernel/src/schema/mod.rs:2298-2301, table_features gating).
+            min_r, min_w = 3, 7
+            reader_features.add("variantType")
+            writer_features.add("variantType")
         if min_w >= 7 and self._cm_mode() != "none":
             writer_features.add("columnMapping")
+        if min_r >= 3 and self._cm_mode() != "none":
+            reader_features.add("columnMapping")
         proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
+        if min_r >= 3:
+            proto["readerFeatures"] = sorted(reader_features)
         if min_w >= 7:
             proto["writerFeatures"] = sorted(writer_features)
         return {"protocol": proto}
@@ -366,6 +389,37 @@ class Transaction:
             prev = self._prev_ict(version - 1)
             info["inCommitTimestamp"] = max(_now_ms(), (prev or 0) + 1)
         return {"commitInfo": info}
+
+    def _recount_missing_stats(self, adds: list[dict]) -> dict[str, int]:
+        """encoded-rel-path → row count for adds whose footer stats could
+        not be parsed (e.g. variant columns on an old pyarrow). Row
+        tracking must not assign overlapping baseRowId ranges, so the rare
+        stats-less file pays one distributed metadata count."""
+        missing = [a["add"]["path"] for a in adds if not a["add"].get("stats")]
+        if not missing:
+            return {}
+        import re
+
+        from pyspark.sql import functions as F
+
+        from delta_kernel_rs_spark.sources.scan import normalize_file_path
+
+        def norm(p: str) -> str:
+            return re.sub(r"^file:/+", "/", p)
+
+        abs_of = {
+            p: f"{self.table_path}/{urllib.parse.unquote(p)}" for p in missing
+        }
+        counts = (
+            self.spark.read.parquet(*abs_of.values())
+            .groupBy(
+                normalize_file_path(F.col("_metadata.file_path")).alias("__p")
+            )
+            .count()
+            .collect()
+        )
+        by_abs = {r["__p"]: r["count"] for r in counts}
+        return {p: by_abs.get(norm(a), 0) for p, a in abs_of.items()}
 
     def _prev_ict(self, version: int) -> int | None:
         if version < 0:
@@ -398,9 +452,13 @@ class Transaction:
                 except (ValueError, TypeError):
                     hwm = -1
         next_id = hwm + 1
+        counted = self._recount_missing_stats(adds)
         for a in adds:
             stats = a["add"].get("stats")
-            num = json.loads(stats).get("numRecords", 0) if stats else 0
+            if stats:
+                num = json.loads(stats).get("numRecords", 0)
+            else:
+                num = counted.get(a["add"]["path"], 0)
             a["add"]["baseRowId"] = next_id
             a["add"]["defaultRowCommitVersion"] = version
             next_id += num
