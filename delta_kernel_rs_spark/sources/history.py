@@ -1,11 +1,15 @@
 """Timestamp-based time travel (reference kernel/src/history_manager/ —
 ``latest_version_as_of`` :531, ``first_version_after`` :572,
-``timestamp_range_to_versions`` :632; binary search history_manager/search.rs).
+``timestamp_range_to_versions`` :632; binary search history_manager/search.rs,
+region strategy history_manager/mod.rs:71-100).
 
-Commit timestamps default to log-file modification times; when a commit's
-``commitInfo`` carries ``inCommitTimestamp`` (ICT feature) it wins — ICT is
-monotonic by construction, mtimes are made monotonic by clamping
-(the same adjustment Delta's history manager applies).
+Commit timestamps default to log-file modification times — already in hand
+from the one directory listing, zero commit reads. When the table uses
+in-commit timestamps (ICT feature) the search reads the first line of
+O(log n) probed commits instead of indexing the whole log: ICT is monotonic
+by construction, so a plain binary search over the probe function is exact.
+Tables without ICT pay exactly ONE commit read (the newest commit, to learn
+ICT is absent) and search the in-memory clamped-mtime list.
 """
 
 from __future__ import annotations
@@ -17,52 +21,119 @@ from delta_kernel_rs_spark.sources.log_segment import build_log_segment
 from delta_kernel_rs_spark.sources.storage import storage_for
 
 
-def _commit_timestamps(spark, table_path: str) -> list[tuple[int, int]]:
-    """Ascending [(version, effective_ts_ms)] for every commit in the log."""
+class _TimestampIndex:
+    """Lazy (version → effective timestamp) over the commit list.
+
+    Effective timestamp = the commit's ``inCommitTimestamp`` when present,
+    else its clamped-monotonic file mtime. Probes read at most one commit
+    each and are cached, so a binary search costs O(log n) reads
+    (reference history_manager/search.rs).
+    """
+
+    def __init__(self, storage, log_dir: str, versions: list[int], mtimes: dict[int, int]):
+        self.storage = storage
+        self.log_dir = log_dir
+        self.versions = versions
+        # clamp mtimes to monotonic in memory (same adjustment Delta's
+        # history manager applies); listing already paid for these.
+        clamped: list[int] = []
+        for v in versions:
+            t = mtimes.get(v, 0)
+            if clamped and t < clamped[-1]:
+                t = clamped[-1]
+            clamped.append(t)
+        self.mtimes = clamped
+        self._ict_cache: dict[int, int | None] = {}
+        # ONE read: the newest commit decides whether ICT probing is needed
+        # at all. A table that never enabled ICT stays mtime-indexed with no
+        # further reads; once ICT is enabled it stays enabled, so the newest
+        # commit carrying no ICT implies the whole log carries none.
+        self._has_ict = versions and self._read_ict(versions[-1]) is not None
+
+    def _read_ict(self, version: int) -> int | None:
+        if version in self._ict_cache:
+            return self._ict_cache[version]
+        path = f"{self.log_dir}/{version:020d}.json"
+        ict: int | None = None
+        try:
+            first = self.storage.read_text(path).split("\n", 1)[0]
+            ict = (json.loads(first).get("commitInfo") or {}).get("inCommitTimestamp")
+        except (ValueError, OSError):
+            ict = None
+        self._ict_cache[version] = ict
+        return ict
+
+    def ts(self, i: int) -> int:
+        """Effective timestamp of ``versions[i]``."""
+        if self._has_ict:
+            ict = self._read_ict(self.versions[i])
+            if ict is not None:
+                return ict
+        return self.mtimes[i]
+
+    def rightmost_at_or_before(self, target_ms: int) -> int | None:
+        """Index of the latest commit with ts <= target, or None."""
+        if not self._has_ict:
+            idx = bisect.bisect_right(self.mtimes, target_ms) - 1
+            return idx if idx >= 0 else None
+        lo, hi = 0, len(self.versions) - 1
+        ans = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.ts(mid) <= target_ms:
+                ans = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return ans
+
+    def leftmost_at_or_after(self, target_ms: int) -> int | None:
+        """Index of the earliest commit with ts >= target, or None."""
+        if not self._has_ict:
+            idx = bisect.bisect_left(self.mtimes, target_ms)
+            return idx if idx < len(self.mtimes) else None
+        lo, hi = 0, len(self.versions) - 1
+        ans = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.ts(mid) >= target_ms:
+                ans = mid
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        return ans
+
+
+def _index(spark, table_path: str) -> _TimestampIndex:
     storage = storage_for(spark, table_path)
     segment = build_log_segment(storage, table_path)
-    out: list[tuple[int, int]] = []
-    log_dir = segment.log_dir
-    for v in segment.all_commit_versions:
-        ts = segment.commit_timestamps.get(v, 0)
-        path = f"{log_dir}/{v:020d}.json"
-        try:
-            first = storage.read_text(path).split("\n", 1)[0]
-            action = json.loads(first)
-            ict = (action.get("commitInfo") or {}).get("inCommitTimestamp")
-            if ict is not None:
-                ts = ict
-        except (ValueError, OSError):
-            pass
-        out.append((v, ts))
-    # clamp to monotonic
-    for i in range(1, len(out)):
-        if out[i][1] < out[i - 1][1]:
-            out[i] = (out[i][0], out[i - 1][1])
-    return out
+    return _TimestampIndex(
+        storage,
+        segment.log_dir,
+        segment.all_commit_versions,
+        segment.commit_timestamps,
+    )
 
 
 def version_at_timestamp(spark, table_path: str, timestamp_ms: int) -> int:
     """Latest version committed at or before ``timestamp_ms``
     (reference ``latest_version_as_of``)."""
-    commits = _commit_timestamps(spark, table_path)
-    ts_list = [t for _, t in commits]
-    idx = bisect.bisect_right(ts_list, timestamp_ms) - 1
-    if idx < 0:
+    idx = _index(spark, table_path)
+    i = idx.rightmost_at_or_before(timestamp_ms)
+    if i is None:
         raise ValueError(
             f"no commit at or before timestamp {timestamp_ms} for {table_path}"
         )
-    return commits[idx][0]
+    return idx.versions[i]
 
 
 def first_version_after(spark, table_path: str, timestamp_ms: int) -> int:
     """Earliest version committed at or after ``timestamp_ms``."""
-    commits = _commit_timestamps(spark, table_path)
-    ts_list = [t for _, t in commits]
-    idx = bisect.bisect_left(ts_list, timestamp_ms)
-    if idx >= len(commits):
+    idx = _index(spark, table_path)
+    i = idx.leftmost_at_or_after(timestamp_ms)
+    if i is None:
         raise ValueError(f"no commit at or after timestamp {timestamp_ms}")
-    return commits[idx][0]
+    return idx.versions[i]
 
 
 def timestamp_range_to_versions(
