@@ -116,6 +116,8 @@ class Transaction:
         self.name = name
         self.storage = storage_for(spark, table_path)
         self._staged_df: DataFrame | None = None
+        self._identity_explicit_fields: list[str] = []
+        self._identity_new_hwm: dict[str, int] = {}
         self._txn_actions: list[dict] = []
         self._domain_metadata: list[dict] = []
         self._extra_actions: list[dict] = []
@@ -133,8 +135,105 @@ class Transaction:
     def write_data(self, df: DataFrame) -> "Transaction":
         if self.schema is None:
             self.schema = df.schema
+        else:
+            df = self._apply_column_policies(df)
         self._staged_df = df
         return self
+
+    # Column-policy metadata keys (kernel/src/schema/mod.rs:253-320).
+    GENERATION_EXPRESSION_KEY = "delta.generationExpression"
+    CURRENT_DEFAULT_KEY = "CURRENT_DEFAULT"
+    IDENTITY_START_KEY = "delta.identity.start"
+    IDENTITY_STEP_KEY = "delta.identity.step"
+    IDENTITY_HWM_KEY = "delta.identity.highWaterMark"
+    IDENTITY_ALLOW_EXPLICIT_KEY = "delta.identity.allowExplicitInsert"
+
+    def _apply_column_policies(self, df: DataFrame) -> DataFrame:
+        """Compute generated / identity / default columns the writer owes
+        the table (reference metadata keys above; enforcement of provided
+        generated values rides the constraint scan).
+
+        * ``CURRENT_DEFAULT``: applied when the column is absent from the
+          staged DataFrame.
+        * ``delta.generationExpression``: computed when absent; when the
+          writer supplies the column, a ``col <=> (expr)`` check joins the
+          constraint predicate scan and a mismatch raises.
+        * ``delta.identity.*``: values auto-assigned when absent (gap-free,
+          distributed: per-partition counts then offset + row_number within
+          each partition); explicit values require ``allowExplicitInsert``
+          and advance the high-water mark past their max. The new HWM is
+          persisted into the field metadata via a metaData action.
+        """
+        from pyspark.sql import functions as F
+
+        present = set(df.columns)
+        for f in self.schema.fields:
+            meta = f.metadata or {}
+            quoted = "`" + f.name.replace("`", "``") + "`"
+            if self.IDENTITY_START_KEY in meta or self.IDENTITY_STEP_KEY in meta:
+                if f.name in present:
+                    allow = str(meta.get(self.IDENTITY_ALLOW_EXPLICIT_KEY, False)).lower()
+                    if allow != "true":
+                        raise ConstraintViolationError(
+                            f"identity column {f.name} does not allow explicit "
+                            "inserts (delta.identity.allowExplicitInsert)"
+                        )
+                    self._identity_explicit_fields.append(f.name)
+                else:
+                    df = self._assign_identity(df, f)
+            elif self.GENERATION_EXPRESSION_KEY in meta:
+                expr = meta[self.GENERATION_EXPRESSION_KEY]
+                if f.name not in present:
+                    df = df.withColumn(f.name, F.expr(expr).cast(f.dataType))
+                # else: provided values are verified by _constraint_predicates
+            elif self.CURRENT_DEFAULT_KEY in meta and f.name not in present:
+                df = df.withColumn(
+                    f.name, F.expr(str(meta[self.CURRENT_DEFAULT_KEY])).cast(f.dataType)
+                )
+        return df
+
+    def _assign_identity(self, df: DataFrame, f: T.StructField) -> DataFrame:
+        """Distributed gap-free identity assignment: one tiny count-per-
+        partition job, then offset + intra-partition row_number. The count
+        rows collected are O(partitions), never O(rows)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        meta = f.metadata or {}
+        start = int(meta.get(self.IDENTITY_START_KEY, 1))
+        step = int(meta.get(self.IDENTITY_STEP_KEY, 1))
+        if step == 0:
+            raise ConstraintViolationError(f"identity column {f.name} has step 0")
+        hwm = meta.get(self.IDENTITY_HWM_KEY)
+        next_val = start if hwm is None else int(hwm) + step
+
+        df2 = df.withColumn("__ident_pid", F.spark_partition_id()).withColumn(
+            "__ident_mid", F.monotonically_increasing_id()
+        )
+        counts = {r[0]: r[1] for r in df2.groupBy("__ident_pid").count().collect()}
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        if acc == 0:
+            return df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        off_df = self.spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__ident_pid int, __ident_off long"
+        )
+        w = Window.partitionBy("__ident_pid").orderBy("__ident_mid")
+        out = (
+            df2.join(F.broadcast(off_df), "__ident_pid")
+            .withColumn(
+                f.name,
+                (
+                    F.lit(next_val)
+                    + (F.col("__ident_off") + F.row_number().over(w) - 1) * F.lit(step)
+                ).cast(f.dataType),
+            )
+            .drop("__ident_pid", "__ident_mid", "__ident_off")
+        )
+        self._identity_new_hwm[f.name] = next_val + (acc - 1) * step
+        return out
 
     def with_transaction_id(self, app_id: str, version: int) -> "Transaction":
         """App-level idempotency (``txn`` action, reference
@@ -147,6 +246,15 @@ class Transaction:
     def with_domain_metadata(self, domain: str, configuration: str) -> "Transaction":
         self._domain_metadata.append(
             {"domainMetadata": {"domain": domain, "configuration": configuration, "removed": False}}
+        )
+        return self
+
+    def remove_domain_metadata(self, domain: str) -> "Transaction":
+        """Tombstone a metadata domain (reference domain_metadata removal —
+        a ``removed: true`` action shadows the domain on replay; the
+        checkpoint writer then drops the tombstone entirely)."""
+        self._domain_metadata.append(
+            {"domainMetadata": {"domain": domain, "configuration": "", "removed": True}}
         )
         return self
 
@@ -180,6 +288,13 @@ class Transaction:
                     # parse as one column, not a nested-field path.
                     quoted = f.name.replace("`", "``")
                     out.append((f"notnull({f.name})", f"`{quoted}` IS NOT NULL"))
+                gen = meta.get(self.GENERATION_EXPRESSION_KEY)
+                if gen:
+                    # Writer-supplied values must equal the generation
+                    # expression (trivially true when this writer computed
+                    # them); rides the same single violation scan.
+                    quoted = f.name.replace("`", "``")
+                    out.append((f"generated({f.name})", f"`{quoted}` <=> ({gen})"))
         return out
 
     def _enforce_constraints(self) -> None:
@@ -390,6 +505,61 @@ class Transaction:
             info["inCommitTimestamp"] = max(_now_ms(), (prev or 0) + 1)
         return {"commitInfo": info}
 
+    def _advance_identity_hwm_from_stats(self, adds: list[dict]) -> None:
+        """Explicit identity inserts must advance the high-water mark past
+        their extreme value (step direction decides min/max). Reads the
+        written files' footer stats — zero extra data passes; falls back to
+        one aggregation when a file carries no stats."""
+        from delta_kernel_rs_spark.functions.schema_codec import physical_name
+
+        by_name = {f.name: f for f in self.schema.fields}
+        for name in dict.fromkeys(self._identity_explicit_fields):
+            f = by_name[name]
+            meta = f.metadata or {}
+            step = int(meta.get(self.IDENTITY_STEP_KEY, 1))
+            pn = physical_name(f)
+            extremes: list[int] = []
+            missing_stats = False
+            for a in adds:
+                stats = a["add"].get("stats")
+                if not stats:
+                    missing_stats = True
+                    continue
+                parsed = json.loads(stats)
+                side = parsed.get("maxValues" if step > 0 else "minValues") or {}
+                if pn in side:
+                    extremes.append(int(side[pn]))
+                else:
+                    missing_stats = True
+            if missing_stats and self._staged_df is not None:
+                from pyspark.sql import functions as F
+
+                agg = F.max(name) if step > 0 else F.min(name)
+                row = self._staged_df.agg(agg.alias("x")).collect()[0]
+                if row.x is not None:
+                    extremes.append(int(row.x))
+            if not extremes:
+                continue
+            extreme = max(extremes) if step > 0 else min(extremes)
+            hwm = meta.get(self.IDENTITY_HWM_KEY)
+            cur = None if hwm is None else int(hwm)
+            if cur is None or (step > 0 and extreme > cur) or (step < 0 and extreme < cur):
+                self._identity_new_hwm[name] = extreme
+
+    def _persist_identity_hwm(self) -> None:
+        """Fold new identity high-water marks into the schema's field
+        metadata and emit a metaData action with the commit."""
+        fields = []
+        for f in self.schema.fields:
+            if f.name in self._identity_new_hwm:
+                meta = dict(f.metadata or {})
+                meta[self.IDENTITY_HWM_KEY] = self._identity_new_hwm[f.name]
+                f = T.StructField(f.name, f.dataType, f.nullable, meta)
+            fields.append(f)
+        self.schema = T.StructType(fields)
+        if not self.is_create:
+            self._update_metadata = True
+
     def _recount_missing_stats(self, adds: list[dict]) -> dict[str, int]:
         """encoded-rel-path → row count for adds whose footer stats could
         not be parsed (e.g. variant columns on an old pyarrow). Row
@@ -485,6 +655,10 @@ class Transaction:
             )
         self._enforce_constraints()
         adds = self._stage_files()
+        if self._identity_explicit_fields:
+            self._advance_identity_hwm_from_stats(adds)
+        if self._identity_new_hwm:
+            self._persist_identity_hwm()
         base_actions: list[dict] = []
         if self.is_create:
             base_actions.append(self._protocol_action())
