@@ -30,6 +30,19 @@ class TableNotFoundError(Exception):
 
 
 @dataclass
+class LogTailEntry:
+    """One catalog-provided commit for ``log_tail`` (reference
+    kernel/src/snapshot/builder.rs:149 ``with_log_tail``): a commit that a
+    catalog has ratified but that may not (yet) be listable under
+    ``_delta_log`` — e.g. a staged commit file awaiting publication. The
+    path may live anywhere the storage handler can read."""
+
+    version: int
+    path: str
+    last_modified_ms: int = 0
+
+
+@dataclass
 class LogSegment:
     table_path: str
     log_dir: str
@@ -58,6 +71,7 @@ def build_log_segment(
     table_path: str,
     at_version: int | None = None,
     use_compacted: bool = True,
+    log_tail: list[LogTailEntry] | None = None,
 ) -> LogSegment:
     """List ``_delta_log`` and assemble the snapshot's log segment.
 
@@ -88,6 +102,24 @@ def build_log_segment(
     )
     if at_version is not None:
         commits = [c for c in commits if c.version <= at_version]
+
+    # --- catalog log tail: staged commits merged over the listing --------
+    # (reference snapshot/builder.rs:149) — the catalog's view of a version
+    # wins over a same-version listed file, and tail entries may extend the
+    # log past the newest listable commit.
+    if log_tail:
+        by_v = {c.version: c for c in commits}
+        for e in log_tail:
+            if at_version is not None and e.version > at_version:
+                continue
+            by_v[e.version] = ParsedLogPath(
+                path=e.path,
+                filename=e.path.rsplit("/", 1)[-1],
+                version=e.version,
+                kind=LogFileKind.COMMIT,
+            )
+            mtimes[by_v[e.version].path] = e.last_modified_ms
+        commits = sorted(by_v.values(), key=lambda c: c.version)
 
     # --- choose the newest complete checkpoint at or below the target ---
     ckpt_version: int | None = None

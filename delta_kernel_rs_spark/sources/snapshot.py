@@ -147,9 +147,18 @@ class Snapshot:
 
     # -- construction -------------------------------------------------
     @staticmethod
-    def create(spark, table_path: str, version: int | None = None) -> "Snapshot":
+    def create(
+        spark,
+        table_path: str,
+        version: int | None = None,
+        log_tail: list | None = None,
+    ) -> "Snapshot":
+        """``log_tail``: catalog-provided staged commits (LogTailEntry list)
+        appended over the listing — reference snapshot/builder.rs:149."""
         storage = storage_for(spark, table_path)
-        segment = build_log_segment(storage, table_path, at_version=version)
+        segment = build_log_segment(
+            storage, table_path, at_version=version, log_tail=log_tail
+        )
         return Snapshot(spark, table_path, segment, storage)
 
     @property
