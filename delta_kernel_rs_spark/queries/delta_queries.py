@@ -628,3 +628,74 @@ register(
     FROM lineitem WHERE l_orderkey % 8 IN (3, 7) AND l_orderkey % 3 = 0
     """,
 )
+
+# ---------------------------------------------------------------------------
+# d19 column policies: identity + generated + default columns on write
+# (reference metadata keys kernel/src/schema/mod.rs:253-320)
+
+
+def d19_delta_column_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-owed columns: ``rid`` identity (start 1000, step 2) assigned
+    gap-free, ``fee`` generated (``o_totalprice * 0.05``) computed when
+    absent, ``status`` defaulted (``CURRENT_DEFAULT 'NEW'``) when absent
+    and honored when provided. Writes are single-partition ordered by
+    o_orderkey so the identity mapping is oracle-reconstructible."""
+    from pyspark.sql import types as T
+
+    key = (sf_dir, "colpol")
+    if key not in _FIXTURES:
+        path = f"{tempfile.mkdtemp(prefix='dkrs_colpol_')}/tbl"
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "rid",
+                    T.LongType(),
+                    True,
+                    {"delta.identity.start": 1000, "delta.identity.step": 2},
+                ),
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+                T.StructField(
+                    "fee",
+                    T.DoubleType(),
+                    True,
+                    {"delta.generationExpression": "o_totalprice * 0.05"},
+                ),
+                T.StructField(
+                    "status", T.StringType(), True, {"CURRENT_DEFAULT": "'NEW'"}
+                ),
+            ]
+        )
+        t = DeltaTable.create(spark, path, schema=schema)
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        b1 = orders.filter(F.col("o_orderkey") % 3 == 0).orderBy("o_orderkey").coalesce(1)
+        t.append(b1)
+        b2 = (
+            orders.filter(F.col("o_orderkey") % 3 == 1)
+            .withColumn("status", F.lit("X"))
+            .orderBy("o_orderkey")
+            .coalesce(1)
+        )
+        t.append(b2)
+        _FIXTURES[key] = path
+    return DeltaTable(spark, _FIXTURES[key]).to_df()
+
+
+register(
+    "d19_delta_column_policies",
+    d19_delta_column_policies,
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ), b2 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT CAST(1000 + 2 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) AS BIGINT) AS rid,
+           o_orderkey, o_totalprice, o_totalprice * 0.05 AS fee, 'NEW' AS status
+    FROM b1
+    UNION ALL
+    SELECT CAST(1000 + 2 * ((SELECT COUNT(*) FROM b1) + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) AS BIGINT),
+           o_orderkey, o_totalprice, o_totalprice * 0.05, 'X'
+    FROM b2
+    """,
+)

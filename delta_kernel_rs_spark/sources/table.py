@@ -140,7 +140,11 @@ class DeltaTable:
     def append(self, df: DataFrame, auto_checkpoint: bool = True) -> int:
         snap = self.snapshot()
         if [f.name for f in df.schema.fields] != [f.name for f in snap.schema.fields]:
-            df = df.select(*[f.name for f in snap.schema.fields])
+            # Reorder/prune to the table schema, keeping only columns the
+            # DataFrame has — absent generated/identity/default columns are
+            # filled by the transaction's column policies.
+            have = set(df.columns)
+            df = df.select(*[f.name for f in snap.schema.fields if f.name in have])
         version = (
             Transaction(self.spark, self.path, operation="WRITE", read_snapshot=snap)
             .write_data(df)
