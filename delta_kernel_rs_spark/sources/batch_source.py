@@ -38,7 +38,14 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string, physical_name
 from delta_kernel_rs_spark.sources.log_segment import build_log_segment
@@ -93,6 +100,18 @@ class DeltaKernelDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
         return DeltaKernelBatchReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "DeltaKernelBatchWriter":
+        if overwrite:
+            raise ValueError(
+                "delta_kernel sink is append-only; use DeltaTable for overwrite"
+            )
+        return DeltaKernelBatchWriter(schema, self.options)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "DeltaKernelStreamWriter":
+        if overwrite:
+            raise ValueError("delta_kernel streaming sink is append-only")
+        return DeltaKernelStreamWriter(schema, self.options)
 
 
 class DeltaKernelBatchReader(DataSourceReader):
@@ -183,3 +202,238 @@ def pq_read_schema_names(path: str) -> list[str]:
         fs, rel = pafs.FileSystem.from_uri(path)
         return pq.read_schema(rel, filesystem=fs).names
     return pq.read_schema(path.removeprefix("file://")).names
+
+
+# ---------------------------------------------------------------------------
+# Write support: df.write.format("delta_kernel") and writeStream sink.
+#
+# Executors write parquet files directly (Arrow batches in, one file per
+# (task, partition-value) out, footer-contract stats computed in-memory);
+# the driver-side commit()/abort() hooks run with NO SparkSession, so the
+# commit goes through sources/pycommit.py — blind-append actions with a
+# per-micro-batch txn action for exactly-once streaming replay
+# (reference kernel/src/transaction/mod.rs commit shape).
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    """Per-task commit message: fully-built add actions."""
+
+    adds: list  # list[dict]
+
+
+class _DeltaKernelWriterBase:
+    def __init__(self, schema: T.StructType, options: dict):
+        opts = _opts(options)
+        self._path = opts["path"].rstrip("/")
+        storage = storage_for_uri(self._path)
+        seg = build_log_segment(storage, self._path)
+        meta, proto = snapshot_metadata(storage, seg)
+        self._table_schema = parse_schema_string(meta["schemaString"])
+        self._pcols = list(meta.get("partitionColumns") or [])
+        config = meta.get("configuration") or {}
+        if config.get("delta.appendOnly", "false").lower() == "true":
+            pass  # appends are exactly what this sink does
+        table_names = [f.name for f in self._table_schema.fields]
+        if sorted(schema.fieldNames()) != sorted(table_names):
+            raise ValueError(
+                f"stream/write schema {schema.fieldNames()} does not match "
+                f"table columns {table_names}"
+            )
+
+    # -- executor side ---------------------------------------------------
+    def write(self, iterator):
+        """One parquet file per (task, partition value); Arrow end-to-end."""
+        import urllib.parse
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from delta_kernel_rs_spark.functions.partition_codec import (
+            serialize_partition_value,
+        )
+        from delta_kernel_rs_spark.functions.stats import (
+            eligible_stats_columns,
+            stats_json,
+        )
+
+        fields = self._table_schema.fields
+        pset = set(self._pcols)
+        data_fields = [f for f in fields if f.name not in pset]
+        part_fields = [f for f in fields if f.name in pset]
+        phys_schema = T.StructType(
+            [T.StructField(physical_name(f), f.dataType, True, f.metadata) for f in data_fields]
+        )
+        arrow_schema = pa.schema(
+            [pa.field(physical_name(f), to_arrow_type(f.dataType)) for f in data_fields]
+        )
+
+        batches = list(iterator)
+        if not batches:
+            return _WriteResult(adds=[])
+        tbl = pa.Table.from_batches(batches)
+        # logical -> physical projection in table-schema order
+        data = pa.table(
+            {
+                physical_name(f): tbl.column(f.name).cast(
+                    to_arrow_type(f.dataType)
+                )
+                for f in data_fields
+            }
+        ).cast(arrow_schema)
+
+        groups: list[tuple[dict, pa.Table]] = []
+        if part_fields:
+            keys = None
+            for f in part_fields:
+                part = pc.cast(tbl.column(f.name), pa.string())
+                part = pc.coalesce(part, pa.scalar("\x01NULL\x01", pa.string()))
+                keys = part if keys is None else pc.binary_join_element_wise(
+                    keys, part, "\x02"
+                )
+            uniq = pc.unique(keys)
+            for k in uniq:
+                mask = pc.equal(keys, k)
+                sub = data.filter(mask)
+                row = {
+                    f.name: tbl.column(f.name).filter(mask)[0].as_py()
+                    for f in part_fields
+                }
+                pv = {
+                    physical_name(f): serialize_partition_value(row[f.name], f.dataType)
+                    for f in part_fields
+                }
+                groups.append((pv, sub))
+        else:
+            groups.append(({}, data))
+
+        storage = storage_for_uri(self._path)
+        adds = []
+        for pv, sub in groups:
+            if sub.num_rows == 0:
+                continue
+            dirpart = "/".join(
+                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else urllib.parse.quote(v, safe='')}"
+                for k, v in pv.items()
+            )
+            rel = (dirpart + "/" if dirpart else "") + f"part-{_uuid.uuid4().hex}.parquet"
+            abs_path = f"{self._path}/{rel}"
+            _write_parquet_any(sub, abs_path)
+            size = storage.stat(abs_path).size
+            raw = {"numRecords": sub.num_rows, "min": {}, "max": {}, "nullCount": {}}
+            for f in eligible_stats_columns(phys_schema):
+                col = sub.column(f.name)
+                raw["nullCount"][f.name] = col.null_count
+                if sub.num_rows > col.null_count:
+                    mm = pc.min_max(col)
+                    raw["min"][f.name] = mm["min"].as_py()
+                    raw["max"][f.name] = mm["max"].as_py()
+            adds.append(
+                {
+                    "add": {
+                        "path": "/".join(
+                            urllib.parse.quote(seg_) for seg_ in rel.split("/")
+                        ),
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": storage.stat(abs_path).last_modified_ms,
+                        "dataChange": True,
+                        "stats": stats_json(raw, phys_schema),
+                    }
+                }
+            )
+        return _WriteResult(adds=adds)
+
+    # -- driver side (no SparkSession) -----------------------------------
+    def _collect_adds(self, messages) -> list[dict]:
+        adds: list[dict] = []
+        for m in messages:
+            if m is not None:
+                adds.extend(m.adds)
+        return adds
+
+    def _abort_files(self, messages) -> None:
+        storage = storage_for_uri(self._path)
+        import urllib.parse
+
+        for a in self._collect_adds(messages):
+            try:
+                storage.delete(f"{self._path}/{urllib.parse.unquote(a['add']['path'])}")
+            except OSError:
+                pass
+
+
+class DeltaKernelStreamWriter(_DeltaKernelWriterBase, DataSourceStreamArrowWriter):
+    """Micro-batch sink: each epoch commits once; replays are deduped via a
+    ``txn`` action keyed by (queryId-or-option, batchId)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        super().__init__(schema, options)
+        opts = _opts(options)
+        # exactly-once across restarts: prefer an explicit txnAppId, else
+        # derive a stable id from the checkpoint location
+        app = opts.get("txnappid")
+        if not app:
+            ckpt = opts.get("checkpointlocation")
+            app = f"delta-kernel-sink-{ckpt}" if ckpt else f"delta-kernel-sink-{uuid4_hex()}"
+        self._app_id = app
+
+    def commit(self, messages, batchId: int) -> None:
+        from delta_kernel_rs_spark.sources.pycommit import commit_append
+
+        commit_append(
+            storage_for_uri(self._path),
+            self._path,
+            self._collect_adds(messages),
+            operation="STREAMING UPDATE",
+            app_id=self._app_id,
+            txn_version=batchId,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort_files(messages)
+
+
+class DeltaKernelBatchWriter(_DeltaKernelWriterBase, DataSourceArrowWriter):
+    """df.write.format("delta_kernel").mode("append") — append-only."""
+
+    def commit(self, messages) -> None:
+        from delta_kernel_rs_spark.sources.pycommit import commit_append
+
+        commit_append(
+            storage_for_uri(self._path),
+            self._path,
+            self._collect_adds(messages),
+            operation="WRITE",
+        )
+
+    def abort(self, messages) -> None:
+        self._abort_files(messages)
+
+
+def uuid4_hex() -> str:
+    import uuid as _uuid
+
+    return _uuid.uuid4().hex
+
+
+def _write_parquet_any(tbl, path: str) -> None:
+    """pyarrow parquet write for plain paths and URIs, creating parents."""
+    import pyarrow.parquet as pq
+
+    if "://" in path and not path.startswith("file://"):
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        parent = rel.rsplit("/", 1)[0]
+        fs.create_dir(parent, recursive=True)
+        pq.write_table(tbl, rel, filesystem=fs)
+        return
+    import os
+
+    local = path.removeprefix("file://")
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    pq.write_table(tbl, local)
