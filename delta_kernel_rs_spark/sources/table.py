@@ -280,6 +280,24 @@ class DeltaTable:
         return self.alter_schema(T.StructType(fields))
 
     # -- maintenance ---------------------------------------------------------
+    def optimize(self, target_file_size: int | None = None, **kw) -> int:
+        """Compact small files (dataChange=false rewrite; see
+        sources/maintenance.py)."""
+        from delta_kernel_rs_spark.sources.maintenance import (
+            DEFAULT_TARGET_FILE_SIZE,
+            optimize,
+        )
+
+        return optimize(
+            self, target_file_size or DEFAULT_TARGET_FILE_SIZE, **kw
+        )
+
+    def purge_deletion_vectors(self, min_cardinality: int = 1) -> int:
+        """Rewrite DV-carrying files into clean ones (REORG ... PURGE)."""
+        from delta_kernel_rs_spark.sources.maintenance import purge_deletion_vectors
+
+        return purge_deletion_vectors(self, min_cardinality=min_cardinality)
+
     def checkpoint(
         self, version: int | None = None, v2: bool = False, parts: int | None = None
     ) -> int:

@@ -116,6 +116,9 @@ class Transaction:
         self.name = name
         self.storage = storage_for(spark, table_path)
         self._staged_df: DataFrame | None = None
+        #: False for file-layout-only rewrites (OPTIMIZE / DV purge): CDF
+        #: readers and incremental consumers must not see them as changes.
+        self.data_change: bool = True
         self._identity_explicit_fields: list[str] = []
         self._identity_new_hwm: dict[str, int] = {}
         self._txn_actions: list[dict] = []
@@ -422,7 +425,7 @@ class Transaction:
                         "partitionValues": pv,
                         "size": size,
                         "modificationTime": mtime,
-                        "dataChange": True,
+                        "dataChange": self.data_change,
                         "stats": stats_json(raw_stats, read_schema) if raw_stats else None,
                     }
                 }

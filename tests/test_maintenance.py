@@ -1,0 +1,132 @@
+"""OPTIMIZE + DV purge: layout-only rewrites, invisible to CDF.
+
+Reference semantics: remove+add with dataChange=false (table_changes
+readers filter on dataChange), rewrites apply current DVs so hidden rows
+never resurface, compaction reduces live-file count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _file_count(t):
+    return len(t.snapshot().scan().files())
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(100).toDF("x"))
+    for i in range(1, 6):
+        t.append(
+            spark.range(100 * i, 100 * (i + 1)).toDF("x").coalesce(1),
+            auto_checkpoint=False,
+        )
+    before_files = _file_count(t)
+    before_rows = _rows(t.to_df())
+    v = t.optimize()
+    assert v == t.snapshot().version
+    assert _file_count(t) < before_files
+    assert _rows(t.to_df()) == before_rows
+
+
+def test_optimize_partitioned_only_groups_with_2plus(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(60).select("id", (F.col("id") % 3).cast("long").alias("b"))
+    t = DeltaTable.create(spark, path, df=df, partition_by=["b"])
+    t.append(
+        spark.range(60, 120).select("id", (F.col("id") % 3).cast("long").alias("b")),
+        auto_checkpoint=False,
+    )
+    before = _rows(t.to_df())
+    t.optimize()
+    assert _rows(t.to_df()) == before
+    # partition pruning still correct after compaction
+    assert _rows(t.snapshot().scan(predicate="b = 2").to_df()) == sorted(
+        (r for r in before if r[1] == 2)
+    )
+
+
+def test_purge_materializes_dvs(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(200).toDF("x"))
+    delete_with_dvs(t, "x % 5 = 0")
+    assert any(f.dv for f in t.snapshot().scan().files())
+    expected = _rows(t.to_df())
+    v = t.purge_deletion_vectors()
+    assert v == t.snapshot().version
+    assert not any(f.dv for f in t.snapshot().scan().files())
+    assert _rows(t.to_df()) == expected
+    # purge again: no-op, no version bump
+    assert t.purge_deletion_vectors() == v
+
+
+def test_maintenance_invisible_to_cdf(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.cdf import table_changes
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(100).toDF("x"),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    for i in range(1, 4):
+        t.append(
+            spark.range(100 * i, 100 * (i + 1)).toDF("x").coalesce(1),
+            auto_checkpoint=False,
+        )
+    delete_with_dvs(t, "x % 10 = 0")
+    v_before_maint = t.snapshot().version
+    t.purge_deletion_vectors()
+    t.optimize()
+    # the maintenance versions contribute ZERO change rows
+    changes = table_changes(spark, path, v_before_maint + 1)
+    assert changes.count() == 0
+    # and a full-range CDF replay is unchanged by maintenance
+    full = table_changes(spark, path, 0)
+    assert full.filter(F.col("_commit_version") > v_before_maint).count() == 0
+
+
+def test_maintenance_rejects_row_tracking(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.maintenance import MaintenanceError
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(10).toDF("x"),
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append(spark.range(10, 20).toDF("x").coalesce(1), auto_checkpoint=False)
+    with pytest.raises(MaintenanceError):
+        t.optimize()
+
+
+def test_incremental_refresh_across_optimize(spark, tmp_path):
+    """dataChange=false actions still rewrite the FILE set: an incremental
+    scan refresh over an OPTIMIZE must land on the compacted files."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(100).toDF("x"))
+    for i in range(1, 4):
+        t.append(
+            spark.range(100 * i, 100 * (i + 1)).toDF("x").coalesce(1),
+            auto_checkpoint=False,
+        )
+    base_snap = t.snapshot()
+    prior = base_snap.scan().files()
+    t.optimize()
+    new_snap = t.snapshot()
+    refreshed = new_snap.scan_files_from(base_snap.version, prior)
+    expect = {f.path for f in new_snap.scan().files()}
+    assert {f.path for f in refreshed} == expect
