@@ -699,3 +699,36 @@ register(
     FROM b2
     """,
 )
+
+# ---------------------------------------------------------------------------
+# d20 clustered table: delta.clustering domain + range-partitioned layout
+# (reference kernel/src/clustering.rs)
+
+
+def d20_delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered CREATE + append, then a predicate scan over the
+    clustering column. Correctness: same rows as a plain filter; the
+    clustered layout additionally makes the scan's file skipping prune
+    (asserted in tests/test_clustering.py — the oracle can only see
+    rows)."""
+    key = (sf_dir, "clustered")
+    if key not in _FIXTURES:
+        path = f"{tempfile.mkdtemp(prefix='dkrs_clustered_')}/tbl"
+        src = _src(spark, sf_dir)
+        t = DeltaTable.create(
+            spark, path, df=_chunk(src, 4, 0), cluster_by=["l_orderkey"]
+        )
+        t.append(_chunk(src, 4, 1))
+        _FIXTURES[key] = path
+    t = DeltaTable(spark, _FIXTURES[key])
+    return t.snapshot().scan(predicate="l_quantity > 40").to_df()
+
+
+register(
+    "d20_delta_clustered_scan",
+    d20_delta_clustered_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 IN (0, 1) AND l_quantity > 40
+    """,
+)

@@ -44,7 +44,9 @@ def _rewrite_files(table, snap, files, operation: str, target_bytes: int) -> int
     total = sum(f.size or 0 for f in files)
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     pcols = snap.metadata.partition_columns
-    if pcols:
+    if snap.clustering_columns():
+        pass  # the transaction's clustered layout shuffle re-clusters
+    elif pcols:
         from pyspark.sql import functions as F
 
         kept = kept.repartition(int(n_out), *[F.col(p) for p in pcols])

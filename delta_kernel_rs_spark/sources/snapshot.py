@@ -257,6 +257,13 @@ class Snapshot:
                     return None if dm.get("removed") else dm.get("configuration")
         return None
 
+    def clustering_columns(self) -> list[dict]:
+        """Resolved clustering descriptors (reference kernel/src/
+        clustering.rs ClusteringColumnInfo); empty for unclustered tables."""
+        from delta_kernel_rs_spark.sources.clustering import clustering_columns
+
+        return clustering_columns(self)
+
     def incremental_actions(self, base_version: int):
         """File-action diff over (base_version, this version]; None when the
         range is not servable (reference incremental_scan/mod.rs:1-60)."""

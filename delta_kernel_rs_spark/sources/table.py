@@ -41,6 +41,7 @@ class DeltaTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         name: str | None = None,
+        cluster_by: list | None = None,
     ) -> "DeltaTable":
         txn = Transaction(
             spark,
@@ -54,6 +55,10 @@ class DeltaTable:
         )
         if txn.schema is None:
             raise ValueError("create requires a schema or a DataFrame")
+        if cluster_by is not None:
+            if partition_by:
+                raise ValueError("cluster_by and partition_by are exclusive")
+            txn.with_clustering(cluster_by)
         if df is not None:
             txn.write_data(df)
         txn.commit()

@@ -119,6 +119,7 @@ class Transaction:
         #: False for file-layout-only rewrites (OPTIMIZE / DV purge): CDF
         #: readers and incremental consumers must not see them as changes.
         self.data_change: bool = True
+        self._cluster_by: list[str] | None = None
         self._identity_explicit_fields: list[str] = []
         self._identity_new_hwm: dict[str, int] = {}
         self._txn_actions: list[dict] = []
@@ -252,6 +253,48 @@ class Transaction:
         )
         return self
 
+    def with_clustering(self, cols: list) -> "Transaction":
+        """Declare clustering columns at CREATE (reference
+        kernel/src/clustering.rs): validates against the schema, stores
+        PHYSICAL paths in the ``delta.clustering`` domain, and flips the
+        ``clustering`` writer feature. Subsequent writes range-partition +
+        sort on these columns (see _stage_files)."""
+        from delta_kernel_rs_spark.sources.clustering import (
+            CLUSTERING_DOMAIN,
+            ClusteringError,
+            domain_config_json,
+            normalize_paths,
+        )
+
+        if self.schema is None:
+            raise ClusteringError("clustering requires a schema")
+        paths = normalize_paths(cols)
+        config = domain_config_json(self.schema, cols)  # validates
+        self._cluster_by = [".".join(p) for p in paths]
+        self._domain_metadata.append(
+            {
+                "domainMetadata": {
+                    "domain": CLUSTERING_DOMAIN,
+                    "configuration": config,
+                    "removed": False,
+                }
+            }
+        )
+        return self
+
+    def _clustering_sort_cols(self) -> list[str]:
+        """Logical clustering column expressions for this write: declared
+        at CREATE via with_clustering, else read from the table's domain
+        metadata so every later append/rewrite keeps the layout."""
+        if self._cluster_by is not None:
+            return self._cluster_by
+        if self.read_snapshot is None:
+            return []
+        from delta_kernel_rs_spark.sources.clustering import clustering_columns
+
+        infos = clustering_columns(self.read_snapshot)
+        return [".".join(i["logical"]) for i in infos if i["logical"]]
+
     def remove_domain_metadata(self, domain: str) -> "Transaction":
         """Tombstone a metadata domain (reference domain_metadata removal —
         a ``removed: true`` action shadows the domain on replay; the
@@ -361,7 +404,17 @@ class Transaction:
                 )
             return src.alias(phys_of[f.name])
 
-        out_df = self._staged_df.select(*[_phys_col(f) for f in self.schema.fields])
+        staged = self._staged_df
+        cluster_cols = self._clustering_sort_cols()
+        if cluster_cols:
+            # Clustered layout: range-partition + sort so every file gets a
+            # tight min/max range on the clustering columns — that range
+            # disjointness is what makes stats skipping prune clustered
+            # reads (the protocol's "writers MUST write stats" requirement
+            # is met by the footer stats collection below).
+            exprs = [F.col(c) for c in cluster_cols]
+            staged = staged.repartitionByRange(*exprs).sortWithinPartitions(*exprs)
+        out_df = staged.select(*[_phys_col(f) for f in self.schema.fields])
         phys_parts = [phys_of[p] for p in self.partition_columns]
         staging = f"{self.table_path}/.staging-{uuid.uuid4().hex}"
         writer = out_df.write.mode("overwrite")
@@ -468,6 +521,12 @@ class Transaction:
         if self._ict_enabled():
             min_w = 7
             writer_features.add("inCommitTimestamp")
+        if self._cluster_by:
+            # Clustered table: writer feature + domain metadata carrier
+            # (reference table_features/mod.rs:1125 — feature string
+            # "clustering"; clustering.rs stores the domain).
+            min_w = 7
+            writer_features |= {"clustering", "domainMetadata"}
         reader_features: set[str] = set()
         if self.schema is not None and _schema_has_variant(self.schema):
             # Variant is a reader-writer table feature (reader 3 / writer 7;
