@@ -23,12 +23,16 @@ Usage::
           .load())
 
 Options: ``path`` (required), ``versionAsOf`` (int), ``targetBytes``
-(bytes of data per read task, default 128 MiB).
+(bytes of data per read task, default 128 MiB), ``predicate`` (SQL
+string) — parsed by plans/sql_parser into the typed AST, partition-pruned
+exactly at planning (pure-Python 3VL, plans/py_predicate.py), and applied
+executor-side as a pyarrow Expression (row-group statistics pruning +
+exact row filtering). Unsupported predicates raise rather than silently
+returning unfiltered rows.
 
 Reference: the read path composes kernel/src/scan/mod.rs semantics
-(file listing + DV + file constants) behind Spark's source API; file
-skipping predicates are not pushed through this facade yet — use
-``DeltaTable.scan(predicate=...)`` for skipping reads.
+(file listing + DV + file constants + scan predicate) behind Spark's
+source API.
 """
 
 from __future__ import annotations
@@ -126,11 +130,51 @@ class DeltaKernelBatchReader(DataSourceReader):
         meta, _ = snapshot_metadata(storage, self._seg)
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
+        self._predicate = None
+        pred_str = opts.get("predicate")
+        if pred_str:
+            from delta_kernel_rs_spark.plans.py_predicate import to_arrow_expr
+            from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
+
+            ast = try_parse_sql_predicate(pred_str, self._table_schema)
+            if ast is None:
+                raise ValueError(
+                    f"predicate {pred_str!r} is outside the supported SQL "
+                    "grammar; drop the option and .filter() instead"
+                )
+            # validate compilability up front (partition columns will be
+            # substituted per file, so map them to themselves here)
+            to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
+            self._predicate = ast
+
+    def _pv_typed(self, pv_items) -> dict:
+        from delta_kernel_rs_spark.streaming.cdf_source import _parse_pv_py
+
+        pv = dict(pv_items or [])
+        out = {}
+        for f in self._table_schema.fields:
+            if f.name in self._pcols:
+                raw = pv.get(physical_name(f), pv.get(f.name))
+                out[f.name] = _parse_pv_py(raw, f.dataType)
+        return out
 
     # -- planning (driver-side worker; no per-file Python objects) -------
     def partitions(self) -> Sequence[InputPartition]:
         storage = storage_for_uri(self._path)
         files = live_files_arrow(storage, self._seg)
+        if self._predicate is not None and self._pcols:
+            # exact partition pruning: drop files whose partition values
+            # make the predicate definitively False (3VL; unknown keeps)
+            from delta_kernel_rs_spark.plans.py_predicate import eval_3vl
+
+            known = set(self._pcols)
+            keep = [
+                eval_3vl(self._predicate, self._pv_typed(pv), known) is not False
+                for pv in files.column("partition_values").to_pylist()
+            ]
+            import pyarrow as pa
+
+            files = files.filter(pa.array(keep, type=pa.bool_()))
         slices = bin_pack_by_size(files, self._target_bytes)
         if not slices:
             return [_FileSliceTask(ipc_serialize(files))]  # empty table
@@ -153,6 +197,7 @@ class DeltaKernelBatchReader(DataSourceReader):
         phys_cols = [
             physical_name(f) for f in self._table_schema.fields if f.name not in pset
         ]
+        name_map = {f.name: physical_name(f) for f in self._table_schema.fields}
         for i in range(files.num_rows):
             import urllib.parse
 
@@ -162,16 +207,54 @@ class DeltaKernelBatchReader(DataSourceReader):
             )
             avail = pq_read_schema_names(abs_path)
             cols = [c for c in phys_cols if c in avail]
-            table = pq_read(abs_path, columns=cols or None)
+            pv_items = files.column("partition_values")[i].as_py() or []
+            pv = dict(pv_items)
+
+            # Per-file residual: partition columns and file-absent columns
+            # substitute as literals; a True verdict reads unfiltered, a
+            # False verdict skips the file entirely, unknown compiles to a
+            # pyarrow filter (row-group stats pruning + exact row filter —
+            # the Python twin of Catalyst's parquet pushdown).
+            row_filter = None
+            if self._predicate is not None:
+                from delta_kernel_rs_spark.plans.py_predicate import (
+                    eval_3vl,
+                    substitute,
+                    to_arrow_expr,
+                )
+
+                missing = {
+                    f.name
+                    for f in self._table_schema.fields
+                    if f.name not in pset and physical_name(f) not in avail
+                }
+                known_row = self._pv_typed(pv_items)
+                known_row.update({m: None for m in missing})
+                known = set(self._pcols) | missing
+                verdict = eval_3vl(self._predicate, known_row, known)
+                if verdict is False:
+                    continue
+                if verdict is None:
+                    row_filter = to_arrow_expr(
+                        substitute(self._predicate, known_row, known), name_map
+                    )
+
             dv = files.column("dv")[i].as_py()
-            if dv and dv.get("storageType"):
+            has_dv = bool(dv and dv.get("storageType"))
+            if has_dv or row_filter is None:
+                table = pq_read(abs_path, columns=cols or None)
+            else:
+                table = pq_read(abs_path, columns=cols or None, filters=row_filter)
+            if has_dv:
                 rows = read_dv_row_indexes(storage, self._path, dv)
                 mask_idx = pa.array(rows, type=pa.int64())
                 indices = pa.array(range(table.num_rows), type=pa.int64())
                 keep = pc.invert(pc.is_in(indices, value_set=mask_idx))
                 table = table.filter(keep)
-            pv_items = files.column("partition_values")[i].as_py() or []
-            pv = dict(pv_items)
+                if row_filter is not None:
+                    # DV selection is by physical row index, so it must be
+                    # applied before any row filtering shifts positions
+                    table = table.filter(row_filter)
             n = table.num_rows
             arrays, names = [], []
             for f in self._table_schema.fields:

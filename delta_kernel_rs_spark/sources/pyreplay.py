@@ -48,14 +48,17 @@ FILES_SCHEMA = pa.schema(
 )
 
 
-def pq_read(path: str, columns: list[str] | None = None) -> pa.Table:
-    """pyarrow parquet read that handles both plain paths and URIs."""
+def pq_read(path: str, columns: list[str] | None = None, filters=None) -> pa.Table:
+    """pyarrow parquet read that handles both plain paths and URIs.
+
+    ``filters`` (a pyarrow dataset Expression) engages pyarrow's row-group
+    statistics pruning before the exact row filter is applied."""
     if "://" in path and not path.startswith("file://"):
         import pyarrow.fs as pafs
 
         fs, rel = pafs.FileSystem.from_uri(path)
-        return pq.read_table(rel, filesystem=fs, columns=columns)
-    return pq.read_table(path.removeprefix("file://"), columns=columns)
+        return pq.read_table(rel, filesystem=fs, columns=columns, filters=filters)
+    return pq.read_table(path.removeprefix("file://"), columns=columns, filters=filters)
 
 
 def _iter_actions(storage, commit_path: str):

@@ -130,3 +130,66 @@ def test_bin_pack_by_size(spark, orders, tmp_path):
     each = bin_pack_by_size(files, 1)  # every file its own task
     assert len(each) == files.num_rows
     assert sum(s.num_rows for s in each) == files.num_rows
+
+
+def test_format_predicate_partition_pruning(spark, orders, tmp_path):
+    """option("predicate") prunes partitions at planning AND filters rows
+    exactly (pyarrow Expression pushdown executor-side)."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=orders.limit(900), partition_by=["o_orderstatus"]
+    )
+    got = _read_fmt(spark, path, predicate="o_orderstatus = 'F'")
+    exp = t.to_df().filter("o_orderstatus = 'F'")
+    assert _rows(got) == _rows(exp)
+    # planning saw only the matching partition's files
+    from delta_kernel_rs_spark.sources.batch_source import DeltaKernelBatchReader
+
+    r_all = DeltaKernelBatchReader(t.to_df().schema, {"path": path})
+    r_pru = DeltaKernelBatchReader(
+        t.to_df().schema, {"path": path, "predicate": "o_orderstatus = 'F'"}
+    )
+    import pyarrow as pa
+
+    n_all = sum(
+        pa.ipc.open_stream(pa.BufferReader(p.ipc)).read_all().num_rows
+        for p in r_all.partitions()
+    )
+    n_pru = sum(
+        pa.ipc.open_stream(pa.BufferReader(p.ipc)).read_all().num_rows
+        for p in r_pru.partitions()
+    )
+    assert n_pru < n_all
+
+
+def test_format_predicate_row_filter_and_dv(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    t = DeltaTable.create(spark, path, df=orders.limit(700))
+    delete_with_dvs(t, "o_orderkey % 3 = 0")
+    got = _read_fmt(spark, path, predicate="o_totalprice > 150000.0")
+    exp = t.to_df().filter("o_totalprice > 150000.0")
+    assert _rows(got) == _rows(exp)
+
+
+def test_format_predicate_mixed_partition_and_data(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=orders.limit(900), partition_by=["o_orderstatus"]
+    )
+    pred = "o_orderstatus = 'O' AND o_totalprice <= 100000.0"
+    got = _read_fmt(spark, path, predicate=pred)
+    assert _rows(got) == _rows(t.to_df().filter(pred))
+    # OR across partition and data columns cannot partition-prune but must
+    # still row-filter exactly
+    pred_or = "o_orderstatus = 'F' OR o_totalprice > 400000.0"
+    got_or = _read_fmt(spark, path, predicate=pred_or)
+    assert _rows(got_or) == _rows(t.to_df().filter(pred_or))
+
+
+def test_format_predicate_unsupported_raises(spark, orders, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=orders.limit(100))
+    with pytest.raises(Exception):
+        _read_fmt(spark, path, predicate="some_udf(o_orderkey) = 1").collect()
