@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.session import apply_runtime_confs
 
@@ -22,15 +23,22 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table; normalizes the events ns-timestamp.
+    """Read one synthetic table; normalizes ``events.ts`` to TimestampType.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` we read it
-    as a long and truncate to microseconds exactly like DuckDB does
-    (integer division — truncation, not rounding).
+    The driver has generated ``events.ts`` as either parquet
+    TIMESTAMP(NANOS) (read as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``, truncated to microseconds
+    exactly like DuckDB — integer division, not rounding) or plain
+    TIMESTAMP(MICROS) without UTC adjustment (read as timestamp_ntz).
+    Both normalize to the same UTC-instant TimestampType because the
+    session time zone is pinned to UTC (session.RUNTIME_CONFS).
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
