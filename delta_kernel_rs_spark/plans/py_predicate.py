@@ -24,6 +24,8 @@ And/Or are Kleene, NOT(unknown)=unknown.
 
 from __future__ import annotations
 
+import datetime as _dt
+from decimal import Decimal, InvalidOperation
 from typing import Any
 
 from delta_kernel_rs_spark.plans.expressions import (
@@ -49,6 +51,137 @@ _UNKNOWN = object()  # expression value is not computable from the partial row
 
 class UnsupportedPredicate(Exception):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Literal coercion against a table schema
+#
+# The SQL parser types literals lexically (a quoted token is a Python str
+# even when it compares against a DateType partition column), while
+# partition values are parsed to their column's Python type. Raw Python
+# cross-type equality silently returns False (date == str), which would
+# make pruning *wrongly drop files*. Callers coerce the AST's literals to
+# the referenced column's type once, up front; anything unconvertible
+# raises here rather than mis-pruning later.
+
+
+def _coerce_value(v: Any, dt) -> Any:
+    """Convert a parsed literal to column type ``dt``'s Python domain.
+
+    Only conversions with exact Spark-cast semantics are applied (string →
+    date/timestamp/numeric/bool, date → timestamp midnight); numerics stay
+    untouched because Python compares int/float/Decimal exactly. Raises
+    UnsupportedPredicate when the literal cannot represent a value of the
+    column's type — Spark would cast it to NULL, so the caller must not
+    fall back to a raw comparison."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    try:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            if isinstance(v, str):
+                return int(v.strip())
+            return v
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            if isinstance(v, str):
+                return float(v.strip())
+            return v
+        if isinstance(dt, T.DecimalType):
+            if isinstance(v, str):
+                return Decimal(v.strip())
+            return v
+        if isinstance(dt, T.BooleanType):
+            if isinstance(v, str):
+                low = v.strip().lower()
+                if low in ("true", "false"):
+                    return low == "true"
+                raise ValueError(v)
+            return v
+        if isinstance(dt, T.DateType):
+            if isinstance(v, str):
+                return _dt.date.fromisoformat(v.strip())
+            return v
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(v, str):
+                return _dt.datetime.fromisoformat(v.strip())
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return _dt.datetime(v.year, v.month, v.day)
+            return v
+    except (ValueError, InvalidOperation):
+        raise UnsupportedPredicate(
+            f"literal {v!r} is not castable to column type {dt.simpleString()}"
+        ) from None
+    return v
+
+
+def coerce_literals(p: Predicate, schema) -> Predicate:
+    """Rewrite ``p`` so every literal compared against a schema column is in
+    that column's Python domain (see module note). ``schema`` is the table's
+    logical StructType; nested struct fields resolve by dotted path."""
+    from pyspark.sql import types as T
+
+    types: dict[str, Any] = {}
+
+    def collect(prefix: str, st) -> None:
+        for f in st.fields:
+            path = f"{prefix}{f.name}"
+            types[path] = f.dataType
+            if isinstance(f.dataType, T.StructType):
+                collect(path + ".", f.dataType)
+
+    collect("", schema)
+
+    def col_type(e):
+        return types.get(e.path) if isinstance(e, Col) else None
+
+    def fix_pair(a, b):
+        ta, tb = col_type(a), col_type(b)
+        if ta is not None and isinstance(b, Literal):
+            b = Literal(_coerce_value(b.value, ta))
+        if tb is not None and isinstance(a, Literal):
+            a = Literal(_coerce_value(a.value, tb))
+        return a, b
+
+    def walk(node: Predicate) -> Predicate:
+        if isinstance(node, Compare):
+            a, b = fix_pair(node.left, node.right)
+            return Compare(node.op, a, b)
+        if isinstance(node, (Distinct, NotDistinct)):
+            a, b = fix_pair(node.left, node.right)
+            return type(node)(a, b)
+        if isinstance(node, In):
+            t = col_type(node.expr)
+            if t is not None:
+                return In(node.expr, tuple(_coerce_value(v, t) for v in node.values))
+            return node
+        if isinstance(node, And):
+            return And(tuple(walk(c) for c in node.children))
+        if isinstance(node, Or):
+            return Or(tuple(walk(c) for c in node.children))
+        if isinstance(node, Not):
+            return Not(walk(node.child))
+        return node
+
+    return walk(p)
+
+
+def _py_comparable(a: Any, b: Any) -> bool:
+    """Whether raw Python comparison of ``a`` and ``b`` has SQL semantics.
+
+    bool is an int subclass and datetime a date subclass, so both need
+    explicit handling; mixed families (date vs str, int vs str) must NOT
+    compare raw — Python eq would return a silently-wrong False."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    num = (int, float, Decimal)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    if isinstance(a, _dt.datetime) or isinstance(b, _dt.datetime):
+        return isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime)
+    if isinstance(a, _dt.date) and isinstance(b, _dt.date):
+        return True
+    return type(a) is type(b)
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +248,8 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
             return None
         if a is None or b is None:
             return None  # SQL NULL comparison
+        if not _py_comparable(a, b):
+            return None  # cross-type: unknown, never a silent False
         try:
             return bool(_CMP[p.op](a, b))
         except TypeError:
@@ -130,6 +265,8 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
         b = _eval_expr(p.right, row, known)
         if a is _UNKNOWN or b is _UNKNOWN:
             return None
+        if a is not None and b is not None and not _py_comparable(a, b):
+            return None
         try:
             same = (a is None and b is None) or (
                 a is not None and b is not None and a == b
@@ -144,10 +281,17 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
         if v is None:
             return None
         vals = [x for x in p.values if x is not None]
-        try:
-            if any(v == x for x in vals):
-                return True
-        except TypeError:
+        incomparable = False
+        for x in vals:
+            if not _py_comparable(v, x):
+                incomparable = True
+                continue
+            try:
+                if v == x:
+                    return True
+            except TypeError:
+                incomparable = True
+        if incomparable:
             return None
         return None if len(vals) != len(p.values) else False  # NULL in list
     if isinstance(p, And):

@@ -13,7 +13,7 @@ Grammar (case-insensitive keywords)::
     pred    := and_or                        -- OR lowest, AND next, NOT unary
     atom    := operand cmp operand
              | operand IS [NOT] NULL
-             | operand IS [NOT] DISTINCT FROM operand
+             | operand IS [NOT] DISTINCT FROM operand | operand <=> operand
              | operand [NOT] IN '(' literal, ... ')'
              | operand [NOT] BETWEEN operand AND operand
              | TRUE | FALSE | '(' pred ')'
@@ -67,7 +67,7 @@ _TOKEN_RE = re.compile(
     | (?P<str>'(?:[^']|'')*')
     | (?P<bq>`(?:[^`]|``)+`)
     | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\+|-|\*|/|%)
+    | (?P<op><=>|<=|>=|<>|!=|=|<|>|\(|\)|,|\.|\+|-|\*|/|%)
     )""",
     re.VERBOSE,
 )
@@ -197,6 +197,9 @@ class _Parser:
         if neg:
             raise SqlParseError("expected IN or BETWEEN after NOT")
 
+        if self.accept_op("<=>"):
+            # Spark's null-safe equality — same node as IS NOT DISTINCT FROM
+            return NotDistinct(left, self.parse_operand())
         t = self.peek()
         if t and t[0] == "op" and t[1] in _CMP_OPS:
             self.i += 1

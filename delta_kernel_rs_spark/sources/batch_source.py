@@ -99,7 +99,8 @@ class DeltaKernelDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         storage, seg = self._segment()
-        meta, _ = snapshot_metadata(storage, seg)
+        meta, proto = snapshot_metadata(storage, seg)
+        _protocol_of(proto).ensure_read_supported()
         return parse_schema_string(meta["schemaString"])
 
     def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
@@ -127,13 +128,19 @@ class DeltaKernelBatchReader(DataSourceReader):
         self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
         storage = storage_for_uri(self._path)
         self._seg = build_log_segment(storage, self._path, self._version)
-        meta, _ = snapshot_metadata(storage, self._seg)
+        meta, proto = snapshot_metadata(storage, self._seg)
+        # same gate as Snapshot.create: never silently misread a table whose
+        # protocol demands reader behavior this engine lacks
+        _protocol_of(proto).ensure_read_supported()
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._predicate = None
         pred_str = opts.get("predicate")
         if pred_str:
-            from delta_kernel_rs_spark.plans.py_predicate import to_arrow_expr
+            from delta_kernel_rs_spark.plans.py_predicate import (
+                coerce_literals,
+                to_arrow_expr,
+            )
             from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
 
             ast = try_parse_sql_predicate(pred_str, self._table_schema)
@@ -142,6 +149,11 @@ class DeltaKernelBatchReader(DataSourceReader):
                     f"predicate {pred_str!r} is outside the supported SQL "
                     "grammar; drop the option and .filter() instead"
                 )
+            # type the literals against the table schema: a string literal
+            # compared to a DATE partition column must become a date before
+            # the pure-Python 3VL pruning sees it (raw date == str is a
+            # silent False that would wrongly skip matching files)
+            ast = coerce_literals(ast, self._table_schema)
             # validate compilability up front (partition columns will be
             # substituted per file, so map them to themselves here)
             to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
@@ -305,24 +317,141 @@ class _WriteResult(WriterCommitMessage):
     adds: list  # list[dict]
 
 
+#: Input types the sink accepts per table type beyond exact equality —
+#: lossless widening only (the Arrow cast at write time cannot lose values).
+_WIDEN_OK = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+)
+
+
+def _protocol_of(proto: dict):
+    from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+    return Protocol(
+        min_reader_version=int(proto.get("minReaderVersion", 1)),
+        min_writer_version=int(proto.get("minWriterVersion", 2)),
+        reader_features=proto.get("readerFeatures") or [],
+        writer_features=proto.get("writerFeatures") or [],
+    )
+
+
 class _DeltaKernelWriterBase:
+    """Shared driver-side validation + executor-side write.
+
+    The sink refuses tables whose protocol demands enforcement it cannot
+    provide (reference: the kernel fails writes on unknown writerFeatures
+    rather than landing unenforced data — table_features gating), and
+    enforces everything it *can* SparkSession-free: NOT NULL invariants via
+    Arrow null counts, CHECK constraints / column invariants /
+    generated-column verification compiled through the typed predicate AST
+    to pyarrow expressions, evaluated per task before any file is written.
+    Identity columns and row tracking need driver-side state handshakes
+    (HWM / baseRowId), so those tables are rejected up front with a pointer
+    to DeltaTable.append."""
+
+    @staticmethod
+    def _sink_writer_features() -> frozenset:
+        from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+        return Protocol.SUPPORTED_WRITER_FEATURES - {"identityColumns", "rowTracking"}
+
     def __init__(self, schema: T.StructType, options: dict):
         opts = _opts(options)
         self._path = opts["path"].rstrip("/")
         storage = storage_for_uri(self._path)
         seg = build_log_segment(storage, self._path)
         meta, proto = snapshot_metadata(storage, seg)
+        _protocol_of(proto).ensure_write_supported(self._sink_writer_features())
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         config = meta.get("configuration") or {}
-        if config.get("delta.appendOnly", "false").lower() == "true":
-            pass  # appends are exactly what this sink does
+        if config.get("delta.enableRowTracking", "false").lower() == "true":
+            # legacy-config tables may enable this without a feature list
+            raise ValueError(
+                "delta_kernel sink cannot write row-tracking tables "
+                "(baseRowId assignment) — use DeltaTable.append"
+            )
+        for f in self._table_schema.fields:
+            fm = f.metadata or {}
+            if "delta.identity.start" in fm or "delta.identity.step" in fm:
+                raise ValueError(
+                    f"identity column {f.name}: the sink cannot advance the "
+                    "high-water mark — use DeltaTable.append"
+                )
+
         table_names = [f.name for f in self._table_schema.fields]
         if sorted(schema.fieldNames()) != sorted(table_names):
             raise ValueError(
                 f"stream/write schema {schema.fieldNames()} does not match "
                 f"table columns {table_names}"
             )
+        by_name = {f.name: f for f in self._table_schema.fields}
+        for f_in in schema.fields:
+            got = f_in.dataType.simpleString()
+            want = by_name[f_in.name].dataType.simpleString()
+            if got != want and (got, want) not in _WIDEN_OK:
+                raise ValueError(
+                    f"column {f_in.name}: write type {got} does not match "
+                    f"table type {want} (only lossless widening is implicit)"
+                )
+
+        # Compile every write-side check now; an unenforceable table must
+        # fail at the driver, not land unchecked data from executors.
+        from delta_kernel_rs_spark.plans.py_predicate import (
+            UnsupportedPredicate,
+            coerce_literals,
+            to_arrow_expr,
+        )
+        from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
+        from delta_kernel_rs_spark.sources.transaction import constraint_predicates
+
+        self._not_null = [f.name for f in self._table_schema.fields if not f.nullable]
+        self._checks: list[tuple[str, str, object]] = []
+        for name, sql in constraint_predicates(config, self._table_schema):
+            if name.startswith("notnull("):
+                continue  # Arrow null_count is the cheaper exact check
+            ast = try_parse_sql_predicate(sql, self._table_schema)
+            if ast is not None:
+                ast = coerce_literals(ast, self._table_schema)
+                try:
+                    to_arrow_expr(ast, {})
+                except UnsupportedPredicate:
+                    ast = None
+            if ast is None:
+                raise ValueError(
+                    f"table constraint {name} ({sql!r}) is outside the "
+                    "sink's enforceable grammar — use DeltaTable.append, "
+                    "which verifies it with Spark expressions"
+                )
+            self._checks.append((name, sql, ast))
+
+    def _enforce(self, tbl) -> None:
+        """Per-task write-side verification (same semantics as the Spark
+        Transaction's constraint scan: a NULL verdict violates)."""
+        for fname in self._not_null:
+            nulls = tbl.column(fname).null_count
+            if nulls:
+                raise ValueError(
+                    f"NOT NULL violation: column {fname} has {nulls} null row(s)"
+                )
+        if self._checks:
+            from delta_kernel_rs_spark.plans.py_predicate import to_arrow_expr
+
+            for name, sql, ast in self._checks:
+                ok = tbl.filter(to_arrow_expr(ast, {})).num_rows
+                if ok != tbl.num_rows:
+                    raise ValueError(
+                        f"constraint {name} violated by {tbl.num_rows - ok} "
+                        f"row(s): {sql}"
+                    )
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator):
@@ -358,6 +487,7 @@ class _DeltaKernelWriterBase:
         if not batches:
             return _WriteResult(adds=[])
         tbl = pa.Table.from_batches(batches)
+        self._enforce(tbl)
         # logical -> physical projection in table-schema order
         data = pa.table(
             {

@@ -10,6 +10,14 @@ O(log n) probed commits instead of indexing the whole log: ICT is monotonic
 by construction, so a plain binary search over the probe function is exact.
 Tables without ICT pay exactly ONE commit read (the newest commit, to learn
 ICT is absent) and search the in-memory clamped-mtime list.
+
+Mid-history ICT enablement splits the log into two independently-monotonic
+regions — clamped mtimes below the enablement boundary, ICT at and above it.
+The combined sequence is NOT guaranteed monotonic (the first ICT is wall
+clock, not clamped to the preceding mtime), so each region is searched
+separately and the ICT region wins ties, exactly the reference's strategy
+(history_manager/mod.rs:71-100). The boundary itself is found with O(log n)
+probes — zero extra probes for the common ICT-since-creation case.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ class _TimestampIndex:
             clamped.append(t)
         self.mtimes = clamped
         self._ict_cache: dict[int, int | None] = {}
+        self._boundary: int | None = None
         # ONE read: the newest commit decides whether ICT probing is needed
         # at all. A table that never enabled ICT stays mtime-indexed with no
         # further reads; once ICT is enabled it stays enabled, so the newest
@@ -71,32 +80,65 @@ class _TimestampIndex:
                 return ict
         return self.mtimes[i]
 
+    def _ict_boundary(self) -> int:
+        """Index of the first commit carrying ICT. Presence is monotonic
+        over versions (once enabled, stays enabled), so the boundary binary-
+        searches in O(log n) probes; the common ICT-since-creation case is
+        settled by ONE probe of the oldest commit."""
+        if self._boundary is None:
+            if self._read_ict(self.versions[0]) is not None:
+                self._boundary = 0
+            else:
+                lo, hi = 0, len(self.versions) - 1  # [lo] no ICT, [hi] has it
+                while hi - lo > 1:
+                    mid = (lo + hi) // 2
+                    if self._read_ict(self.versions[mid]) is not None:
+                        hi = mid
+                    else:
+                        lo = mid
+                self._boundary = hi
+        return self._boundary
+
     def rightmost_at_or_before(self, target_ms: int) -> int | None:
-        """Index of the latest commit with ts <= target, or None."""
+        """Index of the latest commit with ts <= target, or None.
+
+        Mixed logs search the ICT region first (it holds the latest
+        versions); only when every ICT exceeds the target does the answer
+        fall back to the clamped-mtime region below the boundary."""
         if not self._has_ict:
             idx = bisect.bisect_right(self.mtimes, target_ms) - 1
             return idx if idx >= 0 else None
-        lo, hi = 0, len(self.versions) - 1
-        ans = None
+        b = self._ict_boundary()
+        lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self.ts(mid) <= target_ms:
+            if self._read_ict(self.versions[mid]) <= target_ms:
                 ans = mid
                 lo = mid + 1
             else:
                 hi = mid - 1
-        return ans
+        if ans is not None:
+            return ans
+        idx = bisect.bisect_right(self.mtimes, target_ms, 0, b) - 1
+        return idx if idx >= 0 else None
 
     def leftmost_at_or_after(self, target_ms: int) -> int | None:
-        """Index of the earliest commit with ts >= target, or None."""
+        """Index of the earliest commit with ts >= target, or None.
+
+        Mirror of rightmost_at_or_before: the mtime region holds the
+        earliest versions, so it is consulted first; the ICT region only
+        answers when no pre-boundary mtime reaches the target."""
         if not self._has_ict:
             idx = bisect.bisect_left(self.mtimes, target_ms)
             return idx if idx < len(self.mtimes) else None
-        lo, hi = 0, len(self.versions) - 1
-        ans = None
+        b = self._ict_boundary()
+        idx = bisect.bisect_left(self.mtimes, target_ms, 0, b)
+        if idx < b:
+            return idx
+        lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self.ts(mid) >= target_ms:
+            if self._read_ict(self.versions[mid]) >= target_ms:
                 ans = mid
                 hi = mid - 1
             else:

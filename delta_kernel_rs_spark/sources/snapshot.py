@@ -59,6 +59,34 @@ class Protocol:
         }
     )
 
+    #: Writer features the Spark-side Transaction implements (reference
+    #: write-side gating: kernel/src/table_features/mod.rs — a kernel must
+    #: refuse to write tables whose features it cannot enforce).
+    SUPPORTED_WRITER_FEATURES = frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "allowColumnDefaults",
+            "columnMapping",
+            "identityColumns",
+            "deletionVectors",
+            "rowTracking",
+            "timestampNtz",
+            "typeWidening",
+            "typeWidening-preview",
+            "domainMetadata",
+            "v2Checkpoint",
+            "vacuumProtocolCheck",
+            "inCommitTimestamp",
+            "clustering",
+            "variantType",
+            "variantType-preview",
+        }
+    )
+
     def ensure_read_supported(self) -> None:
         if self.min_reader_version > 3:
             raise InvalidLogError(
@@ -68,6 +96,25 @@ class Protocol:
             unsupported = set(self.reader_features or []) - self.SUPPORTED_READER_FEATURES
             if unsupported:
                 raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
+
+    def ensure_write_supported(self, supported: frozenset | None = None) -> None:
+        """Refuse to write when the table requires enforcement this writer
+        does not implement (reference: the kernel fails writes on unknown
+        writerFeatures rather than landing unenforced data). ``supported``
+        narrows the feature set for restricted writers — e.g. the
+        SparkSession-free sink, which cannot run identity/row-tracking
+        assignment."""
+        sup = self.SUPPORTED_WRITER_FEATURES if supported is None else supported
+        if self.min_writer_version > 7:
+            raise InvalidLogError(
+                f"unsupported minWriterVersion {self.min_writer_version}"
+            )
+        if self.min_writer_version == 7:
+            unsupported = set(self.writer_features or []) - sup
+            if unsupported:
+                raise InvalidLogError(
+                    f"unsupported writer features: {sorted(unsupported)}"
+                )
 
 
 @dataclass

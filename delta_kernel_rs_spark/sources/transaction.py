@@ -80,6 +80,43 @@ def _encode_rel_path(rel: str) -> str:
     return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
 
 
+def constraint_predicates(configuration: dict, schema) -> list[tuple[str, str]]:
+    """(name, SQL) pairs every writer owes the table: CHECK constraints from
+    ``delta.constraints.*`` table properties, column invariants from
+    ``delta.invariants`` field metadata, NOT NULL fields, and generated-column
+    verification (reference write-side verification; invariants/constraints
+    metadata keys at kernel/src/schema/mod.rs:253-320). Shared by the
+    Spark-side Transaction and the SparkSession-free sink so neither path can
+    land unenforced data."""
+    out: list[tuple[str, str]] = []
+    for key, expr in sorted((configuration or {}).items()):
+        if key.startswith("delta.constraints."):
+            out.append((key[len("delta.constraints."):], expr))
+    if schema is not None:
+        for f in schema.fields:
+            meta = f.metadata or {}
+            inv = meta.get("delta.invariants")
+            if inv:
+                try:
+                    expr = json.loads(inv)["expression"]["expression"]
+                    out.append((f"invariant({f.name})", expr))
+                except (ValueError, KeyError, TypeError):
+                    pass
+            if not f.nullable:
+                # Backtick-quoted so names with spaces/dots/specials
+                # parse as one column, not a nested-field path.
+                quoted = f.name.replace("`", "``")
+                out.append((f"notnull({f.name})", f"`{quoted}` IS NOT NULL"))
+            gen = meta.get(Transaction.GENERATION_EXPRESSION_KEY)
+            if gen:
+                # Writer-supplied values must equal the generation
+                # expression (trivially true when this writer computed
+                # them); rides the same single violation scan.
+                quoted = f.name.replace("`", "``")
+                out.append((f"generated({f.name})", f"`{quoted}` <=> ({gen})"))
+    return out
+
+
 class Transaction:
     """One optimistic-concurrency commit against a table."""
 
@@ -310,38 +347,7 @@ class Transaction:
         return self
 
     def _constraint_predicates(self) -> list[tuple[str, str]]:
-        """(name, SQL) pairs to enforce on writes: CHECK constraints from
-        ``delta.constraints.*`` table properties, column invariants from
-        ``delta.invariants`` field metadata, and NOT NULL fields (reference
-        write-side verification; invariants/constraints metadata keys at
-        kernel/src/schema/mod.rs:253-320)."""
-        out: list[tuple[str, str]] = []
-        for key, expr in sorted(self.configuration.items()):
-            if key.startswith("delta.constraints."):
-                out.append((key[len("delta.constraints."):], expr))
-        if self.schema is not None:
-            for f in self.schema.fields:
-                meta = f.metadata or {}
-                inv = meta.get("delta.invariants")
-                if inv:
-                    try:
-                        expr = json.loads(inv)["expression"]["expression"]
-                        out.append((f"invariant({f.name})", expr))
-                    except (ValueError, KeyError, TypeError):
-                        pass
-                if not f.nullable:
-                    # Backtick-quoted so names with spaces/dots/specials
-                    # parse as one column, not a nested-field path.
-                    quoted = f.name.replace("`", "``")
-                    out.append((f"notnull({f.name})", f"`{quoted}` IS NOT NULL"))
-                gen = meta.get(self.GENERATION_EXPRESSION_KEY)
-                if gen:
-                    # Writer-supplied values must equal the generation
-                    # expression (trivially true when this writer computed
-                    # them); rides the same single violation scan.
-                    quoted = f.name.replace("`", "``")
-                    out.append((f"generated({f.name})", f"`{quoted}` <=> ({gen})"))
-        return out
+        return constraint_predicates(self.configuration, self.schema)
 
     def _enforce_constraints(self) -> None:
         constraints = self._constraint_predicates()

@@ -139,3 +139,60 @@ def test_mixed_ict_enablement(spark, tmp_path, counting):
     path, icts = _fabricate_log(tmp_path, 64, ict_from=32)
     assert version_at_timestamp(spark, path, icts[50]) == 50
     assert version_at_timestamp(spark, path, icts[32]) >= 31
+
+
+def test_mixed_ict_with_clock_skew(spark, tmp_path, counting):
+    """ICT enabled mid-history on a machine whose clock ran BEHIND the
+    mtime clock: the first ICT (1500) is lower than every pre-boundary
+    mtime (2000+). A single mixed binary search over the non-monotonic
+    sequence can return a wrong version; the region-split search must not
+    (ADVICE r4; reference history_manager/mod.rs:71-100)."""
+    import os
+
+    log = tmp_path / "t" / "_delta_log"
+    log.mkdir(parents=True)
+    mtimes = {0: 2000, 1: 2100, 2: 2200, 3: 2300}
+    icts = {4: 1500, 5: 1600, 6: 1700, 7: 1800}
+    for v in range(8):
+        lines = []
+        ci: dict = {"timestamp": mtimes.get(v, 0) or icts.get(v), "operation": "WRITE"}
+        if v in icts:
+            ci["inCommitTimestamp"] = icts[v]
+        lines.append(json.dumps({"commitInfo": ci}))
+        if v == 0:
+            lines.append(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "fixture",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}',
+                            "partitionColumns": [],
+                            "configuration": {},
+                        }
+                    }
+                )
+            )
+        lines.append(
+            json.dumps(
+                {"add": {"path": f"f{v}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}}
+            )
+        )
+        f = log / f"{v:020d}.json"
+        f.write_text("\n".join(lines))
+        os.utime(f, (mtimes.get(v, 3000) / 1000.0, mtimes.get(v, 3000) / 1000.0))
+    path = str(tmp_path / "t")
+
+    # inside the ICT region: exact, despite every mtime being larger
+    assert version_at_timestamp(spark, path, 1600) == 5
+    assert version_at_timestamp(spark, path, 1650) == 5
+    # at/above everything: the newest ICT version wins, not an mtime match
+    assert version_at_timestamp(spark, path, 5000) == 7
+    # below everything
+    with pytest.raises(ValueError):
+        version_at_timestamp(spark, path, 1400)
+    # earliest-at-or-after prefers the mtime region (earliest versions)
+    assert first_version_after(spark, path, 1900) == 0
+    with pytest.raises(ValueError):
+        first_version_after(spark, path, 5000)

@@ -129,6 +129,138 @@ def test_pycommit_replay_is_idempotent(spark, tmp_path):
     assert latest_txn_version(storage, seg2, "q1") == 8
 
 
+def _append(df, path):
+    df.write.format("delta_kernel").option("path", path).mode("append").save()
+
+
+def test_sink_enforces_check_constraint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(10).toDF("x"),
+        properties={"delta.constraints.x_small": "x < 100"},
+    )
+    register_batch_source(spark)
+    _append(spark.range(10, 20).toDF("x"), path)  # conforming rows pass
+    v_before = t.snapshot().version
+    with pytest.raises(Exception, match="x_small"):
+        _append(spark.range(95, 105).toDF("x"), path)
+    assert t.snapshot().version == v_before  # violating batch committed nothing
+    assert t.to_df().count() == 20
+
+
+def test_sink_enforces_not_null_invariant(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+    t = DeltaTable.create(spark, path, schema=schema)
+    register_batch_source(spark)
+    with pytest.raises(Exception, match="NOT NULL"):
+        _append(spark.range(1).select(F.lit(None).cast("long").alias("k")), path)
+    assert t.to_df().count() == 0
+    _append(spark.range(3).toDF("k"), path)
+    assert t.to_df().count() == 3
+
+
+def test_sink_verifies_generated_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField(
+                "x2", T.LongType(), True, {"delta.generationExpression": "x * 2"}
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema)
+    register_batch_source(spark)
+    good = spark.range(4).toDF("x").withColumn("x2", F.col("x") * 2)
+    _append(good, path)
+    assert t.to_df().count() == 4
+    bad = spark.range(4, 6).toDF("x").withColumn("x2", F.col("x") * 3)
+    with pytest.raises(Exception, match="generated"):
+        _append(bad, path)
+    assert t.to_df().count() == 4
+
+
+def test_sink_rejects_identity_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField(
+                "id",
+                T.LongType(),
+                True,
+                {"delta.identity.start": 1, "delta.identity.step": 1},
+            ),
+        ]
+    )
+    DeltaTable.create(spark, path, schema=schema)
+    register_batch_source(spark)
+    with pytest.raises(Exception, match="identity"):
+        _append(
+            spark.range(3).toDF("x").withColumn("id", F.col("x")), path
+        )
+
+
+def test_sink_rejects_unknown_writer_feature(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=spark.range(3).toDF("x"))
+    # simulate a protocol upgrade to a feature this sink cannot enforce
+    import json as _json
+    import os
+
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["futureFeatureX"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    register_batch_source(spark)
+    with pytest.raises(Exception, match="futureFeatureX"):
+        _append(spark.range(3, 6).toDF("x"), path)
+
+
+def test_batch_reader_rejects_unknown_reader_protocol(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=spark.range(3).toDF("x"))
+    import json as _json
+    import os
+
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, "00000000000000000001.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}}
+            )
+            + "\n"
+        )
+    register_batch_source(spark)
+    with pytest.raises(Exception, match="minReaderVersion"):
+        spark.read.format("delta_kernel").option("path", path).load().collect()
+
+
+def test_sink_rejects_type_mismatch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=spark.range(3).toDF("x"))
+    register_batch_source(spark)
+    with pytest.raises(Exception, match="type"):
+        _append(
+            spark.range(3).select(F.col("id").cast("string").alias("x")), path
+        )
+    # lossless widening is accepted: int input into a bigint column
+    _append(spark.range(3, 6).select(F.col("id").cast("int").alias("x")), path)
+
+
 def test_sink_rejects_row_tracking_table(spark, tmp_path):
     path = str(tmp_path / "t")
     DeltaTable.create(
