@@ -105,11 +105,12 @@ def fingerprint_expr(text_col: str = "text") -> Column:
     """Polynomial rolling-hash fingerprint of the whole text.
 
     acc_{i+1} = (acc_i*31 + codepoint_i) mod 1e9+7, folded left over the
-    character sequence. For very long documents the per-char substring walk
-    should move to a pandas UDF; at feed sizes it codegens fine.
+    character sequence. ``split(text, '')`` materializes the char array in
+    ONE pass — the earlier ``substring(text, i, 1)`` probe per position was
+    an O(n²) walk (each substring re-scans from the head), which dominated
+    this operator's runtime on multi-KB documents.
     """
     return F.expr(
-        f"aggregate(transform(sequence(1, length({text_col})), "
-        f"i -> ascii(substring({text_col}, i, 1))), 0L, "
+        f"aggregate(transform(split({text_col}, ''), ch -> ascii(ch)), 0L, "
         f"(acc, c) -> (acc*31 + c) % {FINGERPRINT_MOD})"
     )

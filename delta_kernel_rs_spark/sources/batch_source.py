@@ -22,13 +22,20 @@ Usage::
           .option("versionAsOf", 3)          # optional time travel
           .load())
 
-Options: ``path`` (required), ``versionAsOf`` (int), ``targetBytes``
+Options: ``path`` (required), ``versionAsOf`` (int), ``timestampAsOf``
+(epoch ms or ISO datetime; ICT-aware O(log n) resolution), ``targetBytes``
 (bytes of data per read task, default 128 MiB), ``predicate`` (SQL
 string) — parsed by plans/sql_parser into the typed AST, partition-pruned
 exactly at planning (pure-Python 3VL, plans/py_predicate.py), and applied
 executor-side as a pyarrow Expression (row-group statistics pruning +
 exact row filtering). Unsupported predicates raise rather than silently
 returning unfiltered rows.
+
+The same format also exposes a Structured Streaming APPEND source
+(``spark.readStream.format("delta_kernel")`` — see
+:class:`DeltaKernelStreamReader`): offsets are commit versions, each
+micro-batch reads the files added in its version range, with Delta's
+ignoreDeletes/ignoreChanges semantics for non-append commits.
 
 Reference: the read path composes kernel/src/scan/mod.rs semantics
 (file listing + DV + file constants + scan predicate) behind Spark's
@@ -47,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -59,6 +67,7 @@ from delta_kernel_rs_spark.sources.pyreplay import (
     ipc_serialize,
     live_files_arrow,
     pq_read,
+    protocol_of,
     snapshot_metadata,
 )
 from delta_kernel_rs_spark.sources.storage import storage_for_uri
@@ -73,6 +82,33 @@ def register_batch_source(spark) -> None:
 def _opts(options: dict) -> dict:
     # Spark lower-cases data source option keys.
     return {k.lower(): v for k, v in options.items()}
+
+
+def _resolve_version(storage, path: str, opts: dict) -> int | None:
+    """versionAsOf / timestampAsOf → pinned version (None = latest).
+
+    timestampAsOf accepts epoch milliseconds or an ISO datetime (naive =
+    UTC) and resolves through the ICT-aware O(log n) history search."""
+    version = opts.get("versionasof")
+    ts = opts.get("timestampasof")
+    if version is not None and ts is not None:
+        raise ValueError("set versionAsOf or timestampAsOf, not both")
+    if version is not None:
+        return int(version)
+    if ts is None:
+        return None
+    try:
+        ts_ms = int(ts)
+    except ValueError:
+        import datetime as _dt
+
+        d = _dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = int(d.timestamp() * 1000)
+    from delta_kernel_rs_spark.sources.history import version_at_timestamp_for_storage
+
+    return version_at_timestamp_for_storage(storage, path, ts_ms)
 
 
 @dataclass
@@ -90,17 +126,14 @@ class DeltaKernelDataSource(DataSource):
     def _segment(self):
         opts = _opts(self.options)
         path = opts["path"].rstrip("/")
-        version = opts.get("versionasof")
         storage = storage_for_uri(path)
-        seg = build_log_segment(
-            storage, path, None if version is None else int(version)
-        )
+        seg = build_log_segment(storage, path, _resolve_version(storage, path, opts))
         return storage, seg
 
     def schema(self) -> T.StructType:
         storage, seg = self._segment()
         meta, proto = snapshot_metadata(storage, seg)
-        _protocol_of(proto).ensure_read_supported()
+        protocol_of(proto).ensure_read_supported()
         return parse_schema_string(meta["schemaString"])
 
     def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
@@ -118,46 +151,14 @@ class DeltaKernelDataSource(DataSource):
             raise ValueError("delta_kernel streaming sink is append-only")
         return DeltaKernelStreamWriter(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> "DeltaKernelStreamReader":
+        return DeltaKernelStreamReader(schema, self.options)
 
-class DeltaKernelBatchReader(DataSourceReader):
-    def __init__(self, schema: T.StructType, options: dict):
-        opts = _opts(options)
-        self._path = opts["path"].rstrip("/")
-        version = opts.get("versionasof")
-        self._version = None if version is None else int(version)
-        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
-        storage = storage_for_uri(self._path)
-        self._seg = build_log_segment(storage, self._path, self._version)
-        meta, proto = snapshot_metadata(storage, self._seg)
-        # same gate as Snapshot.create: never silently misread a table whose
-        # protocol demands reader behavior this engine lacks
-        _protocol_of(proto).ensure_read_supported()
-        self._table_schema = parse_schema_string(meta["schemaString"])
-        self._pcols = list(meta.get("partitionColumns") or [])
-        self._predicate = None
-        pred_str = opts.get("predicate")
-        if pred_str:
-            from delta_kernel_rs_spark.plans.py_predicate import (
-                coerce_literals,
-                to_arrow_expr,
-            )
-            from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
 
-            ast = try_parse_sql_predicate(pred_str, self._table_schema)
-            if ast is None:
-                raise ValueError(
-                    f"predicate {pred_str!r} is outside the supported SQL "
-                    "grammar; drop the option and .filter() instead"
-                )
-            # type the literals against the table schema: a string literal
-            # compared to a DATE partition column must become a date before
-            # the pure-Python 3VL pruning sees it (raw date == str is a
-            # silent False that would wrongly skip matching files)
-            ast = coerce_literals(ast, self._table_schema)
-            # validate compilability up front (partition columns will be
-            # substituted per file, so map them to themselves here)
-            to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
-            self._predicate = ast
+class _FileSliceReadMixin:
+    """Executor-side read of a ``_FileSliceTask`` — shared by the batch
+    reader and the streaming append reader. Requires attributes ``_path``,
+    ``_table_schema``, ``_pcols``, ``_predicate`` (may be None)."""
 
     def _pv_typed(self, pv_items) -> dict:
         from delta_kernel_rs_spark.streaming.cdf_source import _parse_pv_py
@@ -170,30 +171,7 @@ class DeltaKernelBatchReader(DataSourceReader):
                 out[f.name] = _parse_pv_py(raw, f.dataType)
         return out
 
-    # -- planning (driver-side worker; no per-file Python objects) -------
-    def partitions(self) -> Sequence[InputPartition]:
-        storage = storage_for_uri(self._path)
-        files = live_files_arrow(storage, self._seg)
-        if self._predicate is not None and self._pcols:
-            # exact partition pruning: drop files whose partition values
-            # make the predicate definitively False (3VL; unknown keeps)
-            from delta_kernel_rs_spark.plans.py_predicate import eval_3vl
-
-            known = set(self._pcols)
-            keep = [
-                eval_3vl(self._predicate, self._pv_typed(pv), known) is not False
-                for pv in files.column("partition_values").to_pylist()
-            ]
-            import pyarrow as pa
-
-            files = files.filter(pa.array(keep, type=pa.bool_()))
-        slices = bin_pack_by_size(files, self._target_bytes)
-        if not slices:
-            return [_FileSliceTask(ipc_serialize(files))]  # empty table
-        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
-
-    # -- execution (workers) ---------------------------------------------
-    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+    def _read_slice(self, partition: "_FileSliceTask") -> Iterator[Any]:
         import pyarrow as pa
         import pyarrow.compute as pc
         from pyspark.sql.pandas.types import to_arrow_type
@@ -288,6 +266,176 @@ class DeltaKernelBatchReader(DataSourceReader):
             )
 
 
+class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        opts = _opts(options)
+        self._path = opts["path"].rstrip("/")
+        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        storage = storage_for_uri(self._path)
+        self._version = _resolve_version(storage, self._path, opts)
+        self._seg = build_log_segment(storage, self._path, self._version)
+        meta, proto = snapshot_metadata(storage, self._seg)
+        # same gate as Snapshot.create: never silently misread a table whose
+        # protocol demands reader behavior this engine lacks
+        protocol_of(proto).ensure_read_supported()
+        self._table_schema = parse_schema_string(meta["schemaString"])
+        self._pcols = list(meta.get("partitionColumns") or [])
+        self._predicate = None
+        pred_str = opts.get("predicate")
+        if pred_str:
+            from delta_kernel_rs_spark.plans.py_predicate import (
+                coerce_literals,
+                to_arrow_expr,
+            )
+            from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
+
+            ast = try_parse_sql_predicate(pred_str, self._table_schema)
+            if ast is None:
+                raise ValueError(
+                    f"predicate {pred_str!r} is outside the supported SQL "
+                    "grammar; drop the option and .filter() instead"
+                )
+            # type the literals against the table schema: a string literal
+            # compared to a DATE partition column must become a date before
+            # the pure-Python 3VL pruning sees it (raw date == str is a
+            # silent False that would wrongly skip matching files)
+            ast = coerce_literals(ast, self._table_schema)
+            # validate compilability up front (partition columns will be
+            # substituted per file, so map them to themselves here)
+            to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
+            self._predicate = ast
+
+    # -- planning (driver-side worker; no per-file Python objects) -------
+    def partitions(self) -> Sequence[InputPartition]:
+        storage = storage_for_uri(self._path)
+        files = live_files_arrow(storage, self._seg)
+        if self._predicate is not None and self._pcols:
+            # exact partition pruning: drop files whose partition values
+            # make the predicate definitively False (3VL; unknown keeps)
+            from delta_kernel_rs_spark.plans.py_predicate import eval_3vl
+
+            known = set(self._pcols)
+            keep = [
+                eval_3vl(self._predicate, self._pv_typed(pv), known) is not False
+                for pv in files.column("partition_values").to_pylist()
+            ]
+            import pyarrow as pa
+
+            files = files.filter(pa.array(keep, type=pa.bool_()))
+        slices = bin_pack_by_size(files, self._target_bytes)
+        if not slices:
+            return [_FileSliceTask(ipc_serialize(files))]  # empty table
+        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
+
+    # -- execution (workers) ---------------------------------------------
+    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+        return self._read_slice(partition)
+
+
+class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
+    """Structured Streaming source over table APPENDS:
+    ``spark.readStream.format("delta_kernel")``.
+
+    Offsets are commit versions; each micro-batch emits the rows of files
+    added (dataChange) in ``[start, end)`` — the streaming twin of the
+    incremental scan (sources/incremental.py; reference
+    kernel/src/incremental_scan/mod.rs), packaged as a Spark source.
+
+    Delta-streaming semantics for non-append commits: a commit that
+    removes data files fails the stream unless ``ignoreDeletes`` (plain
+    deletes are dropped) or ``ignoreChanges`` (rewritten files are
+    re-emitted in full — consumers must dedup) is set. dataChange=false
+    rewrites (OPTIMIZE, DV purge) are always invisible.
+
+    Options: ``path`` (required), ``startingVersion`` (int or ``latest``,
+    default 0), ``ignoreDeletes``, ``ignoreChanges``, ``targetBytes``.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict):
+        opts = _opts(options)
+        self._path = opts["path"].rstrip("/")
+        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        self._ignore_deletes = str(opts.get("ignoredeletes", "false")).lower() == "true"
+        self._ignore_changes = str(opts.get("ignorechanges", "false")).lower() == "true"
+        storage = storage_for_uri(self._path)
+        seg = build_log_segment(storage, self._path)
+        meta, proto = snapshot_metadata(storage, seg)
+        protocol_of(proto).ensure_read_supported()
+        self._table_schema = parse_schema_string(meta["schemaString"])
+        self._pcols = list(meta.get("partitionColumns") or [])
+        self._predicate = None  # slice reads are unfiltered for the stream
+        sv = opts.get("startingversion")
+        if sv is None:
+            self._start = 0
+        elif str(sv).lower() == "latest":
+            self._start = seg.version + 1
+        else:
+            self._start = int(sv)
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        storage = storage_for_uri(self._path)
+        entries = storage.list_dir(f"{self._path}/_delta_log")
+        versions = [
+            int(e.path[-25:-5])
+            for e in entries
+            if e.path.endswith(".json") and e.path[-25:-5].isdigit()
+        ]
+        return {"version": (max(versions) + 1) if versions else self._start}
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by Spark's offset log
+
+    # -- planning --------------------------------------------------------
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from delta_kernel_rs_spark.sources.pyreplay import (
+            _adds_from_pylist,
+            _iter_actions,
+        )
+
+        storage = storage_for_uri(self._path)
+        adds: list[dict] = []
+        for v in range(start["version"], end["version"]):
+            cpath = f"{self._path}/_delta_log/{v:020d}.json"
+            commit_adds: list[dict] = []
+            removed: set[str] = set()
+            for action in _iter_actions(storage, cpath):
+                if "add" in action and action["add"].get("dataChange"):
+                    commit_adds.append(action["add"])
+                elif "remove" in action and action["remove"].get("dataChange"):
+                    removed.add(action["remove"]["path"])
+            if removed and not (self._ignore_deletes or self._ignore_changes):
+                raise ValueError(
+                    f"commit {v} of {self._path} removes data files; this "
+                    "source streams appends only — set ignoreDeletes to "
+                    "drop deletes, or ignoreChanges to re-emit rewritten "
+                    "files"
+                )
+            if removed and self._ignore_deletes and not self._ignore_changes:
+                # a commit with BOTH removes and adds is a rewrite
+                # (COW delete/update/merge), not a plain delete — same
+                # distinction Delta's streaming source draws
+                if commit_adds:
+                    raise ValueError(
+                        f"commit {v} rewrites files (update/merge/COW "
+                        "delete); ignoreDeletes covers remove-only commits "
+                        "— set ignoreChanges to re-emit rewritten files"
+                    )
+            adds.extend(commit_adds)
+        files = _adds_from_pylist(adds)
+        slices = bin_pack_by_size(files, self._target_bytes)
+        if not slices:
+            return [_FileSliceTask(ipc_serialize(files))]  # empty batch
+        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
+
+    # -- execution (workers) ---------------------------------------------
+    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+        return self._read_slice(partition)
+
+
 def pq_read_schema_names(path: str) -> list[str]:
     import pyarrow.parquet as pq
 
@@ -332,17 +480,6 @@ _WIDEN_OK = frozenset(
 )
 
 
-def _protocol_of(proto: dict):
-    from delta_kernel_rs_spark.sources.snapshot import Protocol
-
-    return Protocol(
-        min_reader_version=int(proto.get("minReaderVersion", 1)),
-        min_writer_version=int(proto.get("minWriterVersion", 2)),
-        reader_features=proto.get("readerFeatures") or [],
-        writer_features=proto.get("writerFeatures") or [],
-    )
-
-
 class _DeltaKernelWriterBase:
     """Shared driver-side validation + executor-side write.
 
@@ -369,7 +506,7 @@ class _DeltaKernelWriterBase:
         storage = storage_for_uri(self._path)
         seg = build_log_segment(storage, self._path)
         meta, proto = snapshot_metadata(storage, seg)
-        _protocol_of(proto).ensure_write_supported(self._sink_writer_features())
+        protocol_of(proto).ensure_write_supported(self._sink_writer_features())
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         config = meta.get("configuration") or {}

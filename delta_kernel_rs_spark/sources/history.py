@@ -146,8 +146,9 @@ class _TimestampIndex:
         return ans
 
 
-def _index(spark, table_path: str) -> _TimestampIndex:
-    storage = storage_for(spark, table_path)
+def index_for_storage(storage, table_path: str) -> _TimestampIndex:
+    """SparkSession-free index — used by the Python Data Source facade,
+    which resolves storage from the table URI."""
     segment = build_log_segment(storage, table_path)
     return _TimestampIndex(
         storage,
@@ -155,6 +156,20 @@ def _index(spark, table_path: str) -> _TimestampIndex:
         segment.all_commit_versions,
         segment.commit_timestamps,
     )
+
+
+def version_at_timestamp_for_storage(storage, table_path: str, timestamp_ms: int) -> int:
+    idx = index_for_storage(storage, table_path)
+    i = idx.rightmost_at_or_before(timestamp_ms)
+    if i is None:
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp_ms} for {table_path}"
+        )
+    return idx.versions[i]
+
+
+def _index(spark, table_path: str) -> _TimestampIndex:
+    return index_for_storage(storage_for(spark, table_path), table_path)
 
 
 def version_at_timestamp(spark, table_path: str, timestamp_ms: int) -> int:

@@ -102,6 +102,20 @@ def snapshot_metadata(storage, seg) -> tuple[dict, dict]:
     return meta, proto or {}
 
 
+def protocol_of(proto: dict):
+    """Typed Protocol from a raw protocol action dict (as returned by
+    snapshot_metadata) — call ensure_read_supported / ensure_write_supported
+    on the result before trusting the table."""
+    from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+    return Protocol(
+        min_reader_version=int(proto.get("minReaderVersion", 1)),
+        min_writer_version=int(proto.get("minWriterVersion", 2)),
+        reader_features=proto.get("readerFeatures") or [],
+        writer_features=proto.get("writerFeatures") or [],
+    )
+
+
 def _dv_uid_py(dv: dict | None) -> str:
     if not dv or not dv.get("storageType"):
         return ""

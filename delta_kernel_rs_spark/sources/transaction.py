@@ -151,6 +151,11 @@ class Transaction:
             else (read_snapshot.metadata.configuration if read_snapshot else {})
         )
         self.name = name
+        if read_snapshot is not None:
+            # A table written by another engine may require enforcement this
+            # writer lacks (reference: kernel refuses writes on unknown
+            # writerFeatures rather than landing unenforced data).
+            read_snapshot.protocol.ensure_write_supported()
         self.storage = storage_for(spark, table_path)
         self._staged_df: DataFrame | None = None
         #: False for file-layout-only rewrites (OPTIMIZE / DV purge): CDF

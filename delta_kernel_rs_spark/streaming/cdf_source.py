@@ -53,24 +53,16 @@ def _log_dir(path: str) -> str:
 
 
 def _latest_metadata(storage, path: str) -> dict:
-    """Newest metaData action from the commit tail (driver-side, tiny)."""
-    entries = storage.list_dir(_log_dir(path))
-    commits = sorted(
-        (e for e in entries if e.path.endswith(".json") and e.path[-25:-5].isdigit()),
-        key=lambda e: e.path,
-    )
-    for e in reversed(commits):
-        found = None
-        for line in storage.read_text(e.path).splitlines():
-            if '"metaData"' not in line:
-                continue
-            try:
-                found = json.loads(line)["metaData"]
-            except (ValueError, KeyError):
-                continue
-        if found is not None:
-            return found
-    raise ValueError(f"no metaData action found under {path}")
+    """Newest metaData action (checkpoint-aware), with the same reader
+    protocol gate as Snapshot.create / the batch facade — a table whose
+    protocol demands unsupported reader behavior must fail, not misread."""
+    from delta_kernel_rs_spark.sources.log_segment import build_log_segment
+    from delta_kernel_rs_spark.sources.pyreplay import protocol_of, snapshot_metadata
+
+    seg = build_log_segment(storage, path)
+    meta, proto = snapshot_metadata(storage, seg)
+    protocol_of(proto).ensure_read_supported()
+    return meta
 
 
 def _parse_pv_py(raw: str | None, dtype: T.DataType) -> Any:

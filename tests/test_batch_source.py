@@ -242,3 +242,132 @@ def test_format_predicate_uncastable_literal_raises(spark, tmp_path):
     DeltaTable.create(spark, path, df=df, partition_by=["b"])
     with pytest.raises(Exception, match="castable|predicate"):
         _read_fmt(spark, path, predicate="b = 'oops'").collect()
+
+
+def test_format_timestamp_as_of(spark, tmp_path):
+    """timestampAsOf resolves through the ICT-aware history index."""
+    import os
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(10).toDF("x"))
+    t.append(spark.range(10, 20).toDF("x"))
+    log = os.path.join(path, "_delta_log")
+    # pin deterministic mtimes (ms): v0 @ 1e9, v1 @ 2e9
+    os.utime(os.path.join(log, "00000000000000000000.json"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(log, "00000000000000000001.json"), (2_000_000, 2_000_000))
+    got = _read_fmt(spark, path, timestampAsOf=str(1_500_000_000))
+    assert sorted(r.x for r in got.collect()) == list(range(10))
+    got2 = _read_fmt(spark, path, timestampAsOf=str(2_500_000_000))
+    assert sorted(r.x for r in got2.collect()) == list(range(20))
+    with pytest.raises(Exception, match="not both"):
+        _read_fmt(spark, path, timestampAsOf="1500000000", versionAsOf="1").collect()
+
+
+def test_stream_read_appends(spark, tmp_path):
+    """readStream over the table emits appended rows batch by batch."""
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = DeltaTable.create(spark, path, df=spark.range(5).toDF("x"))
+    t.append(spark.range(5, 12).toDF("x"))
+    register_batch_source(spark)
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.x for r in spark.read.parquet(out).collect()) == list(range(12))
+    # new appends arrive on restart from the same checkpoint
+    t.append(spark.range(12, 15).toDF("x"))
+    q2 = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.x for r in spark.read.parquet(out).collect()) == list(range(15))
+
+
+def test_stream_read_rejects_deletes_unless_opted_in(spark, tmp_path):
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    from delta_kernel_rs_spark.sources.delete import delete_where
+
+    # 2 files, each mixing to-delete and surviving rows, so the COW delete
+    # REWRITES files rather than dropping them whole
+    t = DeltaTable.create(
+        spark, path, df=spark.range(20).toDF("x").repartition(2)
+    )
+    delete_where(t, "x < 5")
+    register_batch_source(spark)
+
+    def run(ckpt, **opts):
+        r = spark.readStream.format("delta_kernel").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="appends only|ignoreDeletes|ignoreChanges"):
+        run(str(tmp_path / "c1"))
+    # ignoreChanges: stream proceeds, re-emitting rewritten files — every
+    # row arrives at least once, and only delete-surviving rows (>= 5) can
+    # arrive twice (the files the COW delete rewrote)
+    run(str(tmp_path / "c2"), ignoreChanges="true")
+    from collections import Counter
+
+    counts = Counter(r.x for r in spark.read.parquet(out).collect())
+    assert set(counts) == set(range(20))
+    assert all(v >= 5 for v, n in counts.items() if n > 1)
+    assert any(n > 1 for n in counts.values())  # rewrites were re-emitted
+
+
+def test_stream_read_ignore_deletes_remove_only(spark, tmp_path):
+    """A partition-aligned delete is a remove-only commit: ignoreDeletes
+    lets the stream proceed without re-emission; strict mode still fails."""
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    from delta_kernel_rs_spark.sources.delete import delete_where
+
+    df = spark.range(20).select("id", (F.col("id") % 2).cast("long").alias("b"))
+    t = DeltaTable.create(spark, path, df=df, partition_by=["b"])
+    delete_where(t, "b = 0")  # whole-partition: removes, no adds
+    register_batch_source(spark)
+
+    def run(ckpt, **opts):
+        r = spark.readStream.format("delta_kernel").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="appends only|ignoreDeletes"):
+        run(str(tmp_path / "c1"))
+    run(str(tmp_path / "c2"), ignoreDeletes="true")
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))  # v0's adds, emitted exactly once

@@ -89,3 +89,30 @@ def test_changes_between_timestamps(spark, tmp_path):
     ch = t.changes_between_timestamps(icts[1], icts[2])
     assert {r._commit_version for r in ch.collect()} == {1, 2}
     assert {r.k for r in ch.collect()} == set(range(10, 30))
+
+
+def test_write_refuses_unknown_writer_feature(spark, tmp_path):
+    """A table upgraded (by some other engine) to a writer feature this
+    engine cannot enforce must refuse ALL writes, not land unenforced data
+    (reference table_features write gating)."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 5))
+    with open(os.path.join(path, "_delta_log", "00000000000000000001.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["futureFeatureX"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(Exception, match="futureFeatureX"):
+        t.append(_ints(spark, 5, 10))
+    # reading stays allowed: the upgrade touched only writer requirements
+    assert t.to_df().count() == 5
