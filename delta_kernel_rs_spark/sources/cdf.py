@@ -428,16 +428,35 @@ def changes_by_row_tracking(
     disappear entirely inside the range are invisible — this is the NET
     view, which is exactly what row-lineage CDF provides when no cdc files
     were written.
+
+    Scale shape: files IDENTICAL in both snapshots — same path, same DV,
+    same baseRowId — are excluded from BOTH reads before the join. Their
+    rows would match pre==post and be filtered anyway (row ids are unique
+    within a snapshot, so an unchanged file's rows cannot pair with any
+    other file's). When 1% of a 100 TB table changed, the join reads ~1%,
+    not 2×100 TB.
     """
     snapshot = Snapshot.create(spark, table_path, version=end_version)
     end_version = snapshot.version
     base = Snapshot.create(spark, table_path, version=base_version)
     data_cols = [f.name for f in snapshot.schema.fields]
 
-    pre = base.to_df(with_row_ids=True).select(
+    import json as _json
+
+    def _key(f) -> tuple:
+        dv = _json.dumps(f.dv, sort_keys=True) if f.dv else ""
+        return (f.path, dv, f.base_row_id)
+
+    pre_scan = base.scan(with_row_ids=True)
+    post_scan = snapshot.scan(with_row_ids=True)
+    common = {_key(f) for f in pre_scan.files()} & {_key(f) for f in post_scan.files()}
+    pre_scan.restrict_files(lambda f: _key(f) not in common)
+    post_scan.restrict_files(lambda f: _key(f) not in common)
+
+    pre = pre_scan.to_df().select(
         F.col("row_id"), F.struct(*data_cols).alias("pre")
     )
-    post = snapshot.to_df(with_row_ids=True).select(
+    post = post_scan.to_df().select(
         F.col("row_id"), F.struct(*data_cols).alias("post")
     )
     joined = pre.join(post, "row_id", "full_outer")

@@ -281,6 +281,16 @@ class Scan:
             ]
         return self._files_cache
 
+    def restrict_files(self, keep) -> "Scan":
+        """Limit this scan to files for which ``keep(ScanFile)`` is True.
+
+        Used by CDF-by-row-tracking to drop files byte-identical in both
+        compared snapshots — their rows join pre==post and contribute no
+        change, so not reading them at all is a pure win (the dominant one
+        when a small fraction of a large table changed)."""
+        self._files_cache = [f for f in self.files() if keep(f)]
+        return self
+
     # ------------------------------------------------------------------
     # Physical → logical
     # ------------------------------------------------------------------
@@ -307,6 +317,11 @@ class Scan:
         files = self.files()
         if not files:
             out_fields = [f for f in schema.fields if self.columns is None or f.name in self.columns]
+            if self.with_row_ids:
+                out_fields = list(out_fields) + [
+                    T.StructField("row_id", T.LongType(), True),
+                    T.StructField("row_commit_version", T.LongType(), True),
+                ]
             return spark.createDataFrame([], T.StructType(out_fields))
 
         phys_schema = self._physical_read_schema()

@@ -86,3 +86,23 @@ def test_protocol_lists_row_tracking_features(table):
     assert proto.min_writer_version == 7
     assert "rowTracking" in proto.writer_features
     assert "domainMetadata" in proto.writer_features
+
+
+def test_cdf_by_row_tracking_skips_unchanged_files(spark, tmp_path):
+    """Files identical in both snapshots are excluded from BOTH sides of
+    the lineage join — at a small change fraction the plan reads the
+    changed files, not 2x the table."""
+    from delta_kernel_rs_spark.sources.cdf import changes_by_row_tracking
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 40), properties=RT_PROPS)
+    t.append(_ints(spark, 40, 80))   # file(s) that will NOT change
+    base_files = {f.path for f in t.snapshot().scan().files()}
+    t.append(_ints(spark, 80, 90))   # new file: insert changes
+    ch = changes_by_row_tracking(spark, path, base_version=1)
+    assert sorted(r.k for r in ch.collect()) == list(range(80, 90))
+    read = set(ch.inputFiles())
+    # none of the unchanged base files were read by either side
+    assert not (read & {f"file:{p}" for p in base_files}) and not (
+        read & base_files
+    ), f"unchanged files read: {read & base_files}"
