@@ -245,10 +245,38 @@ def dv_diff_df(spark, rows: list[tuple], table_path: str):
     """Row-level diff of (old DV, new DV) pairs, decoded on EXECUTORS.
 
     ``rows``: (group, file_path, version, ts_ms, old_dv|None, new_dv|None)
-    where the DVs are descriptor dicts. Output one row per differing row
-    index: (group, file_path, version, ts_ms, row_index, side) with side
-    'new_only' (newly deleted) or 'old_only' (restored). A None old DV
-    makes every new index 'new_only' — the shape exclusion sets need.
+    where the DVs are descriptor dicts. See :func:`dv_diff_from_df` for the
+    DataFrame-fed variant (the CDF path builds descriptors in-plan so the
+    driver never materializes them)."""
+
+    def desc_cols(dv: dict | None):
+        if not dv:
+            return (None, None, None)
+        return (dv.get("storageType"), dv.get("pathOrInlineDv"), dv.get("offset"))
+
+    desc_rows = [
+        (group, path, version, ts_ms, *desc_cols(old), *desc_cols(new))
+        for group, path, version, ts_ms, old, new in rows
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows,
+        "group STRING, file_path STRING, version LONG, ts_ms LONG,"
+        " old_st STRING, old_p STRING, old_off LONG,"
+        " new_st STRING, new_p STRING, new_off LONG",
+    ).repartition(max(1, min(len(desc_rows), 64)))
+    return dv_diff_from_df(desc_df, table_path)
+
+
+def dv_diff_from_df(desc_df, table_path: str):
+    """DataFrame-fed DV pair diff (executor-side decode).
+
+    ``desc_df`` columns: group, file_path, version, ts_ms, old_st, old_p,
+    old_off, new_st, new_p, new_off — the old/new DV descriptor fields
+    (storageType, pathOrInlineDv, offset), nulls for an absent side.
+    Output one row per differing row index: (group, file_path, version,
+    ts_ms, row_index, side) with side 'new_only' (newly deleted) or
+    'old_only' (restored). A null old side makes every new index
+    'new_only' — the shape exclusion sets need.
 
     The *descriptors* are tiny and parallelize; the bitmaps (potentially
     hundreds of millions of indexes per file on a 100 TB table) are only
@@ -260,39 +288,21 @@ def dv_diff_df(spark, rows: list[tuple], table_path: str):
 
     import pandas as pd
 
-    def desc_cols(dv: dict | None):
-        if not dv:
-            return (None, None, None, None)
-        return (
-            dv.get("storageType"),
-            dv.get("pathOrInlineDv"),
-            dv.get("offset"),
-            dv_absolute_path(table_path, dv),
-        )
-
-    desc_rows = [
-        (group, path, version, ts_ms, *desc_cols(old), *desc_cols(new))
-        for group, path, version, ts_ms, old, new in rows
-    ]
-    desc_df = spark.createDataFrame(
-        desc_rows,
-        "group STRING, file_path STRING, version LONG, ts_ms LONG,"
-        " old_st STRING, old_p STRING, old_off LONG, old_path STRING,"
-        " new_st STRING, new_p STRING, new_off LONG, new_path STRING",
-    ).repartition(max(1, min(len(desc_rows), 64)))
-
     def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.fs as pafs
 
         blob_cache: dict[str, bytes] = {}
 
-        def indexes(st, p_or_inline, off, abs_path) -> set[int]:
+        def indexes(st, p_or_inline, off) -> set[int]:
             if st is None or (isinstance(st, float) and pd.isna(st)):
                 return set()
             if st == "i":
                 return set(decode_treemap(z85_decode(p_or_inline)))
             # Arrow→pandas turns a null int64 offset into NaN — normalize.
             off = None if (off is None or pd.isna(off)) else int(off)
+            abs_path = dv_absolute_path(
+                table_path, {"storageType": st, "pathOrInlineDv": p_or_inline}
+            )
             blob = blob_cache.get(abs_path)
             if blob is None:
                 fs, rel = pafs.FileSystem.from_uri(
@@ -305,8 +315,8 @@ def dv_diff_df(spark, rows: list[tuple], table_path: str):
 
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                old = indexes(r.old_st, r.old_p, r.old_off, r.old_path)
-                new = indexes(r.new_st, r.new_p, r.new_off, r.new_path)
+                old = indexes(r.old_st, r.old_p, r.old_off)
+                new = indexes(r.new_st, r.new_p, r.new_off)
                 for side, vals in (("new_only", new - old), ("old_only", old - new)):
                     ordered = sorted(vals)
                     for start in range(0, len(ordered), 1 << 20):

@@ -266,7 +266,10 @@ class Scan:
 
     def files(self) -> list[ScanFile]:
         if self._files_cache is None:
-            rows = self.scan_files_df().collect()
+            # stats (multi-KB JSON per file) and mtime are plan-only columns
+            # — never ship them to the driver; at a million files that is
+            # the difference between MBs and GBs of driver heap.
+            rows = self.scan_files_df().drop("stats", "modification_time").collect()
             self._files_cache = [
                 ScanFile(
                     path=r.file_path,

@@ -112,3 +112,38 @@ def test_cdf_missing_commit_raises(spark, tmp_path):
     os.unlink(os.path.join(path, "_delta_log", f"{1:020d}.json"))  # …but CDF does
     with pytest.raises(ChangeDataFeedError, match="missing"):
         t.changes(0).collect()
+
+
+def test_cdf_driver_collects_are_commit_sized(spark, tmp_path, monkeypatch):
+    """The driver must collect O(commits + path strings), never one Python
+    row per file action (round-3 VERDICT: the event list was the last CDF
+    scale ceiling). 3 commits x 40 files = 120 file actions in range; the
+    prepass + path-list collects stay under a dozen rows total."""
+    import pyspark.sql.classic.dataframe as df_mod
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=_ints(spark, 0, 40).repartition(40),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(_ints(spark, 40, 80).repartition(40), auto_checkpoint=False)
+    t.append(_ints(spark, 80, 120).repartition(40), auto_checkpoint=False)
+
+    collected_rows = {"n": 0}
+    orig_collect = df_mod.DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        collected_rows["n"] += len(rows)
+        return rows
+
+    monkeypatch.setattr(df_mod.DataFrame, "collect", counting_collect)
+    changes = t.changes(0)
+    planned = collected_rows["n"]  # collects during plan construction
+    monkeypatch.setattr(df_mod.DataFrame, "collect", orig_collect)
+    assert changes.count() == 120
+    # prepass rows (<= commits) + one row per change kind for the path
+    # lists; 120 driver rows would mean per-file-action materialization
+    assert planned <= 10, f"driver collected {planned} rows during CDF planning"
