@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible data pipeline — re-running
+the job must select the same rows, and an ANSI-SQL oracle must be able to
+re-derive the selection. Both operators therefore key off the md5 hex of
+a stable id (byte-identical in Spark and DuckDB; see operators/hashing.py
+for the cross-engine-determinism rationale):
+
+* :func:`deterministic_sample` — keep rows whose md5-hex prefix sorts
+  below a threshold. A k-hex-char threshold gives rate = int(t,16)/16^k
+  (e.g. ``'8'`` → 1/2, ``'1999'`` → ~10.0%). Pure filter: no shuffle, no
+  RNG state, trivially repartition-stable at any scale.
+* :func:`cap_per_group` — at most N rows per group, chosen by md5 order
+  (a deterministic reservoir): the standard "cap documents per domain /
+  language" curation step. One shuffle on the group key; skewed groups
+  cost what any per-group top-k costs (the window is rank-limited, so
+  Spark's WindowGroupLimit pushes the cap before the full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key: Column, chars: int = 4) -> Column:
+    """Lowercase md5-hex prefix of a stable key — the sampling coordinate."""
+    return F.substring(F.md5(key.cast("string")), 1, chars)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, threshold_hex: str
+) -> DataFrame:
+    """Keep rows with ``md5(key)[:len(threshold)] < threshold`` (hex order)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), len(threshold_hex)) < F.lit(threshold_hex)
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_cols: list[str], key_col: str, n: int
+) -> DataFrame:
+    """At most ``n`` rows per group, selected in md5(key) order.
+
+    The md5 order is an unbiased, reproducible shuffle of each group; the
+    key itself breaks (practically impossible) digest ties so the result
+    is a pure function of the input set.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -101,6 +101,38 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+#: PII patterns restricted to the RE2-compatible subset (no lookarounds,
+#: no backreferences) so Spark's java.util.regex and DuckDB's RE2 agree
+#: byte-for-byte on every match. Redaction applies in dict order.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """PII detection counts + a fully-redacted text column.
+
+    Counts are computed on the ORIGINAL text per category (overlaps count
+    in every matching category); ``redacted`` chains replacements in
+    PII_PATTERNS order (email → ipv4 → phone — placeholders are
+    digit-free, so later patterns cannot match inside earlier
+    replacements). Column-API regex (not F.expr) so the pattern string
+    reaches the JVM without SQL string-literal escape processing.
+
+    Scale: pure per-row codegen'd expressions — no shuffle, no UDF.
+    """
+    src = F.col(text_col)
+    cols: dict[str, Column] = {}
+    red = src
+    for name, (pat, repl) in PII_PATTERNS.items():
+        cols[f"n_{name}"] = F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0)))
+        red = F.regexp_replace(red, pat, repl)
+    cols["redacted"] = red
+    return cols
+
+
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Polynomial rolling-hash fingerprint of the whole text.
 

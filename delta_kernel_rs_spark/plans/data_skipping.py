@@ -48,6 +48,7 @@ from delta_kernel_rs_spark.plans.expressions import (
     In,
     IsNotNull,
     IsNull,
+    Like,
     Literal,
     NotDistinct,
     OpaquePredicate,
@@ -274,6 +275,36 @@ class _SkippingRewriter:
                         out = self._not_all_null(c.path) & out
                     return out
             return None
+        if isinstance(p, Like):
+            # LIKE prunes on the pattern's literal prefix: a matching value
+            # v satisfies prefix <= v < successor(prefix), so a file whose
+            # [min, max] misses that band cannot match. Sound under the
+            # stats truncation contract (min truncates downward, max
+            # upward). Wildcard-leading patterns have no usable prefix.
+            if not isinstance(p.expr, Col):
+                return None
+            c = p.expr
+            if not isinstance(self.types.get(c.path), T.StringType):
+                return None
+            if self._is_partition_col(c):
+                return self._partition_value(c.path).like(p.pattern)
+            if not self._has_stats(c):
+                return None
+            wild = len(p.pattern)
+            for ch in ("%", "_"):
+                i = p.pattern.find(ch)
+                if i != -1:
+                    wild = min(wild, i)
+            prefix = p.pattern[:wild]
+            if not prefix:
+                return None  # '%...' — every string is a candidate
+            lo, hi = self._min(c.path), self._max(c.path)
+            out = hi >= F.lit(prefix)
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                successor = prefix[:-1] + chr(ord(last) + 1)
+                out = out & (lo < F.lit(successor))
+            return self._not_all_null(c.path) & out
         if isinstance(p, (Distinct, NotDistinct)):
             if isinstance(p.left, Col) and isinstance(p.right, Literal):
                 c, v = p.left, p.right

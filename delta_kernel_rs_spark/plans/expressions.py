@@ -289,6 +289,21 @@ class In(Predicate):
 
 
 @dataclass(frozen=True, eq=False)
+class Like(Predicate):
+    """SQL LIKE with ``%``/``_`` wildcards (no ESCAPE clause).
+
+    Skipping: a literal pattern prefix prunes on string min/max bounds
+    (plans/data_skipping); patterns starting with a wildcard are residual
+    row filters only."""
+
+    expr: Expr
+    pattern: str
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().like(self.pattern)
+
+
+@dataclass(frozen=True, eq=False)
 class And(Predicate):
     children: tuple[Predicate, ...]
 
@@ -414,7 +429,12 @@ def invert(p: Predicate) -> Predicate:
 def normalize(p: Predicate) -> Predicate:
     """Eliminate Not nodes by pushing inversions to the leaves."""
     if isinstance(p, Not):
-        return normalize(invert(p.child))
+        inv = invert(p.child)
+        if isinstance(inv, Not) and inv.child is p.child:
+            # uninvertible leaf (e.g. LIKE): keep the Not in place — the
+            # skipping rewriter treats it as unknown, never prunes on it
+            return inv
+        return normalize(inv)
     if isinstance(p, And):
         return And(tuple(normalize(c) for c in p.children))
     if isinstance(p, Or):

@@ -39,6 +39,7 @@ from delta_kernel_rs_spark.plans.expressions import (
     In,
     IsNotNull,
     IsNull,
+    Like,
     Literal,
     Not,
     NotDistinct,
@@ -294,6 +295,13 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
         if incomparable:
             return None
         return None if len(vals) != len(p.values) else False  # NULL in list
+    if isinstance(p, Like):
+        v = _eval_expr(p.expr, row, known)
+        if v is _UNKNOWN or v is None:
+            return None
+        if not isinstance(v, str):
+            return None
+        return _like_match(p.pattern, v)
     if isinstance(p, And):
         verdicts = [eval_3vl(c, row, known) for c in p.children]
         if any(v is False for v in verdicts):
@@ -312,6 +320,17 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
         v = eval_3vl(p.child, row, known)
         return None if v is None else (not v)
     return None  # opaque / unknown node kinds cannot prune
+
+
+def _like_match(pattern: str, value: str) -> bool:
+    """SQL LIKE (%, _) as a full-string regex match; DOTALL so wildcards
+    cross newlines, matching Spark/SQL semantics."""
+    import re
+
+    rx = "".join(
+        ".*" if ch == "%" else "." if ch == "_" else re.escape(ch) for ch in pattern
+    )
+    return re.fullmatch(rx, value, flags=re.DOTALL) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +361,8 @@ def substitute(p: Predicate, row: dict[str, Any], known: set[str]) -> Predicate:
         return NotDistinct(sub_e(p.left), sub_e(p.right))
     if isinstance(p, In):
         return In(sub_e(p.expr), p.values)
+    if isinstance(p, Like):
+        return Like(sub_e(p.expr), p.pattern)
     if isinstance(p, And):
         return And(tuple(substitute(c, row, known) for c in p.children))
     if isinstance(p, Or):
@@ -423,6 +444,10 @@ def to_arrow_expr(p: Predicate, name_map: dict[str, str] | None = None):
             # verdict under an enclosing NOT — refuse instead
             raise UnsupportedPredicate("IN list containing NULL")
         return expr(p.expr).isin(list(p.values))
+    if isinstance(p, Like):
+        import pyarrow.compute as pc
+
+        return pc.match_like(expr(p.expr), p.pattern)
     if isinstance(p, And):
         out = to_arrow_expr(p.children[0], nm)
         for c in p.children[1:]:

@@ -16,13 +16,14 @@ Grammar (case-insensitive keywords)::
              | operand IS [NOT] DISTINCT FROM operand | operand <=> operand
              | operand [NOT] IN '(' literal, ... ')'
              | operand [NOT] BETWEEN operand AND operand
+             | operand [NOT] LIKE 'pattern'
              | TRUE | FALSE | '(' pred ')'
     operand := arithmetic over columns / literals ( + - * / % , '(' ')' )
     literal := number | 'string' | TRUE | FALSE | NULL
              | DATE 'yyyy-mm-dd' | TIMESTAMP 'yyyy-mm-dd hh:mm:ss[.ffffff]'
     column  := ident(.ident)* | `backtick quoted`
 
-Anything outside this grammar (functions, LIKE, subqueries, ...) raises
+Anything outside this grammar (functions, subqueries, ...) raises
 :class:`SqlParseError`; callers fall back to ``F.expr`` — losing skipping
 but never correctness (the residual row filter always re-applies the
 user's predicate verbatim).
@@ -48,6 +49,7 @@ from delta_kernel_rs_spark.plans.expressions import (
     In,
     IsNotNull,
     IsNull,
+    Like,
     Literal,
     Not,
     NotDistinct,
@@ -194,8 +196,15 @@ class _Parser:
             hi = self.parse_operand()
             p = And((Compare("ge", left, lo), Compare("le", left, hi)))
             return Not(p) if neg else p
+        if self.accept_kw("LIKE"):
+            t = self.peek()
+            if t is None or t[0] != "str":
+                raise SqlParseError("expected a string literal after LIKE")
+            self.i += 1
+            p = Like(left, self._str(t[1]))
+            return Not(p) if neg else p
         if neg:
-            raise SqlParseError("expected IN or BETWEEN after NOT")
+            raise SqlParseError("expected IN, BETWEEN or LIKE after NOT")
 
         if self.accept_op("<=>"):
             # Spark's null-safe equality — same node as IS NOT DISTINCT FROM

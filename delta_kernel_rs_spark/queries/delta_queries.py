@@ -732,3 +732,23 @@ register(
     WHERE l_orderkey % 4 IN (0, 1) AND l_quantity > 40
     """,
 )
+
+# ---------------------------------------------------------------------------
+# d21 LIKE predicate: partition pruning via the pattern on the partition
+# column + prefix stats skipping on the data column (plans/data_skipping
+# Like rule; parser sql_parser.py `[NOT] LIKE 'pattern'`)
+
+
+def d21_delta_like_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "part")
+    return t.to_df(predicate="l_returnflag LIKE 'N%' AND l_quantity <= 30")
+
+
+register(
+    "d21_delta_like_scan",
+    d21_delta_like_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_returnflag LIKE 'N%' AND l_quantity <= 30
+    """,
+)

@@ -463,3 +463,103 @@ register(
     WHERE doc_id IN (SELECT doc_id FROM surv) AND {_DK_SCORE} >= 0.55
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p14 PII scrubbing (regex detection + redaction, RE2-compatible subset)
+
+
+def p14_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect + redact emails / IPv4s / phone numbers.
+
+    The synthetic corpus carries no natural PII, so the query first
+    injects a deterministic contact line per document (both engines build
+    the identical string); the scrubber then has known-positive text. The
+    operator itself (operators/text.py pii_columns) is pure codegen'd
+    regex — at 100 TB this is a map-only pass, no shuffle."""
+    from delta_kernel_rs_spark.operators.text import pii_columns
+
+    df = load_table(spark, sf_dir, "documents")
+    injected = df.withColumn(
+        "with_pii",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    cols = pii_columns("with_pii")
+    return injected.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        F.md5(cols["redacted"]).alias("redacted_md5"),
+    )
+
+
+_DK_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DK_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_DK_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+register(
+    "p14_pii_scrub",
+    p14_pii_scrub,
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS with_pii
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(with_pii, '{_DK_PII_EMAIL}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(with_pii, '{_DK_PII_IP}')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(with_pii, '{_DK_PII_PHONE}')) AS INTEGER) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(with_pii,
+                 '{_DK_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_DK_PII_IP}', '<IP>', 'g'),
+                 '{_DK_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM inj
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p15 deterministic sampling + per-group cap (curation reservoir)
+
+
+def p15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible curation: ~50% hash sample, then at most 40 documents
+    per language chosen in md5 order (the cap-per-domain/language step of
+    a training-data pipeline — operators/sampling.py). One shuffle (the
+    group-cap window); the sample itself is a map-only filter."""
+    from delta_kernel_rs_spark.operators.sampling import (
+        cap_per_group,
+        deterministic_sample,
+    )
+
+    df = load_table(spark, sf_dir, "documents")
+    sampled = deterministic_sample(df, "doc_id", "8")  # md5 hex < '8' → ~50%
+    return cap_per_group(sampled, ["lang"], "doc_id", 40).select("doc_id", "lang")
+
+
+register(
+    "p15_stratified_sample",
+    p15_stratified_sample,
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+    WHERE rn <= 40
+    """,
+)

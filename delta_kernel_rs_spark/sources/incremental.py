@@ -137,7 +137,9 @@ def refresh_scan_files(
     merged: dict[tuple[str, str], ScanFile] = {
         (f.path, _dv_uid_py(f.dv)): f for f in prior_files
     }
-    for r in diff.collect():
+    # stats/mtime are for DataFrame consumers' pruning; the cached file
+    # list never needs them — keep the collect path-sized, not stats-sized
+    for r in diff.drop("stats", "modification_time").collect():
         key = (r.file_path, r.key_dv)
         if r.action == "remove":
             merged.pop(key, None)

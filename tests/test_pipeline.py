@@ -171,3 +171,63 @@ def test_pipeline_queries_registered():
     assert expected <= got_prefixes
     # every pipeline query is oracle-checked (no weak rows)
     assert {n for n in names if n.startswith("p")} <= oracles
+
+
+def test_pii_detection_and_redaction(spark):
+    from delta_kernel_rs_spark.operators.text import pii_columns
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b-c+x@sub.example.org now"),
+            (1, "call 555-123-4567 or visit 192.168.0.1 today"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io and z@w.co plus 10.0.0.255"),
+        ],
+        "id long, text string",
+    )
+    cols = pii_columns("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            cols["n_email"].alias("n_email"),
+            cols["n_phone"].alias("n_phone"),
+            cols["n_ipv4"].alias("n_ipv4"),
+            cols["redacted"].alias("red"),
+        ).collect()
+    }
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ipv4) == (1, 0, 0)
+    assert rows[0].red == "mail me at <EMAIL> now"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (0, 1, 1)
+    assert rows[1].red == "call <PHONE> or visit <IP> today"
+    assert rows[2].red == "no pii here at all"
+    assert (rows[3].n_email, rows[3].n_ipv4) == (2, 1)
+    assert rows[3].red == "two mails <EMAIL> and <EMAIL> plus <IP>"
+
+
+def test_deterministic_sample_is_stable_and_sized(spark):
+    from delta_kernel_rs_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10_000).toDF("k")
+    a = {r.k for r in deterministic_sample(df, "k", "8").collect()}
+    b = {r.k for r in deterministic_sample(df.repartition(13), "k", "8").collect()}
+    assert a == b  # partitioning-independent
+    assert 0.45 < len(a) / 10_000 < 0.55  # ~50%
+    narrow = {r.k for r in deterministic_sample(df, "k", "1999").collect()}
+    assert narrow < a or narrow == a & narrow  # nested thresholds nest
+    assert 0.07 < len(narrow) / 10_000 < 0.13  # ~10%
+
+
+def test_cap_per_group_caps_deterministically(spark):
+    from delta_kernel_rs_spark.operators.sampling import cap_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    out = cap_per_group(df, ["g"], "k", 7)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7}
+    again = cap_per_group(df.repartition(11), ["g"], "k", 7)
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in again.collect()
+    )

@@ -321,3 +321,48 @@ def test_timestamp_stat_floors_to_millis():
     assert _ts_to_stat(t) == "2024-05-06T07:08:09.999Z"  # floor, never round up
     t2 = dt.datetime(2024, 5, 6, 7, 8, 9, 1_000)
     assert _ts_to_stat(t2) == "2024-05-06T07:08:09.001Z"
+
+
+# -- LIKE prefix skipping ---------------------------------------------------
+# A matching value v satisfies prefix <= v < successor(prefix); files whose
+# [min, max] miss that band prune. Wildcard-leading patterns are residual.
+S_SCHEMA = T.StructType([T.StructField("s", T.StringType())])
+
+
+def _verdict_like(spark, pattern: str, mn, mx, nulls=0, nrecords=2):
+    from delta_kernel_rs_spark.plans.expressions import Like
+
+    doc: dict = {"numRecords": nrecords, "minValues": {}, "maxValues": {}, "nullCount": {"s": nulls}}
+    if mn is not None:
+        doc["minValues"]["s"] = mn
+    if mx is not None:
+        doc["maxValues"]["s"] = mx
+    df = spark.createDataFrame([(json.dumps(doc),)], "stats STRING")
+    parsed = F.from_json(F.col("stats"), stats_schema_for(S_SCHEMA, []))
+    rewriter = _SkippingRewriter(S_SCHEMA, [], parsed)
+    out = rewriter.rewrite(normalize(Like(Col("s"), pattern)))
+    if out is None:
+        return UNREWRITABLE
+    return df.select(out.alias("v")).collect()[0].v
+
+
+@pytest.mark.parametrize(
+    "mn,mx,pattern,expected",
+    [
+        ("apple", "grape", "b%", True),      # [b, c) intersects [apple, grape]
+        ("apple", "azure", "b%", False),     # max < prefix -> prune
+        ("cherry", "grape", "b%", False),    # min >= successor -> prune
+        ("apple", "grape", "ba_x%", True),   # prefix stops at '_'
+        ("apple", "grape", "%suffix", UNREWRITABLE),  # no literal prefix
+        ("apple", "grape", "banana", True),  # wildcard-free: exact-band check
+        ("x", "z", "banana", False),
+        (None, None, "b%", None),            # missing stats -> keep
+    ],
+)
+def test_eval_like_prefix(spark, mn, mx, pattern, expected):
+    got = _verdict_like(spark, pattern, mn, mx)
+    assert got is expected or got == expected, f"LIKE {pattern!r} [{mn}..{mx}]: {got}"
+
+
+def test_like_all_null_file_prunes(spark):
+    assert _verdict_like(spark, "b%", None, None, nulls=2) is False

@@ -58,7 +58,7 @@ def test_parser_shapes():
 def test_parser_rejects_out_of_grammar():
     for bad in (
         "substr(a, 1, 2) = 'x'",
-        "a LIKE 'foo%'",
+        "a LIKE b",  # LIKE requires a string-literal pattern
         "a = (SELECT 1)",
         "a ==",
         "",
@@ -173,3 +173,38 @@ def test_delete_with_string_predicate_prunes_scan(spark, tmp_path):
     assert snap.scan(predicate=typed).scan_files_df().count() == 1
     t.delete("k >= 400")
     assert t.to_df().count() == 400
+
+
+def test_like_predicate_prunes_and_filters(spark, tmp_path):
+    """LIKE 'prefix%' prunes files on string min/max stats AND filters rows
+    exactly; wildcard-leading patterns stay residual-only but correct."""
+    path = str(tmp_path / "tbl")
+    words = {
+        0: ["alpha", "apple", "azure"],
+        1: ["banana", "berry", "bronze"],
+        2: ["cherry", "citrus", "cobalt"],
+    }
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame([(w,) for w in words[0]], "s string").coalesce(1),
+    )
+    for i in (1, 2):
+        t.append(
+            spark.createDataFrame([(w,) for w in words[i]], "s string").coalesce(1),
+            auto_checkpoint=False,
+        )
+    snap = t.snapshot()
+    total = snap.scan().scan_files_df().count()
+    pruned = snap.scan(predicate="s LIKE 'b%'").scan_files_df().count()
+    assert pruned < total and pruned >= 1
+    assert {r.s for r in t.to_df(predicate="s LIKE 'b%'").collect()} == set(words[1])
+    # inner wildcards: prefix 'b' still prunes, rows filter exactly
+    got = {r.s for r in t.to_df(predicate="s LIKE 'b_n%'").collect()}
+    assert got == {"banana"}
+    # wildcard-leading: no pruning possible, but results exact
+    got2 = {r.s for r in t.to_df(predicate="s LIKE '%rr%'").collect()}
+    assert got2 == {"berry", "cherry"}
+    # NOT LIKE inverts exactly
+    got3 = {r.s for r in t.to_df(predicate="s NOT LIKE 'b%'").collect()}
+    assert got3 == set(words[0]) | set(words[2])
