@@ -563,3 +563,94 @@ register(
     WHERE rn <= 40
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p16 KMV distinct sketch (cross-engine-deterministic cardinality estimate)
+
+
+def p16_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word cardinality per language via the KMV sketch
+    (operators/sketch.py). HLL-style sketches can never hash-match across
+    engines; KMV's md5-ordered k-minimum construction gives the identical
+    estimate in Spark and DuckDB — a real approximate-distinct operator
+    that still passes the bit-exact oracle gate."""
+    from delta_kernel_rs_spark.operators.sketch import kmv_distinct_estimate
+
+    df = load_table(spark, sf_dir, "documents")
+    words = df.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return kmv_distinct_estimate(words, ["lang"], "word", k=64)
+
+
+register(
+    "p16_kmv_distinct_words",
+    p16_kmv_distinct_words,
+    """
+    WITH dist AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    hashed AS (
+      SELECT lang, word,
+             list_reduce(
+               [0]::BIGINT[] || list_transform(
+                 string_split(substr(md5(word), 1, 8), ''),
+                 ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+               (acc, v) -> acc * 16 + v) AS h
+      FROM dist),
+    ranked AS (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, word) AS rn
+      FROM hashed)
+    SELECT lang,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST(63.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)
+                     / CAST(max(h) AS DOUBLE) END AS n_distinct_est,
+           CAST(count(*) AS INTEGER) AS n_kept
+    FROM ranked WHERE rn <= 64 GROUP BY lang
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p17 top-k bigrams (corpus n-gram statistics)
+
+
+def p17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams: the n-gram statistics pass of a
+    training-data pipeline. explode → one count shuffle (map-side partial
+    aggregation) → global top-k; ties break on the bigram string so the
+    result is a pure function of the corpus."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    bigrams = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size({ws}) - 1), "
+                f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+register(
+    "p17_top_bigrams",
+    p17_top_bigrams,
+    """
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+             AS bigram
+      FROM documents)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)

@@ -231,3 +231,29 @@ def test_cap_per_group_caps_deterministically(spark):
     assert sorted(tuple(r) for r in out.collect()) == sorted(
         tuple(r) for r in again.collect()
     )
+
+
+def test_kmv_estimate_accuracy_and_small_range(spark):
+    from delta_kernel_rs_spark.operators.sketch import kmv_distinct_estimate
+
+    # big group: 5000 distinct values, k=64 -> estimate within ~25%
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    # small group: 10 distinct values -> exact by the small-range rule
+    small = spark.range(10).select(
+        F.lit("small").alias("g"), F.concat(F.lit("w"), F.col("id")).alias("v")
+    )
+    out = {
+        r.g: r
+        for r in kmv_distinct_estimate(
+            big.unionByName(small), ["g"], "v", k=64
+        ).collect()
+    }
+    assert out["small"].n_distinct_est == 10.0 and out["small"].n_kept == 10
+    assert out["big"].n_kept == 64
+    assert 3500 < out["big"].n_distinct_est < 6500
+    # duplicates do not move the estimate (it is a distinct sketch)
+    dup = big.unionByName(big).unionByName(small)
+    out2 = {r.g: r for r in kmv_distinct_estimate(dup, ["g"], "v", k=64).collect()}
+    assert out2["big"].n_distinct_est == out["big"].n_distinct_est
