@@ -111,6 +111,22 @@ def _resolve_version(storage, path: str, opts: dict) -> int | None:
     return version_at_timestamp_for_storage(storage, path, ts_ms)
 
 
+def _select_fields(schema: T.StructType, columns: str | None) -> list:
+    """Apply the ``columns`` option (comma-separated logical names) —
+    column pruning for the facade, which the Python Data Source API cannot
+    push down automatically. Table order is preserved; unknown names fail
+    fast on the driver."""
+    if not columns:
+        return list(schema.fields)
+    want = [c.strip() for c in columns.split(",") if c.strip()]
+    known = {f.name for f in schema.fields}
+    missing = [c for c in want if c not in known]
+    if missing:
+        raise ValueError(f"columns option names unknown columns: {missing}")
+    wset = set(want)
+    return [f for f in schema.fields if f.name in wset]
+
+
 @dataclass
 class _FileSliceTask(InputPartition):
     """One read task: an Arrow IPC buffer of its file-list slice."""
@@ -134,7 +150,8 @@ class DeltaKernelDataSource(DataSource):
         storage, seg = self._segment()
         meta, proto = snapshot_metadata(storage, seg)
         protocol_of(proto).ensure_read_supported()
-        return parse_schema_string(meta["schemaString"])
+        full = parse_schema_string(meta["schemaString"])
+        return T.StructType(_select_fields(full, _opts(self.options).get("columns")))
 
     def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
         return DeltaKernelBatchReader(schema, self.options)
@@ -158,7 +175,13 @@ class DeltaKernelDataSource(DataSource):
 class _FileSliceReadMixin:
     """Executor-side read of a ``_FileSliceTask`` — shared by the batch
     reader and the streaming append reader. Requires attributes ``_path``,
-    ``_table_schema``, ``_pcols``, ``_predicate`` (may be None)."""
+    ``_table_schema``, ``_pcols``, ``_predicate`` (may be None); readers
+    may set ``_out_fields`` to emit a pruned projection (predicates still
+    evaluate against the full schema)."""
+
+    @property
+    def _output_fields(self) -> list:
+        return getattr(self, "_out_fields", None) or list(self._table_schema.fields)
 
     def _pv_typed(self, pv_items) -> dict:
         from delta_kernel_rs_spark.streaming.cdf_source import _parse_pv_py
@@ -185,7 +208,7 @@ class _FileSliceReadMixin:
         storage = storage_for_uri(self._path)
         pset = set(self._pcols)
         phys_cols = [
-            physical_name(f) for f in self._table_schema.fields if f.name not in pset
+            physical_name(f) for f in self._output_fields if f.name not in pset
         ]
         name_map = {f.name: physical_name(f) for f in self._table_schema.fields}
         for i in range(files.num_rows):
@@ -247,7 +270,7 @@ class _FileSliceReadMixin:
                     table = table.filter(row_filter)
             n = table.num_rows
             arrays, names = [], []
-            for f in self._table_schema.fields:
+            for f in self._output_fields:
                 at = to_arrow_type(f.dataType)
                 if f.name in pset:
                     raw = pv.get(physical_name(f), pv.get(f.name))
@@ -304,6 +327,7 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
             # substituted per file, so map them to themselves here)
             to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
             self._predicate = ast
+        self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
 
     # -- planning (driver-side worker; no per-file Python objects) -------
     def partitions(self) -> Sequence[InputPartition]:

@@ -371,3 +371,31 @@ def test_stream_read_ignore_deletes_remove_only(spark, tmp_path):
     run(str(tmp_path / "c2"), ignoreDeletes="true")
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(20))  # v0's adds, emitted exactly once
+
+
+def test_format_columns_option_prunes_projection(spark, orders, tmp_path):
+    """.option("columns", ...) — explicit column pruning (the Python Data
+    Source API has no automatic pushdown); predicates still evaluate
+    against the full schema, including non-selected columns."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=orders.limit(400), partition_by=["o_orderstatus"]
+    )
+    got = _read_fmt(spark, path, columns="o_orderkey,o_totalprice")
+    assert got.columns == ["o_orderkey", "o_totalprice"]
+    assert _rows(got) == _rows(t.to_df().select("o_orderkey", "o_totalprice"))
+    # predicate over columns OUTSIDE the projection (partition + data)
+    got2 = _read_fmt(
+        spark,
+        path,
+        columns="o_orderkey",
+        predicate="o_orderstatus = 'F' AND o_totalprice > 100000.0",
+    )
+    exp2 = (
+        t.to_df()
+        .filter("o_orderstatus = 'F' AND o_totalprice > 100000.0")
+        .select("o_orderkey")
+    )
+    assert _rows(got2) == _rows(exp2)
+    with pytest.raises(Exception, match="unknown"):
+        _read_fmt(spark, path, columns="o_orderkey,nope").collect()
