@@ -300,9 +300,16 @@ class _SkippingRewriter:
                 return None  # '%...' — every string is a candidate
             lo, hi = self._min(c.path), self._max(c.path)
             out = hi >= F.lit(prefix)
-            last = prefix[-1]
-            if ord(last) < 0x10FFFF:
-                successor = prefix[:-1] + chr(ord(last) + 1)
+            nxt = ord(prefix[-1]) + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # a lone surrogate cannot round-trip through the JVM's
+                # UTF-8 strings (it would mangle to '?', collapsing the
+                # bound BELOW the prefix — unsound); valid strings cannot
+                # contain surrogates either, so U+E000 is the next real
+                # codepoint and stays a tight bound
+                nxt = 0xE000
+            if nxt <= 0x10FFFF:
+                successor = prefix[:-1] + chr(nxt)
                 out = out & (lo < F.lit(successor))
             return self._not_all_null(c.path) & out
         if isinstance(p, (Distinct, NotDistinct)):

@@ -622,12 +622,18 @@ def p17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is a pure function of the corpus."""
     df = load_table(spark, sf_dir, "documents")
     ws = "split(text, ' ')"
+    # guard: sequence(1, 0) yields [1, 0] (negative default step) and
+    # element_at(_, 0) raises — single-word docs must contribute an empty
+    # array (explode then drops them), matching DuckDB's empty range(1,1)
     bigrams = df.select(
         F.explode(
-            F.expr(
-                f"transform(sequence(1, size({ws}) - 1), "
-                f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
-            )
+            F.when(
+                F.expr(f"size({ws}) >= 2"),
+                F.expr(
+                    f"transform(sequence(1, size({ws}) - 1), "
+                    f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
         ).alias("bigram")
     )
     return (

@@ -140,11 +140,18 @@ class DeltaKernelDataSource(DataSource):
         return "delta_kernel"
 
     def _segment(self):
+        # memoized: Spark calls schema() and reader() on the same instance,
+        # and timestampAsOf resolution costs a listing + O(log n) commit
+        # reads — pay it once per load(), not per callback
+        cached = getattr(self, "_seg_cache", None)
+        if cached is not None:
+            return cached
         opts = _opts(self.options)
         path = opts["path"].rstrip("/")
         storage = storage_for_uri(path)
         seg = build_log_segment(storage, path, _resolve_version(storage, path, opts))
-        return storage, seg
+        self._seg_cache = (storage, seg)
+        return self._seg_cache
 
     def schema(self) -> T.StructType:
         storage, seg = self._segment()
@@ -154,7 +161,18 @@ class DeltaKernelDataSource(DataSource):
         return T.StructType(_select_fields(full, _opts(self.options).get("columns")))
 
     def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
-        return DeltaKernelBatchReader(schema, self.options)
+        opts = dict(self.options)
+        if any(k.lower() == "timestampasof" for k in opts):
+            # hand the reader the already-resolved pinned version instead of
+            # re-running the history search
+            _, seg = self._segment()
+            opts = {
+                k: v
+                for k, v in opts.items()
+                if k.lower() not in ("timestampasof", "versionasof")
+            }
+            opts["versionAsOf"] = str(seg.version)
+        return DeltaKernelBatchReader(schema, opts)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "DeltaKernelBatchWriter":
         if overwrite:
@@ -254,10 +272,36 @@ class _FileSliceReadMixin:
 
             dv = files.column("dv")[i].as_py()
             has_dv = bool(dv and dv.get("storageType"))
+            read_cols = cols
+            if has_dv and row_filter is not None and cols:
+                # the in-memory residual filter (applied after DV masking)
+                # references full-schema columns; pq_read(filters=...) can
+                # filter on non-projected columns, Table.filter cannot — so
+                # widen the projection to the predicate's columns
+                from delta_kernel_rs_spark.plans.expressions import Col as _Col
+
+                def col_paths(node, acc):
+                    for attr in ("expr", "left", "right", "child"):
+                        sub = getattr(node, attr, None)
+                        if sub is not None:
+                            col_paths(sub, acc)
+                    for sub in getattr(node, "children", ()) or ():
+                        col_paths(sub, acc)
+                    if isinstance(node, _Col):
+                        acc.add(node.path)
+                    return acc
+
+                needed = {
+                    name_map.get(p, p)
+                    for p in col_paths(self._predicate, set())
+                }
+                read_cols = cols + [
+                    c for c in sorted(needed & set(avail)) if c not in cols
+                ]
             if has_dv or row_filter is None:
-                table = pq_read(abs_path, columns=cols or None)
+                table = pq_read(abs_path, columns=read_cols or None)
             else:
-                table = pq_read(abs_path, columns=cols or None, filters=row_filter)
+                table = pq_read(abs_path, columns=read_cols or None, filters=row_filter)
             if has_dv:
                 rows = read_dv_row_indexes(storage, self._path, dv)
                 mask_idx = pa.array(rows, type=pa.int64())
@@ -388,6 +432,8 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._predicate = None  # slice reads are unfiltered for the stream
+        # schema() applies the columns option, so the emitted batches must too
+        self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
         sv = opts.get("startingversion")
         if sv is None:
             self._start = 0

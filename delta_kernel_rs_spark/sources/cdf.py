@@ -45,7 +45,7 @@ from delta_kernel_rs_spark.functions.dv import dv_diff_from_df
 from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
 from delta_kernel_rs_spark.functions.schema_codec import physical_name
 from delta_kernel_rs_spark.sources.actions import CDF_ACTIONS_SCHEMA
-from delta_kernel_rs_spark.sources.scan import normalize_file_path
+from delta_kernel_rs_spark.sources.scan import normalize_file_path, resolve_add_path
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 from delta_kernel_rs_spark.sources.storage import storage_for
 
@@ -188,10 +188,7 @@ def table_changes(
     ts_df = spark.createDataFrame(
         [(v, t) for v, t in ts_of.items()], "version LONG, __ts LONG"
     )
-    rel = F.url_decode(F.col("rel_path"))
-    abs_path_col = F.when(rel.contains("://"), normalize_file_path(rel)).otherwise(
-        F.concat(F.lit(table_path + "/"), rel)
-    )
+    abs_path_col = resolve_add_path(F.col("rel_path"), table_path)
     in_cdc_version = (
         F.col("version").isin([int(v) for v in cdc_versions])
         if cdc_versions
@@ -243,14 +240,24 @@ def table_changes(
         )
         .filter(F.col("kind").isNotNull())
         .join(F.broadcast(ts_df), "version")
-        .persist()
     )
 
-    # ONE job yields every arm's path list — strings only on the driver.
-    paths_by_kind: dict[str, list[str]] = {
-        r.kind: sorted(r.paths)
-        for r in events.groupBy("kind").agg(F.collect_set("file_path").alias("paths")).collect()
-    }
+    # ONE job yields every arm's path list (strings only on the driver)
+    # plus whether the arm carries any DV descriptors — DV-free arms skip
+    # the exclusion subplan entirely. events is NOT persisted: each arm
+    # re-derives it from the (small) commit JSONs, which costs a re-read
+    # but never leaks session-lifetime cache across table_changes calls.
+    kind_rows = (
+        events.groupBy("kind")
+        .agg(
+            F.collect_set("file_path").alias("paths"),
+            F.max(F.col("dv_new.storageType").isNotNull().cast("int")).alias("any_dv_new"),
+            F.max(F.col("dv_old.storageType").isNotNull().cast("int")).alias("any_dv_old"),
+        )
+        .collect()
+    )
+    paths_by_kind: dict[str, list[str]] = {r.kind: sorted(r.paths) for r in kind_rows}
+    dv_flags = {r.kind: (bool(r.any_dv_new), bool(r.any_dv_old)) for r in kind_rows}
 
     # -- shared arm plumbing ----------------------------------------------
     def with_lineage(df: DataFrame) -> DataFrame:
@@ -345,7 +352,8 @@ def table_changes(
             spark.read.schema(read_schema).parquet(*paths_by_kind["insert"])
         )
         df = join_constants(df, "insert")
-        df = excl_join(df, "insert", "dv_new")
+        if dv_flags.get("insert", (False, False))[0]:
+            df = excl_join(df, "insert", "dv_new")
         arms.append(logical_projection(df, F.lit("insert")))
 
     if paths_by_kind.get("delete"):
@@ -353,7 +361,8 @@ def table_changes(
             spark.read.schema(read_schema).parquet(*paths_by_kind["delete"])
         )
         df = join_constants(df, "delete")
-        df = excl_join(df, "delete", "dv_old")
+        if dv_flags.get("delete", (False, False))[1]:
+            df = excl_join(df, "delete", "dv_old")
         arms.append(logical_projection(df, F.lit("delete")))
 
     if paths_by_kind.get("swap"):

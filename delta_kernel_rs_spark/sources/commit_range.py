@@ -68,25 +68,35 @@ def commit_range(
         raise ValueError(f"unknown action kinds: {unknown} (know {ACTION_KINDS})")
 
     table_path = table_path.rstrip("/")
+    lister: dict[int, tuple[str, int]] = {}
     if snapshot is not None:
         if snapshot.table_path.rstrip("/") != table_path:
             raise ValueError(
                 f"snapshot belongs to {snapshot.table_path}, not {table_path}"
             )
+        # the snapshot's governing protocol covers commits BEFORE the range
+        # (validated again here even though Snapshot.create already gated it)
+        snapshot.protocol.ensure_read_supported()
         seg = snapshot.log_segment
         lister = {
             c.version: (c.path, seg.commit_timestamps.get(c.version, 0))
             for c in seg.commit_files
             if c.end_version is None  # compacted files are not raw commits
         }
-    else:
+    covered = all(
+        v in lister
+        for v in range(start_version, (end_version if end_version is not None else start_version) + 1)
+    )
+    if snapshot is None or not covered:
+        # no snapshot, or its segment starts at a checkpoint above the
+        # range: the raw commit JSONs may still exist on disk — list them
+        # (commit files below a checkpoint stay readable until cleaned up)
         storage = storage_for(spark, table_path)
         log_dir = f"{table_path}/_delta_log"
-        lister = {}
         for e in storage.list_dir(log_dir):
             name = e.path.rsplit("/", 1)[-1]
             if name.endswith(".json") and name[:-5].isdigit():
-                lister[int(name[:-5])] = (e.path, e.last_modified_ms)
+                lister.setdefault(int(name[:-5]), (e.path, e.last_modified_ms))
 
     if end_version is None:
         served = [v for v in lister if v >= start_version]

@@ -112,7 +112,9 @@ class _TimestampIndex:
         lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self._read_ict(self.versions[mid]) <= target_ms:
+            # ts() (not raw ICT) so a disable/re-enable gap after the
+            # boundary degrades to the clamped mtime instead of a TypeError
+            if self.ts(mid) <= target_ms:
                 ans = mid
                 lo = mid + 1
             else:
@@ -138,7 +140,7 @@ class _TimestampIndex:
         lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self._read_ict(self.versions[mid]) >= target_ms:
+            if self.ts(mid) >= target_ms:
                 ans = mid
                 hi = mid - 1
             else:

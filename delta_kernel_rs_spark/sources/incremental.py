@@ -26,7 +26,7 @@ from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
 from delta_kernel_rs_spark.sources.scan import (
     ScanFile,
     dv_unique_id,
-    normalize_file_path,
+    resolve_add_path,
 )
 
 
@@ -95,10 +95,7 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
         )
     )
     table_path = snapshot.table_path
-    rel = F.url_decode(F.col("key_path"))
-    abs_path = F.when(rel.contains("://"), normalize_file_path(rel)).otherwise(
-        F.concat(F.lit(table_path + "/"), rel)
-    )
+    abs_path = resolve_add_path(F.col("key_path"), table_path)
     return latest.select(
         F.when(F.col("add").isNotNull(), F.lit("add")).otherwise(F.lit("remove")).alias(
             "action"

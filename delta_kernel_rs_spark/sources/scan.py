@@ -55,6 +55,22 @@ def normalize_file_path(col: Column) -> Column:
     return F.regexp_replace(col, r"^file:/+", "/")
 
 
+def resolve_add_path(col: Column, table_path: str) -> Column:
+    """Log-relative add/remove/cdc path → absolute path, in-plan.
+
+    Delta log paths are RFC-2396 percent-encoded; ``F.url_decode`` is
+    FORM decoding ('+' → space — a literal '+' in a partition value would
+    mangle), so literal '+' is protected before decoding. Absolute inputs
+    (URI or '/'-rooted) pass through undecorated with the table root.
+    Shared by the scan, CDF, and incremental replays."""
+    rel = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+    return (
+        F.when(rel.contains("://"), normalize_file_path(rel))
+        .when(rel.startswith("/"), rel)
+        .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), rel))
+    )
+
+
 def resolved_checkpoint_df(spark, seg) -> DataFrame:
     """Checkpoint-parts DataFrame with V2 sidecars resolved.
 
@@ -231,12 +247,8 @@ class Scan:
         """
         table_path = self.snapshot.table_path
         adds = self.add_actions_df()
-        rel = F.url_decode(F.col("add.path"))
-        abs_path = F.when(rel.contains("://"), normalize_file_path(rel)).otherwise(
-            F.concat(F.lit(table_path + "/"), rel)
-        )
         df = adds.select(
-            abs_path.alias("file_path"),
+            resolve_add_path(F.col("add.path"), table_path).alias("file_path"),
             F.col("add.size").alias("size"),
             F.col("add.modificationTime").alias("modification_time"),
             F.col("add.stats").alias("stats"),

@@ -399,3 +399,43 @@ def test_format_columns_option_prunes_projection(spark, orders, tmp_path):
     assert _rows(got2) == _rows(exp2)
     with pytest.raises(Exception, match="unknown"):
         _read_fmt(spark, path, columns="o_orderkey,nope").collect()
+
+
+def test_format_columns_predicate_and_dv_together(spark, orders, tmp_path):
+    """DV masking + a residual predicate on a column OUTSIDE the projection:
+    the read must widen to the predicate's columns (Table.filter cannot
+    reference pruned-out fields)."""
+    path = str(tmp_path / "t")
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    t = DeltaTable.create(spark, path, df=orders.limit(500))
+    delete_with_dvs(t, "o_orderkey % 4 = 0")
+    got = _read_fmt(
+        spark, path, columns="o_orderkey", predicate="o_totalprice > 150000.0"
+    )
+    exp = t.to_df().filter("o_totalprice > 150000.0").select("o_orderkey")
+    assert got.columns == ["o_orderkey"]
+    assert _rows(got) == _rows(exp)
+
+
+def test_stream_read_honors_columns_option(spark, tmp_path):
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("d"))
+    DeltaTable.create(spark, path, df=df)
+    register_batch_source(spark)
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .option("columns", "d")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.columns == ["d"]
+    assert sorted(r.d for r in res.collect()) == [2 * i for i in range(10)]

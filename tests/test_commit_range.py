@@ -84,3 +84,17 @@ def test_range_rejects_unsupported_protocol(spark, table):
         commit_range(spark, table.path, 0, 4).collect()
     # a range that stops BEFORE the upgrade still reads fine
     assert commit_range(spark, table.path, 0, 3).count() > 0
+
+
+def test_range_below_checkpoint_with_snapshot_falls_back(spark, tmp_path):
+    """A snapshot's segment only lists post-checkpoint commits; ranges
+    reaching below the checkpoint fall back to a log listing instead of
+    claiming the commits are missing (they are still on disk)."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 5).coalesce(1))
+    for i in range(4):
+        t.append(_ints(spark, 5 + i, 6 + i).coalesce(1), auto_checkpoint=False)
+    t.checkpoint()
+    snap = t.snapshot()
+    df = commit_range(spark, path, 0, 2, snapshot=snap)
+    assert {r.version for r in df.collect()} == {0, 1, 2}
