@@ -291,3 +291,78 @@ def test_not_null_constraint_handles_special_column_names(spark, tmp_path):
         Transaction(
             spark, path, operation="WRITE", read_snapshot=t.snapshot()
         ).write_data(df_bad).commit()
+
+
+def test_foreign_table_with_plus_in_partition_path(spark, tmp_path):
+    """delta-spark's escapePathName leaves literal '+' unescaped in
+    partition dirs; form-decoding ('+' -> space) would mangle the path and
+    fail the read (round-5 review). Both the Spark scan and the facade
+    must resolve it."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "plus_tbl")
+    ddir = os.path.join(root, "b=a+b")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(ddir)
+    pq.write_table(pa.table({"x": [1, 2, 3]}), os.path.join(ddir, "part-0.parquet"))
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "b", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    lines = [
+        _json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}),
+        _json.dumps(
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": ["b"],
+                    "configuration": {},
+                }
+            }
+        ),
+        _json.dumps(
+            {
+                "add": {
+                    "path": "b=a+b/part-0.parquet",
+                    "partitionValues": {"b": "a+b"},
+                    "size": 100,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": 3,
+                            "minValues": {"x": 1},
+                            "maxValues": {"x": 3},
+                            "nullCount": {"x": 0},
+                        }
+                    ),
+                }
+            }
+        ),
+    ]
+    with open(os.path.join(root, "_delta_log", "00000000000000000000.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    t = DeltaTable(spark, root)
+    rows = sorted((r.x, r.b) for r in t.to_df().collect())
+    assert rows == [(1, "a+b"), (2, "a+b"), (3, "a+b")]
+    register_batch_source(spark)
+    rows2 = sorted(
+        (r.x, r.b)
+        for r in spark.read.format("delta_kernel").option("path", root).load().collect()
+    )
+    assert rows2 == rows
