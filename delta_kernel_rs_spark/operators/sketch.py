@@ -42,6 +42,7 @@ def kmv_distinct_estimate(
     (DOUBLE) + ``n_kept`` (the sketch size actually used)."""
     sk = (
         df.select(*group_cols, F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())  # count-distinct ignores NULL
         .distinct()
         .withColumn("__hex", F.substring(F.md5(F.col("__v").cast("string")), 1, 8))
         .withColumn("__h", F.expr(_HEX_FOLD))

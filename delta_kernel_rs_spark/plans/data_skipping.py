@@ -283,6 +283,11 @@ class _SkippingRewriter:
             # upward). Wildcard-leading patterns have no usable prefix.
             if not isinstance(p.expr, Col):
                 return None
+            if "\\" in p.pattern:
+                # backslash escapes (\% / \_) change which characters are
+                # wildcards; a literal-prefix band over the raw pattern
+                # would be unsound — leave escaped patterns residual-only
+                return None
             c = p.expr
             if not isinstance(self.types.get(c.path), T.StringType):
                 return None

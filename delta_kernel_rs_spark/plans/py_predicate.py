@@ -296,6 +296,8 @@ def eval_3vl(p: Predicate, row: dict[str, Any], known: set[str]) -> bool | None:
             return None
         return None if len(vals) != len(p.values) else False  # NULL in list
     if isinstance(p, Like):
+        if "\\" in p.pattern:
+            return None  # escape semantics not modeled — never prune
         v = _eval_expr(p.expr, row, known)
         if v is _UNKNOWN or v is None:
             return None

@@ -201,6 +201,29 @@ class _FileSliceReadMixin:
     def _output_fields(self) -> list:
         return getattr(self, "_out_fields", None) or list(self._table_schema.fields)
 
+    def _predicate_cols(self) -> frozenset:
+        """Logical column paths the predicate references (cached)."""
+        cached = getattr(self, "_pred_cols", None)
+        if cached is not None:
+            return cached
+        from delta_kernel_rs_spark.plans.expressions import Col as _Col
+
+        def walk(node, acc):
+            for attr in ("expr", "left", "right", "child"):
+                sub = getattr(node, attr, None)
+                if sub is not None:
+                    walk(sub, acc)
+            for sub in getattr(node, "children", ()) or ():
+                walk(sub, acc)
+            if isinstance(node, _Col):
+                acc.add(node.path)
+            return acc
+
+        self._pred_cols = frozenset(
+            walk(self._predicate, set()) if self._predicate is not None else ()
+        )
+        return self._pred_cols
+
     def _pv_typed(self, pv_items) -> dict:
         from delta_kernel_rs_spark.streaming.cdf_source import _parse_pv_py
 
@@ -273,35 +296,22 @@ class _FileSliceReadMixin:
             dv = files.column("dv")[i].as_py()
             has_dv = bool(dv and dv.get("storageType"))
             read_cols = cols
-            if has_dv and row_filter is not None and cols:
+            if has_dv and row_filter is not None:
                 # the in-memory residual filter (applied after DV masking)
                 # references full-schema columns; pq_read(filters=...) can
                 # filter on non-projected columns, Table.filter cannot — so
                 # widen the projection to the predicate's columns
-                from delta_kernel_rs_spark.plans.expressions import Col as _Col
-
-                def col_paths(node, acc):
-                    for attr in ("expr", "left", "right", "child"):
-                        sub = getattr(node, attr, None)
-                        if sub is not None:
-                            col_paths(sub, acc)
-                    for sub in getattr(node, "children", ()) or ():
-                        col_paths(sub, acc)
-                    if isinstance(node, _Col):
-                        acc.add(node.path)
-                    return acc
-
-                needed = {
-                    name_map.get(p, p)
-                    for p in col_paths(self._predicate, set())
-                }
+                needed = {name_map.get(p, p) for p in self._predicate_cols()}
                 read_cols = cols + [
                     c for c in sorted(needed & set(avail)) if c not in cols
                 ]
+            # read_cols == [] is a metadata-sized read: pyarrow preserves
+            # num_rows on a zero-column projection, which is all a
+            # partition-columns-only output (or a pure count) needs
             if has_dv or row_filter is None:
-                table = pq_read(abs_path, columns=read_cols or None)
+                table = pq_read(abs_path, columns=read_cols)
             else:
-                table = pq_read(abs_path, columns=read_cols or None, filters=row_filter)
+                table = pq_read(abs_path, columns=read_cols, filters=row_filter)
             if has_dv:
                 rows = read_dv_row_indexes(storage, self._path, dv)
                 mask_idx = pa.array(rows, type=pa.int64())
@@ -322,7 +332,7 @@ class _FileSliceReadMixin:
                     arrays.append(pa.array([val] * n, type=at))
                 else:
                     pn = physical_name(f)
-                    if pn in table.column_names:
+                    if table.num_columns and pn in table.column_names:
                         arrays.append(table.column(pn).cast(at))
                     else:
                         arrays.append(pa.nulls(n, type=at))

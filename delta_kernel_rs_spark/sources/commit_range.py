@@ -83,9 +83,11 @@ def commit_range(
             for c in seg.commit_files
             if c.end_version is None  # compacted files are not raw commits
         }
-    covered = all(
-        v in lister
-        for v in range(start_version, (end_version if end_version is not None else start_version) + 1)
+    probe_end = end_version
+    if probe_end is None and lister:
+        probe_end = max(lister)  # contiguity must hold up to the tail tip
+    covered = probe_end is not None and all(
+        v in lister for v in range(start_version, probe_end + 1)
     )
     if snapshot is None or not covered:
         # no snapshot, or its segment starts at a checkpoint above the

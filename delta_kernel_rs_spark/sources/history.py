@@ -80,6 +80,23 @@ class _TimestampIndex:
                 return ict
         return self.mtimes[i]
 
+    def _full_effective_index(self) -> list[int]:
+        """Exact fallback for the pathological ICT disable/re-enable log:
+        read every commit once, clamp the mixed ICT/mtime sequence to
+        monotonic (the same adjustment Delta applies to mtimes), and
+        bisect that. O(n) reads, but only ever paid when a probe actually
+        hits a gap — spec-following tables never take this path."""
+        if getattr(self, "_full_index", None) is None:
+            vals: list[int] = []
+            for i, v in enumerate(self.versions):
+                ict = self._read_ict(v)
+                t = ict if ict is not None else self.mtimes[i]
+                if vals and t < vals[-1]:
+                    t = vals[-1]
+                vals.append(t)
+            self._full_index = vals
+        return self._full_index
+
     def _ict_boundary(self) -> int:
         """Index of the first commit carrying ICT. Presence is monotonic
         over versions (once enabled, stays enabled), so the boundary binary-
@@ -112,9 +129,15 @@ class _TimestampIndex:
         lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            # ts() (not raw ICT) so a disable/re-enable gap after the
-            # boundary degrades to the clamped mtime instead of a TypeError
-            if self.ts(mid) <= target_ms:
+            probe = self._read_ict(self.versions[mid])
+            if probe is None:
+                # ICT disabled and re-enabled mid-history: the region is
+                # not monotonic, so a binary search would silently return
+                # a wrong version — fall back to the exact O(n) index
+                eff = self._full_effective_index()
+                idx = bisect.bisect_right(eff, target_ms) - 1
+                return idx if idx >= 0 else None
+            if probe <= target_ms:
                 ans = mid
                 lo = mid + 1
             else:
@@ -140,7 +163,12 @@ class _TimestampIndex:
         lo, hi, ans = b, len(self.versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self.ts(mid) >= target_ms:
+            probe = self._read_ict(self.versions[mid])
+            if probe is None:
+                eff = self._full_effective_index()
+                j = bisect.bisect_left(eff, target_ms)
+                return j if j < len(eff) else None
+            if probe >= target_ms:
                 ans = mid
                 hi = mid - 1
             else:

@@ -98,3 +98,17 @@ def test_range_below_checkpoint_with_snapshot_falls_back(spark, tmp_path):
     snap = t.snapshot()
     df = commit_range(spark, path, 0, 2, snapshot=snap)
     assert {r.version for r in df.collect()} == {0, 1, 2}
+
+
+def test_range_with_compacted_segment_and_default_end(spark, tmp_path):
+    """A snapshot segment containing a compacted file is not a raw-commit
+    lister for the covered versions; with end_version defaulted the range
+    must fall back to the disk listing instead of raising."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 5).coalesce(1))
+    for i in range(5):
+        t.append(_ints(spark, 5 + i, 6 + i).coalesce(1), auto_checkpoint=False)
+    t.compact_log(1, 3)
+    snap = t.snapshot()
+    df = commit_range(spark, path, 0, snapshot=snap)  # end defaults to tip
+    assert {r.version for r in df.collect()} == set(range(6))

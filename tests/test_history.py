@@ -196,3 +196,53 @@ def test_mixed_ict_with_clock_skew(spark, tmp_path, counting):
     assert first_version_after(spark, path, 1900) == 0
     with pytest.raises(ValueError):
         first_version_after(spark, path, 5000)
+
+
+def test_ict_disable_reenable_gap_is_exact(spark, tmp_path, counting):
+    """ICT on (0-3), off (4-5), on again (6-9): presence is non-monotonic,
+    so region binary search is invalid — a probe hitting the gap must fall
+    back to the exact full index, never return a wrong version."""
+    import os
+
+    log = tmp_path / "t" / "_delta_log"
+    log.mkdir(parents=True)
+    icts = {0: 1000, 1: 1100, 2: 1200, 3: 1300, 6: 1600, 7: 1700, 8: 1800, 9: 1900}
+    mtimes = {4: 1400, 5: 1500}
+    for v in range(10):
+        lines = []
+        ci: dict = {"timestamp": icts.get(v, mtimes.get(v)), "operation": "WRITE"}
+        if v in icts:
+            ci["inCommitTimestamp"] = icts[v]
+        lines.append(json.dumps({"commitInfo": ci}))
+        if v == 0:
+            lines.append(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "fixture",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}',
+                            "partitionColumns": [],
+                            "configuration": {},
+                        }
+                    }
+                )
+            )
+        lines.append(
+            json.dumps(
+                {"add": {"path": f"f{v}.parquet", "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}}
+            )
+        )
+        f = log / f"{v:020d}.json"
+        f.write_text("\n".join(lines))
+        t = icts.get(v, mtimes.get(v))
+        os.utime(f, (t / 1000.0, t / 1000.0))
+    path = str(tmp_path / "t")
+    # brute-force expectation over the clamped effective sequence
+    for target, want in [(1050, 0), (1450, 4), (1550, 5), (1650, 6), (999, None), (2500, 9)]:
+        if want is None:
+            with pytest.raises(ValueError):
+                version_at_timestamp(spark, path, target)
+        else:
+            assert version_at_timestamp(spark, path, target) == want, target

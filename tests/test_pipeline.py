@@ -257,3 +257,14 @@ def test_kmv_estimate_accuracy_and_small_range(spark):
     dup = big.unionByName(big).unionByName(small)
     out2 = {r.g: r for r in kmv_distinct_estimate(dup, ["g"], "v", k=64).collect()}
     assert out2["big"].n_distinct_est == out["big"].n_distinct_est
+
+
+def test_kmv_ignores_null_values(spark):
+    from delta_kernel_rs_spark.operators.sketch import kmv_distinct_estimate
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") < 8, F.concat(F.lit("v"), F.col("id"))).alias("v"),
+    )
+    out = kmv_distinct_estimate(df, ["g"], "v", k=64).collect()[0]
+    assert out.n_distinct_est == 8.0 and out.n_kept == 8  # NULLs not counted

@@ -366,3 +366,9 @@ def test_eval_like_prefix(spark, mn, mx, pattern, expected):
 
 def test_like_all_null_file_prunes(spark):
     assert _verdict_like(spark, "b%", None, None, nulls=2) is False
+
+
+def test_like_escaped_pattern_never_prunes(spark):
+    """Backslash escapes change wildcard identity; the prefix band over the
+    raw pattern would be unsound — escaped patterns stay residual-only."""
+    assert _verdict_like(spark, r"ab\%c%", "apple", "azure") is UNREWRITABLE
