@@ -24,8 +24,11 @@ Layout:
               footer stats + truncation contracts, DV roaring codec,
               schema-evolution diff
   operators/  LLM-data-pipeline operators (dedup, similarity/ANN, text
-              analysis, multimodal plumbing)
-  streaming/  spark.readStream.format("delta_cdf") streaming change feed
+              analysis + PII scrubbing, deterministic sampling, KMV
+              sketch, multimodal plumbing)
+  streaming/  spark.readStream.format("delta_cdf") streaming change feed;
+              sources/batch_source.py adds format("delta_kernel") — batch
+              read facade, streaming append source, and the append sink
   queries/    oracle-checked query registry consumed by __spark_entry__.py
 """
 

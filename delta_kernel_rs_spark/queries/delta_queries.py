@@ -1,4 +1,4 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d07).
+"""Oracle-checked Delta-kernel-path queries (d01–d21).
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,

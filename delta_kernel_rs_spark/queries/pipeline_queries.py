@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p12).
+"""Oracle-checked LLM-data-pipeline queries (p01–p17).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
