@@ -97,18 +97,45 @@ def _resolve_version(storage, path: str, opts: dict) -> int | None:
         return int(version)
     if ts is None:
         return None
+    from delta_kernel_rs_spark.sources.history import version_at_timestamp_for_storage
+
+    return version_at_timestamp_for_storage(storage, path, _parse_ts_ms(ts))
+
+
+def _parse_ts_ms(ts: str) -> int:
+    """Epoch milliseconds or ISO datetime (naive = UTC) → epoch ms."""
     try:
-        ts_ms = int(ts)
+        return int(ts)
     except ValueError:
         import datetime as _dt
 
         d = _dt.datetime.fromisoformat(ts)
         if d.tzinfo is None:
             d = d.replace(tzinfo=_dt.timezone.utc)
-        ts_ms = int(d.timestamp() * 1000)
-    from delta_kernel_rs_spark.sources.history import version_at_timestamp_for_storage
+        return int(d.timestamp() * 1000)
 
-    return version_at_timestamp_for_storage(storage, path, ts_ms)
+
+def _parse_predicate_opt(pred_str: str | None, table_schema: T.StructType):
+    """Parse + literal-coerce + validate a predicate option against the
+    table schema; raises for out-of-grammar or uncompilable predicates
+    (silently returning unfiltered rows would be wrong)."""
+    if not pred_str:
+        return None
+    from delta_kernel_rs_spark.plans.py_predicate import (
+        coerce_literals,
+        to_arrow_expr,
+    )
+    from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
+
+    ast = try_parse_sql_predicate(pred_str, table_schema)
+    if ast is None:
+        raise ValueError(
+            f"predicate {pred_str!r} is outside the supported SQL "
+            "grammar; drop the option and .filter() instead"
+        )
+    ast = coerce_literals(ast, table_schema)
+    to_arrow_expr(ast, {f.name: physical_name(f) for f in table_schema.fields})
+    return ast
 
 
 def _select_fields(schema: T.StructType, columns: str | None) -> list:
@@ -357,30 +384,9 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
         protocol_of(proto).ensure_read_supported()
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
-        self._predicate = None
-        pred_str = opts.get("predicate")
-        if pred_str:
-            from delta_kernel_rs_spark.plans.py_predicate import (
-                coerce_literals,
-                to_arrow_expr,
-            )
-            from delta_kernel_rs_spark.plans.sql_parser import try_parse_sql_predicate
-
-            ast = try_parse_sql_predicate(pred_str, self._table_schema)
-            if ast is None:
-                raise ValueError(
-                    f"predicate {pred_str!r} is outside the supported SQL "
-                    "grammar; drop the option and .filter() instead"
-                )
-            # type the literals against the table schema: a string literal
-            # compared to a DATE partition column must become a date before
-            # the pure-Python 3VL pruning sees it (raw date == str is a
-            # silent False that would wrongly skip matching files)
-            ast = coerce_literals(ast, self._table_schema)
-            # validate compilability up front (partition columns will be
-            # substituted per file, so map them to themselves here)
-            to_arrow_expr(ast, {f.name: physical_name(f) for f in self._table_schema.fields})
-            self._predicate = ast
+        self._predicate = _parse_predicate_opt(
+            opts.get("predicate"), self._table_schema
+        )
         self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
 
     # -- planning (driver-side worker; no per-file Python objects) -------
@@ -426,7 +432,10 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
     rewrites (OPTIMIZE, DV purge) are always invisible.
 
     Options: ``path`` (required), ``startingVersion`` (int or ``latest``,
-    default 0), ``ignoreDeletes``, ``ignoreChanges``, ``targetBytes``.
+    default 0), ``startingTimestamp`` (epoch ms or ISO datetime — first
+    commit at/after it, ICT-aware), ``predicate`` (SQL string, same
+    semantics as the batch facade), ``columns``, ``ignoreDeletes``,
+    ``ignoreChanges``, ``targetBytes``.
     """
 
     def __init__(self, schema: T.StructType, options: dict):
@@ -441,11 +450,26 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
         protocol_of(proto).ensure_read_supported()
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
-        self._predicate = None  # slice reads are unfiltered for the stream
+        # optional row filter, evaluated exactly like the batch facade's
+        # (partition 3VL short-circuit + per-file pyarrow residual)
+        self._predicate = _parse_predicate_opt(
+            opts.get("predicate"), self._table_schema
+        )
         # schema() applies the columns option, so the emitted batches must too
         self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
         sv = opts.get("startingversion")
-        if sv is None:
+        st = opts.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError("set startingVersion or startingTimestamp, not both")
+        if st is not None:
+            from delta_kernel_rs_spark.sources.history import (
+                first_version_after_for_storage,
+            )
+
+            self._start = first_version_after_for_storage(
+                storage, self._path, _parse_ts_ms(st)
+            )
+        elif sv is None:
             self._start = 0
         elif str(sv).lower() == "latest":
             self._start = seg.version + 1

@@ -198,6 +198,16 @@ def version_at_timestamp_for_storage(storage, table_path: str, timestamp_ms: int
     return idx.versions[i]
 
 
+def first_version_after_for_storage(storage, table_path: str, timestamp_ms: int) -> int:
+    idx = index_for_storage(storage, table_path)
+    i = idx.leftmost_at_or_after(timestamp_ms)
+    if i is None:
+        raise ValueError(
+            f"no commit at or after timestamp {timestamp_ms} for {table_path}"
+        )
+    return idx.versions[i]
+
+
 def _index(spark, table_path: str) -> _TimestampIndex:
     return index_for_storage(storage_for(spark, table_path), table_path)
 

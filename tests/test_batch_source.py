@@ -439,3 +439,34 @@ def test_stream_read_honors_columns_option(spark, tmp_path):
     res = spark.read.parquet(out)
     assert res.columns == ["d"]
     assert sorted(r.d for r in res.collect()) == [2 * i for i in range(10)]
+
+
+def test_stream_read_predicate_and_starting_timestamp(spark, tmp_path):
+    """Streaming source: predicate filters rows exactly; startingTimestamp
+    picks the first commit at/after the timestamp (ICT-aware)."""
+    import os
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    t = DeltaTable.create(spark, path, df=spark.range(10).toDF("x"))
+    t.append(spark.range(10, 20).toDF("x"))
+    log = os.path.join(path, "_delta_log")
+    os.utime(os.path.join(log, "00000000000000000000.json"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(log, "00000000000000000001.json"), (2_000_000, 2_000_000))
+    register_batch_source(spark)
+
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .option("startingTimestamp", str(1_500_000_000))  # only v1 onward
+        .option("predicate", "x BETWEEN 12 AND 17")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.x for r in spark.read.parquet(out).collect())
+    assert got == list(range(12, 18))
