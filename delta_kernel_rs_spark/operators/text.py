@@ -10,7 +10,7 @@ so outputs hash-match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Marker-word lists for the n-gram/stopword language-ID heuristic.
@@ -145,4 +145,95 @@ def fingerprint_expr(text_col: str = "text") -> Column:
     return F.expr(
         f"aggregate(transform(split({text_col}, ''), ch -> ascii(ch)), 0L, "
         f"(acc, c) -> (acc*31 + c) % {FINGERPRINT_MOD})"
+    )
+
+
+def repetition_signals(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Gopher-style repetition quality signals, one row per document.
+
+    Excessively repetitive documents are a dominant failure mode in web
+    training corpora; these are the standard repetition filters (Rae et
+    al., "Scaling Language Models: ... Gopher", §A1.1), adapted to
+    newline-free text:
+
+    - ``dup_word_frac``      — fraction of word occurrences that repeat an
+                               earlier word: ``(n_words - n_distinct) / n_words``
+    - ``top_bigram_char_frac``  — characters covered by the single most
+                               frequent word 2-gram, / total chars
+    - ``dup_trigram_char_frac`` — characters covered by word 3-grams that
+                               occur more than once, / total chars
+
+    Plan shape (100 TB posture): dup_word_frac is a pure per-row column
+    expression (codegen, no shuffle). The n-gram fractions explode 2- and
+    3-grams ONCE with a length tag, count per (doc, n, gram) — one
+    shuffle keyed by doc_id+gram with map-side partial aggregation — then
+    collapse per (doc, n) and pivot the two signals back in a second,
+    doc-keyed aggregation. Both shuffles are on high-cardinality keys
+    (no skew: a doc's grams ≈ its word count). Ties for the top bigram
+    break on the gram string (max over (count, gram) structs) so the
+    output is a pure function of the corpus — bit-identical to the
+    DuckDB oracle's ``ORDER BY c DESC, g DESC`` choice.
+    """
+    ws = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_t"),
+        ws.alias("ws"),
+    )
+    word_frac = base.select(
+        id_col,
+        "n_chars_t",
+        (
+            (F.size("ws") - F.size(F.array_distinct("ws"))).cast("double")
+            / F.size("ws")
+        ).alias("dup_word_frac"),
+    )
+
+    def grams(n: int):
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, n)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    tagged = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).alias("n"), grams(2).alias("gs")),
+                F.struct(F.lit(3).alias("n"), grams(3).alias("gs")),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.explode("t.gs").alias("g"))
+    counts = tagged.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_n = counts.groupBy(id_col, "n").agg(
+        F.max(F.struct("c", "g")).alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))).alias(
+            "dup_chars"
+        ),
+    )
+    pivoted = per_doc_n.groupBy(id_col).agg(
+        F.max(
+            F.when(F.col("n") == 2, F.col("top.c") * F.length("top.g"))
+        ).alias("top2_chars"),
+        F.max(F.when(F.col("n") == 3, F.col("dup_chars"))).alias("dup3_chars"),
+    )
+    return (
+        word_frac.join(pivoted, id_col, "left")
+        .select(
+            id_col,
+            "dup_word_frac",
+            F.coalesce(
+                F.col("top2_chars").cast("double") / F.col("n_chars_t"),
+                F.lit(0.0),
+            ).alias("top_bigram_char_frac"),
+            F.coalesce(
+                F.col("dup3_chars").cast("double") / F.col("n_chars_t"),
+                F.lit(0.0),
+            ).alias("dup_trigram_char_frac"),
+        )
     )

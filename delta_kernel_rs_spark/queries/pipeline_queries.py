@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p17).
+"""Oracle-checked LLM-data-pipeline queries (p01–p19).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
@@ -658,5 +658,101 @@ register(
     GROUP BY bigram
     ORDER BY n DESC, bigram
     LIMIT 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p18 near-duplicate clusters (connected components over MinHash-LSH pairs)
+
+
+def p18_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: hash-min label propagation over
+    the p02 pair graph (operators/cluster.py). The oracle is a DuckDB
+    recursive CTE computing the identical min-reachable-id labels over
+    the exact-Jaccard pair graph."""
+    from delta_kernel_rs_spark.operators.cluster import neardup_clusters
+
+    pairs = neardup_pairs_minhash(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+    return neardup_clusters(pairs)
+
+
+register(
+    "p18_neardup_clusters",
+    p18_neardup_clusters,
+    f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+    s AS (SELECT doc_id, {_dk_shingles(3)} sh FROM d WHERE len(ws) >= 3),
+    sz AS (SELECT doc_id, len(sh) n FROM s),
+    e AS (SELECT doc_id, unnest(sh) g FROM s),
+    pr AS (SELECT pa.doc_id da, pb.doc_id db, count(*) inter
+           FROM e pa JOIN e pb ON pa.g = pb.g AND pa.doc_id < pb.doc_id
+           GROUP BY 1, 2),
+    pairs AS (
+      SELECT da, db FROM pr
+      JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+      WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.8),
+    edges AS (SELECT da a, db b FROM pairs
+              UNION ALL SELECT db, da FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT ed.b, r.lbl FROM reach r JOIN edges ed ON ed.a = r.node),
+    lab AS (SELECT node, min(lbl) cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p19 repetition quality signals (Gopher-style filters)
+
+
+def p19_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-word fraction, top-bigram
+    character coverage, duplicated-trigram character coverage
+    (operators/text.py repetition_signals)."""
+    from delta_kernel_rs_spark.operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "p19_repetition_signals",
+    p19_repetition_signals,
+    """
+    WITH d AS (SELECT doc_id, string_split(text,' ') ws, length(text) nc
+               FROM documents),
+    w AS (SELECT doc_id, nc,
+                 CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/len(ws)
+                   AS dup_word_frac
+          FROM d),
+    b2 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) g
+           FROM d WHERE len(ws) >= 2),
+    c2 AS (SELECT doc_id, g, count(*) c FROM b2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, c, g FROM (
+             SELECT doc_id, c, g,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, g DESC) rn
+             FROM c2) WHERE rn = 1),
+    b3 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g
+           FROM d WHERE len(ws) >= 3),
+    c3 AS (SELECT doc_id, g, count(*) c FROM b3 GROUP BY 1, 2),
+    t3 AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c * length(g) END) dup_chars
+           FROM c3 GROUP BY doc_id)
+    SELECT w.doc_id, dup_word_frac,
+           COALESCE(CAST(t2.c * length(t2.g) AS DOUBLE)/w.nc, 0.0)
+             AS top_bigram_char_frac,
+           COALESCE(CAST(t3.dup_chars AS DOUBLE)/w.nc, 0.0)
+             AS dup_trigram_char_frac
+    FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
     """,
 )
