@@ -137,10 +137,22 @@ def neardup_pairs_minhash(
     (equi-join shuffle on (band, band_sig)); the exact Jaccard check on the
     candidate pairs removes LSH false positives, so precision is exact and
     recall is the banding probability (1-(1-j^r)^b ~ 1 for j near 1).
+
+    The shingle-set frame appears three times in the plan (minhash input
+    + both verify sides); Spark executes each occurrence, so shingling —
+    the CPU-heavy head — would run 3×. A disk-spillable cache
+    materializes it once; at 100 TB this trades one corpus-sized
+    spill-to-local-disk for two recomputations of the whole
+    tokenize+shingle pipeline, the standard call for reused
+    multi-consumer subplans.
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = with_word_shingles(df, text_col=text_col, k=k)
-    sets_df = docs.select(F.col(id_col), "shingles", F.size("shingles").alias("n_sh"))
-    bands = minhash_band_signatures(docs, id_col=id_col)
+    sets_df = docs.select(
+        F.col(id_col), "shingles", F.size("shingles").alias("n_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = minhash_band_signatures(sets_df, id_col=id_col)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -268,16 +280,25 @@ def jaccard_pairs_exact(
             ).alias("sorted_sh")
         )
     )
-    sets_df = base.join(ordered, id_col).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.col("sorted_sh"),
-        F.size("sorted_sh").alias("n_sh"),
-        (
-            F.size("sorted_sh")
-            - F.ceil(F.lit(threshold) * F.size("sorted_sh")).cast("int")
-            + F.lit(1)
-        ).alias("prefix_len"),
+    from pyspark.storagelevel import StorageLevel
+
+    # rarity-sorted shingle frame feeds the prefix posting and both
+    # verify sides — cache spillably so the sort-by-frequency join runs
+    # once, not three times
+    sets_df = (
+        base.join(ordered, id_col)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.col("sorted_sh"),
+            F.size("sorted_sh").alias("n_sh"),
+            (
+                F.size("sorted_sh")
+                - F.ceil(F.lit(threshold) * F.size("sorted_sh")).cast("int")
+                + F.lit(1)
+            ).alias("prefix_len"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     posting = sets_df.select(
         F.col(id_col),
@@ -316,9 +337,22 @@ def _jaccard_pairs_count(
     block_cols: list[str] | None,
 ) -> DataFrame:
     """Count-based exact similarity join: |A∩B| = posting-join row count."""
-    docs = with_word_shingles(df, text_col=text_col, k=k)
-    sets_df = docs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    from pyspark.storagelevel import StorageLevel
+
     block_cols = block_cols or []
+    # shingle once, cache spillably: the shingle frame feeds the posting
+    # self-join AND both size-lookup sides (4 plan occurrences)
+    docs = (
+        with_word_shingles(df, text_col=text_col, k=k)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            "shingles",
+            F.size("shingles").alias("n_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets_df = docs.select(F.col(id_col), "n_sh")
     posting = docs.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("g")
     )
