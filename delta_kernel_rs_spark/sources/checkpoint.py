@@ -103,17 +103,15 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
     )
 
 
-def _tombstone_retention_ms(snapshot: Snapshot) -> int:
-    """``delta.deletedFileRetentionDuration`` ("interval N units") or default."""
-    raw = snapshot.metadata.configuration.get("delta.deletedFileRetentionDuration")
-    if not raw:
-        return DEFAULT_TOMBSTONE_RETENTION_MS
+def _interval_ms(raw: str) -> int | None:
+    """Parse a Delta ``interval N units`` property value to ms; None if
+    unparsable (callers substitute their property's default)."""
     parts = raw.strip().lower().split()
     if len(parts) == 3 and parts[0] == "interval":
         try:
             n = int(parts[1])
         except ValueError:
-            return DEFAULT_TOMBSTONE_RETENTION_MS
+            return None
         unit = parts[2].rstrip("s")
         scale = {
             "millisecond": 1,
@@ -125,7 +123,16 @@ def _tombstone_retention_ms(snapshot: Snapshot) -> int:
         }.get(unit)
         if scale:
             return n * scale
-    return DEFAULT_TOMBSTONE_RETENTION_MS
+    return None
+
+
+def _tombstone_retention_ms(snapshot: Snapshot) -> int:
+    """``delta.deletedFileRetentionDuration`` ("interval N units") or default."""
+    raw = snapshot.metadata.configuration.get("delta.deletedFileRetentionDuration")
+    if not raw:
+        return DEFAULT_TOMBSTONE_RETENTION_MS
+    ms = _interval_ms(raw)
+    return ms if ms is not None else DEFAULT_TOMBSTONE_RETENTION_MS
 
 
 def _driver_actions(snapshot: Snapshot) -> list[dict]:

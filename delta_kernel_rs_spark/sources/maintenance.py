@@ -114,3 +114,136 @@ def purge_deletion_vectors(
     if not files:
         return snap.version
     return _rewrite_files(table, snap, files, "PURGE", target_file_size)
+
+
+#: delta.logRetentionDuration default (delta protocol: 30 days).
+DEFAULT_LOG_RETENTION_MS = 30 * 86_400_000
+
+
+def cleanup_expired_logs(
+    table, retention_ms: int | None = None, now_ms: int | None = None
+) -> list[str]:
+    """Metadata cleanup: delete ``_delta_log`` entries superseded by the
+    latest checkpoint and older than ``delta.logRetentionDuration``.
+
+    Protocol semantics (delta-spark's metadata cleanup; the reference
+    kernel parses the property — table_properties/mod.rs
+    LOG_RETENTION_DURATION — and relies on the writer to clean):
+
+    - only files strictly below the most recent checkpoint version are
+      eligible (everything at/after it is needed to reconstruct the
+      current snapshot and its log tail);
+    - of those, only files whose modification time predates
+      now - retention go — time travel inside the retention window keeps
+      working, older versions are sacrificed by design;
+    - compacted ranges are eligible only when their END version is below
+      the checkpoint;
+    - ``_last_checkpoint`` is never touched;
+    - V2 sidecar parquet in ``_delta_log/_sidecars`` is deleted only
+      when no RETAINED checkpoint references it (pointers are read from
+      the retained top-level checkpoint files; on any read failure all
+      sidecars are protected — cleanup must fail safe);
+    - gated off by ``delta.enableExpiredLogCleanup=false``.
+
+    Driver-only file-metadata pass: O(log entries) name/mtime checks, no
+    data read. Returns the deleted paths.
+    """
+    from delta_kernel_rs_spark.sources.delta_paths import (
+        LAST_CHECKPOINT_NAME,
+        LOG_DIR,
+        LogFileKind,
+        parse_log_filename,
+    )
+    from delta_kernel_rs_spark.sources.log_segment import build_log_segment
+
+    snap = table.snapshot()
+    cfg = snap.metadata.configuration
+    if cfg.get("delta.enableExpiredLogCleanup", "true").strip().lower() == "false":
+        return []
+    if retention_ms is None:
+        retention_ms = _parse_retention(cfg.get("delta.logRetentionDuration"))
+    cutoff = (now_ms if now_ms is not None else _now_ms()) - retention_ms
+
+    storage = table.storage
+    log_dir = f"{table.path}/{LOG_DIR}"
+    seg = build_log_segment(storage, table.path)
+    ckpt_v = seg.checkpoint_version
+    if ckpt_v is None:
+        return []  # nothing is superseded without a checkpoint
+
+    retained_ckpts: list[str] = []
+    expired: list = []
+    for entry in storage.list_from(log_dir, ""):
+        name = entry.path.rsplit("/", 1)[-1]
+        if name == LAST_CHECKPOINT_NAME:
+            continue
+        parsed = parse_log_filename(entry.path)
+        if parsed is None or parsed.kind == LogFileKind.UNKNOWN:
+            continue
+        if parsed.kind == LogFileKind.COMPACTED:
+            superseded = (parsed.end_version or parsed.version) < ckpt_v
+        else:
+            superseded = parsed.version < ckpt_v
+        is_ckpt = parsed.kind in (
+            LogFileKind.CLASSIC_CHECKPOINT,
+            LogFileKind.MULTIPART_CHECKPOINT,
+            LogFileKind.V2_CHECKPOINT,
+        )
+        if not superseded:
+            if is_ckpt:
+                retained_ckpts.append(entry.path)
+            continue
+        if entry.last_modified_ms < cutoff:
+            expired.append(entry)
+
+    deleted: list[str] = []
+    for entry in expired:
+        storage.delete(entry.path)
+        deleted.append(entry.path)
+
+    deleted.extend(
+        _cleanup_sidecars(storage, log_dir, retained_ckpts, cutoff)
+    )
+    return deleted
+
+
+def _parse_retention(raw: str | None) -> int:
+    """``interval N units`` -> ms; default 30 days on absent/unparsable."""
+    from delta_kernel_rs_spark.sources.checkpoint import _interval_ms
+
+    if not raw:
+        return DEFAULT_LOG_RETENTION_MS
+    ms = _interval_ms(raw)
+    return ms if ms is not None else DEFAULT_LOG_RETENTION_MS
+
+
+def _cleanup_sidecars(storage, log_dir, retained_ckpts, cutoff) -> list[str]:
+    sidecar_dir = f"{log_dir}/_sidecars"
+    try:
+        entries = storage.list_from(sidecar_dir, "")
+    except OSError:
+        return []
+    if not entries:
+        return []
+    referenced: set[str] = set()
+    try:
+        import pyarrow.parquet as pq
+
+        for ckpt_path in retained_ckpts:
+            local = ckpt_path.split("://", 1)[-1] if "://" in ckpt_path else ckpt_path
+            tbl = pq.read_table(local)
+            if "sidecar" not in tbl.column_names:
+                continue
+            for sc in tbl.column("sidecar").to_pylist():
+                if sc and sc.get("path"):
+                    referenced.add(sc["path"].rsplit("/", 1)[-1])
+    except Exception:
+        return []  # cannot prove a sidecar unreferenced -> protect all
+    deleted = []
+    for entry in entries:
+        name = entry.path.rsplit("/", 1)[-1]
+        if name in referenced or entry.last_modified_ms >= cutoff:
+            continue
+        storage.delete(entry.path)
+        deleted.append(entry.path)
+    return deleted

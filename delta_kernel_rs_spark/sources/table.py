@@ -303,6 +303,15 @@ class DeltaTable:
 
         return purge_deletion_vectors(self, min_cardinality=min_cardinality)
 
+    def cleanup_expired_logs(
+        self, retention_ms: int | None = None, now_ms: int | None = None
+    ) -> list[str]:
+        """Delete checkpoint-superseded ``_delta_log`` files older than
+        ``delta.logRetentionDuration`` (metadata cleanup)."""
+        from delta_kernel_rs_spark.sources.maintenance import cleanup_expired_logs
+
+        return cleanup_expired_logs(self, retention_ms=retention_ms, now_ms=now_ms)
+
     def checkpoint(
         self, version: int | None = None, v2: bool = False, parts: int | None = None
     ) -> int:

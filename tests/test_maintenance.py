@@ -130,3 +130,98 @@ def test_incremental_refresh_across_optimize(spark, tmp_path):
     refreshed = new_snap.scan_files_from(base_snap.version, prior)
     expect = {f.path for f in new_snap.scan().files()}
     assert {f.path for f in refreshed} == expect
+
+
+# ---------------------------------------------------------------------------
+# metadata cleanup (expired log files)
+
+
+def _log_names(t):
+    import os
+
+    d = os.path.join(t.path, "_delta_log")
+    return sorted(
+        n for n in os.listdir(d) if os.path.isfile(os.path.join(d, n))
+    )
+
+
+def _future_ms():
+    import time
+
+    return int(time.time() * 1000) + 60_000
+
+
+def test_cleanup_deletes_superseded_commits(spark, tmp_path):
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(5).toDF("x"))
+    for i in range(3):
+        t.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    t.checkpoint()  # at version 3
+    deleted = t.cleanup_expired_logs(retention_ms=0, now_ms=_future_ms())
+    names = _log_names(t)
+    # commits 0..2 (and their CRCs, if any) gone; commit 3 + checkpoint stay
+    assert not any(n.startswith("00000000000000000000") and n.endswith(".json") for n in names)
+    assert any("00000000000000000003.json" == n for n in names)
+    assert any(".checkpoint." in n or n.endswith(".checkpoint.parquet") for n in names)
+    assert "_last_checkpoint" in names
+    assert len(deleted) >= 3
+    # the table still reads
+    assert t.to_df().count() == 20
+
+
+def test_cleanup_respects_retention_and_gate(spark, tmp_path):
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(5).toDF("x"))
+    t.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    t.checkpoint()
+    # huge retention: nothing is old enough
+    assert t.cleanup_expired_logs(retention_ms=10**12) == []
+    # disabled by table property
+    t2 = DeltaTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        df=spark.range(5).toDF("x"),
+        properties={"delta.enableExpiredLogCleanup": "false"},
+    )
+    t2.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    t2.checkpoint()
+    assert t2.cleanup_expired_logs(retention_ms=0, now_ms=_future_ms()) == []
+
+
+def test_cleanup_no_checkpoint_is_noop(spark, tmp_path):
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(5).toDF("x"))
+    t.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    assert t.cleanup_expired_logs(retention_ms=0, now_ms=_future_ms()) == []
+    assert t.to_df().count() == 10
+
+
+def test_cleanup_v2_keeps_referenced_sidecars(spark, tmp_path):
+    import os
+
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(10).toDF("x"))
+    t.append(spark.range(10, 20).toDF("x"), auto_checkpoint=False)
+    t.checkpoint(v2=True)  # v1 checkpoint w/ sidecar
+    t.append(spark.range(20, 30).toDF("x"), auto_checkpoint=False)
+    t.checkpoint(v2=True)  # v2 checkpoint w/ its own sidecar
+    sidecar_dir = os.path.join(t.path, "_delta_log", "_sidecars")
+    before = set(os.listdir(sidecar_dir))
+    assert len(before) == 2
+    deleted = t.cleanup_expired_logs(retention_ms=0, now_ms=_future_ms())
+    after = set(os.listdir(sidecar_dir))
+    # old checkpoint + its sidecar gone; retained checkpoint's sidecar kept
+    assert len(after) == 1
+    assert any("_sidecars" in p for p in deleted)
+    assert t.to_df().count() == 30
+    # time travel inside the retained range still works
+    assert t.snapshot().version == 2
+
+
+def test_cleanup_old_time_travel_gone(spark, tmp_path):
+    import pytest as _pytest
+
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(5).toDF("x"))
+    t.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    t.append(spark.range(5).toDF("x"), auto_checkpoint=False)
+    t.checkpoint()
+    t.cleanup_expired_logs(retention_ms=0, now_ms=_future_ms())
+    # versions below the checkpoint are sacrificed by design
+    with _pytest.raises(Exception):
+        t.snapshot(version=0).scan().to_df().collect()
