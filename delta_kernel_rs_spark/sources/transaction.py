@@ -151,6 +151,9 @@ class Transaction:
             else (read_snapshot.metadata.configuration if read_snapshot else {})
         )
         self.name = name
+        #: Commit-placement strategy (sources/committer.py); None = direct
+        #: filesystem PUT-if-absent (reference FileSystemCommitter).
+        self.committer = None
         if read_snapshot is not None:
             # A table written by another engine may require enforcement this
             # writer lacks (reference: kernel refuses writes on unknown
@@ -280,6 +283,12 @@ class Transaction:
         )
         self._identity_new_hwm[f.name] = next_val + (acc - 1) * step
         return out
+
+    def with_committer(self, committer) -> "Transaction":
+        """Route the atomic commit through a custom committer (catalog-
+        managed tables; reference Committer trait, committer/mod.rs:56)."""
+        self.committer = committer
+        return self
 
     def with_transaction_id(self, app_id: str, version: int) -> "Transaction":
         """App-level idempotency (``txn`` action, reference
@@ -760,9 +769,12 @@ class Transaction:
                 actions.append(self._assign_row_ids(adds, hwm_snapshot, version))
             actions.extend(adds)
             payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
-            path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
             try:
-                self.storage.put_if_absent(path, payload)
+                if self.committer is not None:
+                    self.committer.commit(self.storage, self.table_path, version, payload)
+                else:
+                    path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
+                    self.storage.put_if_absent(path, payload)
                 return version
             except CommitConflict:
                 attempts += 1
@@ -811,8 +823,15 @@ class Transaction:
         writers touching disjoint files serialize cleanly.
         """
         ours = self._touched_paths()
+        tail_paths = (
+            {e.version: e.path for e in self.committer.log_tail()}
+            if self.committer is not None
+            else {}
+        )
         for v in range(from_version, to_version + 1):
-            path = f"{self.table_path}/{LOG_DIR}/{commit_filename(v)}"
+            path = tail_paths.get(
+                v, f"{self.table_path}/{LOG_DIR}/{commit_filename(v)}"
+            )
             try:
                 text = self.storage.read_text(path)
             except OSError as e:
@@ -851,7 +870,8 @@ class Transaction:
         Returns the latest snapshot (also the row-id high-water-mark source)."""
         from delta_kernel_rs_spark.sources.snapshot import Snapshot
 
-        latest = Snapshot.create(self.spark, self.table_path)
+        tail = self.committer.log_tail() if self.committer is not None else None
+        latest = Snapshot.create(self.spark, self.table_path, log_tail=tail or None)
         if self.read_snapshot is not None:
             before = self.read_snapshot.metadata
             after = latest.metadata
