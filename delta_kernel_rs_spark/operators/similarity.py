@@ -211,6 +211,71 @@ def embedding_neardup_blocked(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with exact error accounting.
+
+    The standard 4× storage cut applied before PQ/IVF indexing at corpus
+    scale: ``scale = max|x| / 127``, ``code_i = clamp(half_up(x_i / scale),
+    -127, 127)``. Rounding is spelled as ``floor(v + 0.5)`` rather than an
+    engine-native ``round()`` so Spark and the DuckDB oracle share exact
+    IEEE semantics. A zero vector quantizes to scale 0 with all-zero codes.
+
+    Emits per vector, in one codegen'd projection (map-only — no shuffle,
+    no Python, safe at any corpus size):
+    - ``scale`` — the dequantization factor,
+    - ``code_sum`` / ``code_poshash`` — order-insensitive and
+      position-weighted checksums over the int8 codes (these pin the exact
+      code vector without hashing an array column),
+    - ``n_saturated`` — codes clamped to ±127,
+    - ``l2_err`` / ``max_err`` — exact reconstruction error of
+      ``code_i * scale`` vs the original, folded in index order.
+    """
+    abs_max = (
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+    codes = (
+        f"transform({vec_col}, x -> CAST(CASE WHEN scale = 0.0 THEN 0.0 "
+        f"ELSE least(127.0, greatest(-127.0, "
+        f"floor(CAST(x AS DOUBLE)/scale + 0.5d))) END AS INT))"
+    )
+    err_terms = (
+        f"zip_with({vec_col}, codes, "
+        f"(x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)*scale)"
+    )
+    return (
+        ensure_min_parallelism(df)
+        .withColumn("scale", F.expr(f"{abs_max} / 127.0d"))
+        .withColumn("codes", F.expr(codes))
+        .select(
+            F.col(id_col),
+            F.col("scale"),
+            F.expr(
+                "aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)"
+            ).alias("code_sum"),
+            F.expr(
+                "aggregate(zip_with(codes, sequence(1, size(codes)), "
+                "(c, i) -> CAST(c AS BIGINT)*i), CAST(0 AS BIGINT), "
+                "(acc, v) -> acc + v)"
+            ).alias("code_poshash"),
+            F.expr("size(filter(codes, c -> abs(c) = 127))").alias("n_saturated"),
+            F.expr(
+                f"sqrt(aggregate(transform({err_terms}, e -> e*e), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            ).alias("l2_err"),
+            F.expr(
+                f"aggregate(transform({err_terms}, e -> abs(e)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+            ).alias("max_err"),
+        )
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,

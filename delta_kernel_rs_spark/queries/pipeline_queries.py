@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p19).
+"""Oracle-checked LLM-data-pipeline queries (p01–p20).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
@@ -754,5 +754,59 @@ register(
            COALESCE(CAST(t3.dup_chars AS DOUBLE)/w.nc, 0.0)
              AS dup_trigram_char_frac
     FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p20 int8 embedding quantization (exact reconstruction-error accounting)
+
+
+def p20_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding: scale, code checksums,
+    saturation count, exact L2/max reconstruction error — one map-only
+    projection (operators/similarity.py quantize_int8)."""
+    from delta_kernel_rs_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+register(
+    "p20_int8_quantization",
+    p20_int8_quantization,
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE))),
+                         (acc, v) -> greatest(acc, v))
+               / CAST(127 AS DOUBLE) AS scale
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> CAST(CASE WHEN scale = 0.0 THEN 0.0
+                         ELSE least(127.0, greatest(-127.0,
+                                floor(CAST(x AS DOUBLE)/scale + 0.5)))
+                         END AS INTEGER)) AS codes
+      FROM s),
+    e AS (
+      SELECT vec_id, scale, codes,
+             list_transform(range(1, len(codes) + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    - CAST(codes[i] AS DOUBLE)*scale) AS err
+      FROM c)
+    SELECT vec_id, scale,
+           list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)),
+                       (acc, v) -> acc + v) AS code_sum,
+           list_reduce(list_transform(range(1, len(codes) + 1),
+                                      i -> CAST(codes[i] AS BIGINT)*i),
+                       (acc, v) -> acc + v) AS code_poshash,
+           CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INTEGER)
+             AS n_saturated,
+           sqrt(list_reduce(list_transform(err, x -> x*x),
+                            (acc, v) -> acc + v)) AS l2_err,
+           list_reduce(list_transform(err, x -> abs(x)),
+                       (acc, v) -> greatest(acc, v)) AS max_err
+    FROM e
     """,
 )

@@ -144,6 +144,36 @@ def test_hyperplane_buckets_group_neardups(embeddings):
     assert len(set(buckets.values())) > 1  # and the space is actually split
 
 
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from delta_kernel_rs_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (0, [1.0, -1.0, 0.5, 0.25]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        (2, [127.0, -127.0, 63.5, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(df, dims=4).collect()}
+
+    # max|x| element quantizes to exactly ±127 with zero error at that slot
+    assert out[0].scale == pytest.approx(1.0 / 127.0)
+    assert out[0].n_saturated == 2  # both +1.0 and -1.0 land on +/-127
+    assert out[0].code_sum == 127 - 127 + 64 + 32
+    assert out[0].code_poshash == 127 * 1 - 127 * 2 + 64 * 3 + 32 * 4
+    # per-element reconstruction error bounded by scale/2 (no saturation loss)
+    assert out[0].max_err <= out[0].scale / 2 + 1e-12
+    assert out[0].l2_err <= out[0].scale  # 4 elements, each <= scale/2
+
+    assert out[1].scale == 0.0
+    assert out[1].code_sum == 0 and out[1].code_poshash == 0
+    assert out[1].l2_err == 0.0 and out[1].max_err == 0.0
+
+    # codes pinned exactly: [127, -127, 64, 0] (63.5/1.0 half-up -> 64)
+    assert out[2].code_sum == 127 - 127 + 64 + 0
+    assert out[2].code_poshash == 127 * 1 - 127 * 2 + 64 * 3
+    assert out[2].n_saturated == 2
+
+
 def test_multimodal_meta_plumbing(docs):
     out = binary_meta(with_binary_payload(docs)).collect()
     by_id = {r.doc_id: r for r in out}
