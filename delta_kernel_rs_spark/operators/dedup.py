@@ -32,6 +32,7 @@ from delta_kernel_rs_spark.operators.hashing import (
     N_PERMUTATIONS,
     PERMUTATIONS,
     md5_hash32,
+    md5_hash32_hi,
 )
 from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
@@ -408,3 +409,121 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves ``(s1, s2)`` per document.
+
+    Same single-aggregation shape as :func:`simhash` (64 per-bit partial
+    sums in ONE groupBy, map-side combined), but hashing each distinct word
+    once into both halves of its MD5 — so the fingerprint stays exactly
+    reproducible in SQL engines whose BIGINT cannot hold an unsigned 64-bit
+    value. Template-heavy corpora collide badly at 32 bits; 64 is the
+    working width for pair joins.
+    """
+    df = ensure_min_parallelism(df)
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    ).select(
+        F.col(id_col),
+        md5_hash32(F.col("word")).alias("hv1"),
+        md5_hash32_hi(F.col("word")).alias("hv2"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"hv{h}"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"h{h}b{j}")
+        for h in (1, 2)
+        for j in range(32)
+    ]
+    summed = words.groupBy(id_col).agg(*bit_sums)
+
+    def combine(h: int) -> Column:
+        return reduce(
+            lambda acc, j: acc
+            + F.when(F.col(f"h{h}b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            range(32),
+            F.lit(0).cast("long"),
+        )
+
+    return summed.select(F.col(id_col), combine(1).alias("s1"), combine(2).alias("s2"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash hamming distance.
+
+    Pigeonhole banding (the Manku/Jain/Sarma web-dedup plan): the 64-bit
+    fingerprint splits into ``max_hamming + 1`` bands, and any pair within
+    hamming distance ``max_hamming`` must agree EXACTLY on at least one
+    band — so candidate generation is an equi-join on (band_index,
+    band_bits) buckets and recall is total by construction (a theorem, not
+    a probability). Verification is ``bit_count(s1a^s1b)+bit_count(s2a^s2b)``
+    on the candidates only; no all-pairs product anywhere.
+
+    Returns (doc_a, doc_b, hamming). Scale note: band width here is
+    ``64/(k+1)`` bits; for corpora where 2^band_width buckets collide too
+    often (billions of docs), widen the fingerprint (128-bit SimHash, same
+    construction) rather than shrinking k — the plan shape is unchanged.
+    """
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        raise ValueError(f"max_hamming+1 must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    fp = simhash64(df, id_col=id_col, text_col=text_col)
+
+    def band(j: int) -> Column:
+        # bands 0.. over s1 then s2; each half contributes 32/width bands
+        half, off = ("s1", j) if j < 32 // width else ("s2", j - 32 // width)
+        return (
+            F.shiftright(F.col(half), off * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+        )
+
+    posting = fp.select(
+        F.col(id_col),
+        F.col("s1"),
+        F.col("s2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("bidx"), band(j).alias("bval"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "s1", "s2", "b.bidx", "b.bval")
+
+    a, b = posting.alias("a"), posting.alias("b")
+    hamming = F.bit_count(
+        F.col("a.s1").bitwiseXOR(F.col("b.s1"))
+    ) + F.bit_count(F.col("a.s2").bitwiseXOR(F.col("b.s2")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bidx") == F.col("b.bidx"),
+                F.col("a.bval") == F.col("b.bval"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -10,7 +10,7 @@ so outputs hash-match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Marker-word lists for the n-gram/stopword language-ID heuristic.
@@ -236,4 +236,88 @@ def repetition_signals(
                 F.lit(0.0),
             ).alias("dup_trigram_char_frac"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding context-window chunking: fixed token windows with overlap.
+
+    The training-prep step that turns documents into model-sized pieces:
+    whitespace tokens are cut into ``window``-token chunks every ``stride``
+    tokens (overlap = window - stride), and every document yields at least
+    one chunk. Output (doc_id, chunk_idx, start_token, n_tokens,
+    chunk_text) with 1-based start_token.
+
+    Map-only — one codegen'd projection + an explode over the per-document
+    start sequence; no shuffle, no Python. At 100 TB this is the shape you
+    want: chunking parallelism is exactly input-split parallelism.
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
+    base = df.select(
+        F.col(id_col),
+        ws.alias("ws"),
+        F.size(ws).alias("doc_tokens"),
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("start_token"),
+        F.least(F.lit(window), F.col("doc_tokens") - F.col("start_token") + 1).alias(
+            "n_tokens"
+        ),
+        F.concat_ws(" ", F.slice("ws", F.col("start_token"), F.lit(window))).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    score = (tf / doc_len) * ln(N / df) — raw term frequency normalized by
+    document length, classic log idf. Two high-cardinality shuffles, both
+    map-side combined: (doc, term) counts (doc_len rides the grouping key,
+    costing nothing extra), then term-keyed document frequency joined back
+    on term. N arrives as a broadcast 1-row aggregate — no driver action.
+    The per-document cap is a rank window: Spark plans WindowGroupLimit,
+    so each doc materializes <= top_k rows on both sides of the final
+    shuffle.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("doc_len"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = words.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("doc_len"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df", "doc_len", "tfidf")
     )

@@ -810,3 +810,121 @@ register(
     FROM e
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p21 SimHash hamming near-dup pairs (pigeonhole-banded, lossless recall)
+
+
+def p21_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash hamming distance <= 3, found via
+    pigeonhole band buckets (operators/dedup.py simhash_neardup_pairs).
+    The oracle is the exact all-pairs hamming join: equality is the
+    statement that 4-band candidate recall is total (pigeonhole theorem)."""
+    from delta_kernel_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _dk_simhash_half(hv: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({hv}>>{j})&1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+
+
+register(
+    "p21_simhash_hamming_neardup",
+    p21_simhash_hamming_neardup,
+    f"""
+    WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) word
+               FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv1,
+                         ('0x'||substr(md5(word),9,8))::BIGINT hv2 FROM w),
+    f AS (SELECT doc_id, CAST({_dk_simhash_half("hv1")} AS BIGINT) s1,
+                         CAST({_dk_simhash_half("hv2")} AS BIGINT) s2
+          FROM h GROUP BY doc_id)
+    SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+           CAST(bit_count(xor(fa.s1, fb.s1))
+                + bit_count(xor(fa.s2, fb.s2)) AS INTEGER) AS hamming
+    FROM f fa JOIN f fb ON fa.doc_id < fb.doc_id
+    WHERE bit_count(xor(fa.s1, fb.s1)) + bit_count(xor(fa.s2, fb.s2)) <= 3
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p22 sliding context-window chunking (training-prep tokenized windows)
+
+
+def p22_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks every 48 tokens per document, 1-based start offsets
+    (operators/text.py chunk_documents). Map-only: split + sequence explode."""
+    from delta_kernel_rs_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+register(
+    "p22_context_chunks",
+    p22_context_chunks,
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    s AS (SELECT doc_id, ws, len(ws) n,
+                 unnest(range(1, len(ws) + 1, 48)) st
+          FROM d)
+    SELECT doc_id,
+           CAST((st - 1) // 48 AS INTEGER) AS chunk_idx,
+           CAST(st AS INTEGER) AS start_token,
+           CAST(least(64, n - st + 1) AS INTEGER) AS n_tokens,
+           array_to_string(ws[st:st+63], ' ') AS chunk_text
+    FROM s
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p23 TF-IDF top terms per document
+
+
+def p23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: ranked by (tf/doc_len)*ln(N/df)
+    (operators/text.py tfidf_top_terms). The JVM's Math.log and DuckDB's
+    libm ln differ in the last ulp, so the double score itself is not
+    hash-comparable — the checked output is the integer surface
+    (rank, term, tf, df, doc_len). Ranking is ulp-robust: scores closer
+    than the ln error bound only arise from identical (tf, doc_len, df)
+    inputs, which each engine scores identically and tie-breaks by term."""
+    from delta_kernel_rs_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=3).drop(
+        "tfidf"
+    )
+
+
+register(
+    "p23_tfidf_top_terms",
+    p23_tfidf_top_terms,
+    """
+    WITH w AS (SELECT doc_id, len(string_split(text, ' ')) doc_len,
+                      unnest(string_split(text, ' ')) term
+               FROM documents),
+    tf AS (SELECT doc_id, doc_len, term, count(*) ctf
+           FROM w GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(*) cdf FROM tf GROUP BY 1),
+    n AS (SELECT count(*) n_docs FROM documents),
+    s AS (SELECT doc_id, term, ctf, cdf, doc_len,
+                 (CAST(ctf AS DOUBLE)/doc_len)
+                   * ln(CAST(n_docs AS DOUBLE)/cdf) AS tfidf
+          FROM tf JOIN dfq USING (term), n)
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term,
+           CAST(ctf AS BIGINT) AS tf, CAST(cdf AS BIGINT) AS df,
+           CAST(doc_len AS INTEGER) AS doc_len
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) rnk
+          FROM s)
+    WHERE rnk <= 3
+    """,
+)

@@ -298,3 +298,76 @@ def test_kmv_ignores_null_values(spark):
     )
     out = kmv_distinct_estimate(df, ["g"], "v", k=64).collect()[0]
     assert out.n_distinct_est == 8.0 and out.n_kept == 8  # NULLs not counted
+
+
+def test_simhash_neardup_pairs_matches_bruteforce(spark, docs):
+    from delta_kernel_rs_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    # brute-force ground truth over the tiny fixture
+    fps = {r.doc_id: (r.s1, r.s2) for r in simhash64(docs).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                fps[a][1] ^ fps[b][1]
+            ).count("1")
+            if hd <= 3:
+                want[(a, b)] = hd
+    assert got == want  # banding recall is total, verify removes the rest
+
+
+def test_simhash_neardup_rejects_bad_band_split(docs):
+    from delta_kernel_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, max_hamming=4)  # 5 bands don't divide 64
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from delta_kernel_rs_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "only three tokens")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, window=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 0: 10 tokens -> starts 1,4,7,10
+    assert {c for (d, c) in rows if d == 0} == {0, 1, 2, 3}
+    assert rows[(0, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(0, 1)].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[(0, 3)].chunk_text == "t9" and rows[(0, 3)].n_tokens == 1
+    assert rows[(0, 2)].start_token == 7
+    # short doc: exactly one chunk covering everything
+    assert {c for (d, c) in rows if d == 1} == {0}
+    assert rows[(1, 0)].n_tokens == 3 and rows[(1, 0)].chunk_text == "only three tokens"
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from delta_kernel_rs_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common common"),
+            (2, "common plum plum plum"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)
+    # 'apple' is unique to doc 0 and appears twice -> clear winner
+    assert top0[0].term == "apple" and top0[0].tf == 2 and top0[0].df == 1
+    # 'common' is in every doc -> idf = ln(1) = 0, never outranks rarer terms
+    assert all(r.term != "common" or r.tfidf == 0.0 for r in out)
+    assert sorted(r.rank for r in by_doc[2]) == [1, 2]
+    assert all(r.doc_len == 4 for r in out)
