@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p20).
+"""Oracle-checked LLM-data-pipeline queries (p01–p24).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
@@ -928,3 +928,27 @@ register(
     WHERE rnk <= 3
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p24 sequence packing (next-fit token bins, shard-parallel)
+
+
+def p24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 256-token next-fit bins within doc_id%8 shards
+    (operators/packing.py pack_documents — applyInPandas per shard; the
+    oracle replays the identical fold as a recursive CTE)."""
+    from delta_kernel_rs_spark.operators.packing import pack_documents
+
+    return pack_documents(
+        load_table(spark, sf_dir, "documents"), capacity=256, n_shards=8
+    )
+
+
+def _register_p24() -> None:
+    from delta_kernel_rs_spark.operators.packing import dk_pack_oracle_sql
+
+    register("p24_sequence_packing", p24_sequence_packing,
+             dk_pack_oracle_sql(capacity=256, n_shards=8))
+
+
+_register_p24()

@@ -371,3 +371,40 @@ def test_tfidf_top_terms_ranking(spark):
     assert all(r.term != "common" or r.tfidf == 0.0 for r in out)
     assert sorted(r.rank for r in by_doc[2]) == [1, 2]
     assert all(r.doc_len == 4 for r in out)
+
+
+def test_pack_documents_next_fit(spark):
+    from delta_kernel_rs_spark.operators.packing import pack_documents
+
+    # single shard: token counts 5,4,3,9,2 with capacity 8
+    rows = [
+        (0, "a a a a a"),       # bin 0, offset 0, fill 5
+        (8, "b b b b"),         # 5+4>8 -> bin 1, offset 0
+        (16, "c c c"),          # 4+3<=8 -> bin 1, offset 4
+        (24, "d d d d d d d d d"),  # 9 > 8 alone -> its own overfull bin 2
+        (32, "e e"),            # 9+2>8 -> bin 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_documents(df, capacity=8, n_shards=8).collect()}
+    assert all(r.shard == 0 for r in out.values())
+    assert [(out[i].bin_id, out[i].bin_offset) for i in (0, 8, 16, 24, 32)] == [
+        (0, 0), (1, 0), (1, 4), (2, 0), (3, 0)
+    ]
+    assert out[24].n_tokens == 9  # oversized doc kept whole, not truncated
+
+    # sharding: different residues never share a bin counter
+    df2 = spark.createDataFrame(
+        [(i, "x y z") for i in range(16)], "doc_id long, text string"
+    )
+    out2 = pack_documents(df2, capacity=6, n_shards=4).collect()
+    by_shard = {}
+    for r in out2:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        assert all(r.doc_id % 4 == shard for r in rs)
+        # capacity 6, 3 tokens each -> exactly 2 docs per bin
+        assert sorted(r.bin_id for r in rs) == [0, 0, 1, 1]
+
+    with pytest.raises(ValueError):
+        pack_documents(df, capacity=0)
