@@ -435,7 +435,19 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
     default 0), ``startingTimestamp`` (epoch ms or ISO datetime — first
     commit at/after it, ICT-aware), ``predicate`` (SQL string, same
     semantics as the batch facade), ``columns``, ``ignoreDeletes``,
-    ``ignoreChanges``, ``targetBytes``.
+    ``ignoreChanges``, ``targetBytes``, ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` (admission control: each micro-batch admits
+    add-files until either cap is reached, slicing INSIDE a commit when
+    needed — offsets carry (version, index) like Delta's source offset,
+    so a half-consumed commit resumes at its next file. At least one
+    file is always admitted so the stream progresses. The Python source
+    API never hands the source its restart offset before the first
+    ``latestOffset`` call, so the reader keeps a Spark-authoritative
+    consumed floor — raised by ``partitions`` starts and ``commit``
+    ends — and always slices above it: a restart costs at most one
+    empty micro-batch while the floor re-syncs from the offset log,
+    and already-emitted files can never be re-read even if the offset
+    log briefly rewinds).
     """
 
     def __init__(self, schema: T.StructType, options: dict):
@@ -444,6 +456,17 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
         self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
         self._ignore_deletes = str(opts.get("ignoredeletes", "false")).lower() == "true"
         self._ignore_changes = str(opts.get("ignorechanges", "false")).lower() == "true"
+        mf = opts.get("maxfilespertrigger")
+        mb = opts.get("maxbytespertrigger")
+        self._max_files = int(mf) if mf is not None else None
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
+        #: per-version add-file cache so admission + planning read each
+        #: commit JSON once; evicted below the committed offset.
+        self._adds_cache: dict[int, list[dict]] = {}
         storage = storage_for_uri(self._path)
         seg = build_log_segment(storage, self._path)
         meta, proto = snapshot_metadata(storage, seg)
@@ -475,60 +498,130 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
             self._start = seg.version + 1
         else:
             self._start = int(sv)
+        #: admission cursor: everything below it has been handed out in a
+        #: latestOffset() result. Seeded at construction — Spark may call
+        #: latestOffset() before initialOffset() (separate planning and
+        #: execution runner processes), so __init__ must provide it.
+        self._cursor: tuple[int, int] = (self._start, 0)
+        #: Spark-authoritative consumed floor: raised by partitions()
+        #: starts and commit() ends. After a restart this snaps the
+        #: cursor forward to the checkpoint position, and partitions()
+        #: slices from it so a rewound offset log can never re-emit rows.
+        self._hwm: tuple[int, int] = (self._start, 0)
 
     # -- offsets ---------------------------------------------------------
-    def initialOffset(self) -> dict:
-        return {"version": self._start}
+    @staticmethod
+    def _okey(off: dict) -> tuple[int, int]:
+        return (off["version"], off.get("index", 0))
 
-    def latestOffset(self) -> dict:
-        storage = storage_for_uri(self._path)
+    def initialOffset(self) -> dict:
+        return {"version": self._start, "index": 0}
+
+    def _commit_adds(self, storage, v: int) -> list[dict]:
+        """dataChange add actions of commit ``v`` (cached), after the
+        Delta-streaming validation of remove/rewrite commits."""
+        cached = self._adds_cache.get(v)
+        if cached is not None:
+            return cached
+        from delta_kernel_rs_spark.sources.pyreplay import _iter_actions
+
+        cpath = f"{self._path}/_delta_log/{v:020d}.json"
+        commit_adds: list[dict] = []
+        removed: set[str] = set()
+        for action in _iter_actions(storage, cpath):
+            if "add" in action and action["add"].get("dataChange"):
+                commit_adds.append(action["add"])
+            elif "remove" in action and action["remove"].get("dataChange"):
+                removed.add(action["remove"]["path"])
+        if removed and not (self._ignore_deletes or self._ignore_changes):
+            raise ValueError(
+                f"commit {v} of {self._path} removes data files; this "
+                "source streams appends only — set ignoreDeletes to "
+                "drop deletes, or ignoreChanges to re-emit rewritten "
+                "files"
+            )
+        if removed and self._ignore_deletes and not self._ignore_changes:
+            # a commit with BOTH removes and adds is a rewrite
+            # (COW delete/update/merge), not a plain delete — same
+            # distinction Delta's streaming source draws
+            if commit_adds:
+                raise ValueError(
+                    f"commit {v} rewrites files (update/merge/COW "
+                    "delete); ignoreDeletes covers remove-only commits "
+                    "— set ignoreChanges to re-emit rewritten files"
+                )
+        self._adds_cache[v] = commit_adds
+        return commit_adds
+
+    def _tip(self, storage) -> int:
         entries = storage.list_dir(f"{self._path}/_delta_log")
         versions = [
             int(e.path[-25:-5])
             for e in entries
             if e.path.endswith(".json") and e.path[-25:-5].isdigit()
         ]
-        return {"version": (max(versions) + 1) if versions else self._start}
+        return (max(versions) + 1) if versions else self._start
+
+    def latestOffset(self) -> dict:
+        storage = storage_for_uri(self._path)
+        tip = self._tip(storage)
+        base = max(self._cursor, self._hwm)
+        if self._max_files is None and self._max_bytes is None:
+            self._cursor = max(base, (tip, 0))
+            return {"version": self._cursor[0], "index": self._cursor[1]}
+
+        v, idx = base
+        n_files = 0
+        n_bytes = 0
+        while v < tip:
+            adds = self._commit_adds(storage, v)
+            while idx < len(adds):
+                size = int(adds[idx].get("size") or 0)
+                over_files = (
+                    self._max_files is not None and n_files + 1 > self._max_files
+                )
+                over_bytes = (
+                    self._max_bytes is not None and n_bytes + size > self._max_bytes
+                )
+                if n_files > 0 and (over_files or over_bytes):
+                    self._cursor = (v, idx)
+                    return {"version": v, "index": idx}
+                n_files += 1
+                n_bytes += size
+                idx += 1
+            v, idx = v + 1, 0
+        self._cursor = max(base, (tip, 0))
+        return {"version": self._cursor[0], "index": self._cursor[1]}
 
     def commit(self, end: dict) -> None:
-        pass  # progress is tracked by Spark's offset log
+        # a committed batch is consumed for sure: raise the floor
+        self._hwm = max(self._hwm, self._okey(end))
+        for v in [k for k in self._adds_cache if k < self._hwm[0]]:
+            del self._adds_cache[v]
 
     # -- planning --------------------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from delta_kernel_rs_spark.sources.pyreplay import (
-            _adds_from_pylist,
-            _iter_actions,
-        )
+        from delta_kernel_rs_spark.sources.pyreplay import _adds_from_pylist
 
         storage = storage_for_uri(self._path)
+        # Spark's batch start is authoritative consumed state (offset log
+        # / checkpoint). Slice from max(start, floor) so that even if an
+        # out-of-sync limited latestOffset briefly rewound the offset log
+        # below the checkpoint, already-emitted files are never re-read.
+        sv, si = max(self._okey(start), self._hwm)
+        self._hwm = (sv, si)
+        ev, ei = self._okey(end)
+        self._cursor = max(self._cursor, (ev, ei))
         adds: list[dict] = []
-        for v in range(start["version"], end["version"]):
-            cpath = f"{self._path}/_delta_log/{v:020d}.json"
-            commit_adds: list[dict] = []
-            removed: set[str] = set()
-            for action in _iter_actions(storage, cpath):
-                if "add" in action and action["add"].get("dataChange"):
-                    commit_adds.append(action["add"])
-                elif "remove" in action and action["remove"].get("dataChange"):
-                    removed.add(action["remove"]["path"])
-            if removed and not (self._ignore_deletes or self._ignore_changes):
-                raise ValueError(
-                    f"commit {v} of {self._path} removes data files; this "
-                    "source streams appends only — set ignoreDeletes to "
-                    "drop deletes, or ignoreChanges to re-emit rewritten "
-                    "files"
-                )
-            if removed and self._ignore_deletes and not self._ignore_changes:
-                # a commit with BOTH removes and adds is a rewrite
-                # (COW delete/update/merge), not a plain delete — same
-                # distinction Delta's streaming source draws
-                if commit_adds:
-                    raise ValueError(
-                        f"commit {v} rewrites files (update/merge/COW "
-                        "delete); ignoreDeletes covers remove-only commits "
-                        "— set ignoreChanges to re-emit rewritten files"
-                    )
-            adds.extend(commit_adds)
+        for v in range(sv, ev + 1):
+            # the end offset is exclusive: version ev is read only up to
+            # index ei, so (ev, 0) reads nothing from ev at all
+            commit_adds = (
+                self._commit_adds(storage, v) if (v < ev or ei > 0) else []
+            )
+            lo = si if v == sv else 0
+            hi = ei if v == ev else len(commit_adds)
+            adds.extend(commit_adds[lo:hi])
         files = _adds_from_pylist(adds)
         slices = bin_pack_by_size(files, self._target_bytes)
         if not slices:
