@@ -60,6 +60,12 @@ class Committer:
         filesystem committers)."""
         return []
 
+    def max_catalog_version(self) -> int | None:
+        """The catalog's ratified tip, or None for filesystem committers.
+        Required context for loading catalog-managed tables
+        (reference snapshot/builder.rs with_max_catalog_version)."""
+        return None
+
 
 class FileSystemCommitter(Committer):
     """Direct object-store commit via atomic PUT-if-absent (reference
@@ -91,6 +97,21 @@ class InMemoryCatalogCommitter(Committer):
     def __init__(self) -> None:
         self._ratified: dict[int, LogTailEntry] = {}
         self._published: set[int] = set()
+        self._registered_tip: int | None = None
+
+    def register(self, published_tip: int) -> None:
+        """Catalog registration: record the table's published tip so
+        ``max_catalog_version`` is defined before any staged commit exists
+        (a real catalog learns this when the table is enrolled)."""
+        self._registered_tip = published_tip
+
+    def max_catalog_version(self) -> int | None:
+        ratified = max(self._ratified, default=None)
+        if ratified is None:
+            return self._registered_tip
+        if self._registered_tip is None:
+            return ratified
+        return max(ratified, self._registered_tip)
 
     def commit(self, storage, table_path: str, version: int, payload: bytes) -> CommitResponse:
         if version in self._ratified:

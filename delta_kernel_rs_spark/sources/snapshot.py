@@ -87,17 +87,36 @@ class Protocol:
         }
     )
 
-    def ensure_read_supported(self) -> None:
+    #: Catalog-managed table features (reference table_features/mod.rs:
+    #: CatalogManaged / CatalogOwnedPreview). Deliberately NOT in the
+    #: default supported sets: the filesystem log of such a table is not
+    #: authoritative, so reading it without catalog context (log tail +
+    #: max catalog version) or writing it without a catalog committer
+    #: would observe/produce unratified state. Paths that DO carry the
+    #: catalog context pass these as ``extra``.
+    CATALOG_FEATURES = frozenset({"catalogManaged", "catalogOwned-preview"})
+
+    def is_catalog_managed(self) -> bool:
+        feats = set(self.reader_features or []) | set(self.writer_features or [])
+        return bool(feats & self.CATALOG_FEATURES)
+
+    def ensure_read_supported(self, extra: frozenset = frozenset()) -> None:
         if self.min_reader_version > 3:
             raise InvalidLogError(
                 f"unsupported minReaderVersion {self.min_reader_version}"
             )
         if self.min_reader_version == 3:
-            unsupported = set(self.reader_features or []) - self.SUPPORTED_READER_FEATURES
+            unsupported = (
+                set(self.reader_features or [])
+                - self.SUPPORTED_READER_FEATURES
+                - extra
+            )
             if unsupported:
                 raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
 
-    def ensure_write_supported(self, supported: frozenset | None = None) -> None:
+    def ensure_write_supported(
+        self, supported: frozenset | None = None, extra: frozenset = frozenset()
+    ) -> None:
         """Refuse to write when the table requires enforcement this writer
         does not implement (reference: the kernel fails writes on unknown
         writerFeatures rather than landing unenforced data). ``supported``
@@ -110,7 +129,7 @@ class Protocol:
                 f"unsupported minWriterVersion {self.min_writer_version}"
             )
         if self.min_writer_version == 7:
-            unsupported = set(self.writer_features or []) - sup
+            unsupported = set(self.writer_features or []) - sup - extra
             if unsupported:
                 raise InvalidLogError(
                     f"unsupported writer features: {sorted(unsupported)}"
@@ -185,11 +204,19 @@ def _checkpoint_pm(checkpoint_parts: list[str]) -> tuple[dict | None, dict | Non
 class Snapshot:
     """Consistent view of table ``table_path`` at ``log_segment.version``."""
 
-    def __init__(self, spark, table_path: str, log_segment: LogSegment, storage=None):
+    def __init__(
+        self,
+        spark,
+        table_path: str,
+        log_segment: LogSegment,
+        storage=None,
+        max_catalog_version: int | None = None,
+    ):
         self.spark = spark
         self.table_path = table_path.rstrip("/")
         self.log_segment = log_segment
         self.storage = storage or storage_for(spark, table_path)
+        self.max_catalog_version = max_catalog_version
         self._resolve_protocol_metadata()
 
     # -- construction -------------------------------------------------
@@ -199,14 +226,56 @@ class Snapshot:
         table_path: str,
         version: int | None = None,
         log_tail: list | None = None,
+        max_catalog_version: int | None = None,
     ) -> "Snapshot":
         """``log_tail``: catalog-provided staged commits (LogTailEntry list)
-        appended over the listing — reference snapshot/builder.rs:149."""
+        appended over the listing — reference snapshot/builder.rs:149.
+        ``max_catalog_version``: the catalog's ratified tip — REQUIRED for
+        catalog-managed tables (their filesystem log alone is not
+        authoritative) and forbidden otherwise; validation mirrors
+        snapshot/builder.rs:326-397 (validate_catalog_managed_build_*)."""
+        tail = list(log_tail or [])
+        for a, b in zip(tail, tail[1:]):
+            if a.version + 1 != b.version:
+                raise InvalidLogError(
+                    f"log tail versions not contiguous: {a.version} -> {b.version}"
+                )
+        has_staged = any("_staged_commits/" in e.path for e in tail)
+        if has_staged and max_catalog_version is None:
+            raise InvalidLogError(
+                "max_catalog_version is required when the log tail carries "
+                "staged commits"
+            )
+        if version is not None and max_catalog_version is not None:
+            if version > max_catalog_version:
+                raise InvalidLogError(
+                    f"requested version {version} exceeds max catalog "
+                    f"version {max_catalog_version}"
+                )
+        if max_catalog_version is not None and tail:
+            last = tail[-1].version
+            if version is not None:
+                if last < version:
+                    raise InvalidLogError(
+                        f"log tail ends at {last}, below requested version "
+                        f"{version}"
+                    )
+            elif last != max_catalog_version:
+                raise InvalidLogError(
+                    f"log tail ends at {last}, not at max catalog version "
+                    f"{max_catalog_version}"
+                )
         storage = storage_for(spark, table_path)
         segment = build_log_segment(
             storage, table_path, at_version=version, log_tail=log_tail
         )
-        return Snapshot(spark, table_path, segment, storage)
+        return Snapshot(
+            spark,
+            table_path,
+            segment,
+            storage,
+            max_catalog_version=max_catalog_version,
+        )
 
     @property
     def version(self) -> int:
@@ -251,7 +320,22 @@ class Snapshot:
             reader_features=protocol_dict.get("readerFeatures") or [],
             writer_features=protocol_dict.get("writerFeatures") or [],
         )
-        self.protocol.ensure_read_supported()
+        # catalog-managed ⟺ catalog context supplied (builder.rs:397-420):
+        # loading such a table by filesystem listing alone can miss ratified
+        # commits, and passing catalog context for a normal table is a bug.
+        catalog_backed = self.max_catalog_version is not None
+        if self.protocol.is_catalog_managed() and not catalog_backed:
+            raise InvalidLogError(
+                "catalog-managed table: load it through the catalog "
+                "(Snapshot.create(..., log_tail=..., max_catalog_version=...))"
+            )
+        if catalog_backed and not self.protocol.is_catalog_managed():
+            raise InvalidLogError(
+                "max_catalog_version set for a non-catalog-managed table"
+            )
+        self.protocol.ensure_read_supported(
+            extra=Protocol.CATALOG_FEATURES if catalog_backed else frozenset()
+        )
         self.metadata = TableMetadata(
             id=metadata_dict.get("id", ""),
             schema_string=metadata_dict["schemaString"],

@@ -157,8 +157,14 @@ class Transaction:
         if read_snapshot is not None:
             # A table written by another engine may require enforcement this
             # writer lacks (reference: kernel refuses writes on unknown
-            # writerFeatures rather than landing unenforced data).
-            read_snapshot.protocol.ensure_write_supported()
+            # writerFeatures rather than landing unenforced data). The
+            # catalog features pass here — the snapshot's own gating proved
+            # the catalog context — but commit() still requires a committer.
+            from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+            read_snapshot.protocol.ensure_write_supported(
+                extra=Protocol.CATALOG_FEATURES
+            )
         self.storage = storage_for(spark, table_path)
         self._staged_df: DataFrame | None = None
         #: False for file-layout-only rewrites (OPTIMIZE / DV purge): CDF
@@ -523,7 +529,13 @@ class Transaction:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": to_schema_string(self.schema),
                 "partitionColumns": self.partition_columns,
-                "configuration": self.configuration,
+                # delta.feature.* enablement keys materialize into the
+                # protocol's feature lists, not the table configuration
+                "configuration": {
+                    k: v
+                    for k, v in self.configuration.items()
+                    if not k.startswith("delta.feature.")
+                },
                 "createdTime": prior.created_time if prior is not None else _now_ms(),
             }
         }
@@ -558,6 +570,29 @@ class Transaction:
             writer_features.add("columnMapping")
         if min_r >= 3 and self._cm_mode() != "none":
             reader_features.add("columnMapping")
+        # explicit opt-in via the standard enablement property
+        # ``delta.feature.<name> = supported`` (how e.g. catalogManaged is
+        # enabled at create; reference table_features feature enablement)
+        for key, val in self.configuration.items():
+            if not key.startswith("delta.feature."):
+                continue
+            if str(val).strip().lower() != "supported":
+                raise ValueError(f"{key}: only 'supported' is accepted")
+            feat = key[len("delta.feature.") :]
+            from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+            known = (
+                Protocol.SUPPORTED_WRITER_FEATURES
+                | Protocol.SUPPORTED_READER_FEATURES
+                | Protocol.CATALOG_FEATURES
+            )
+            if feat not in known:
+                raise ValueError(f"unknown table feature: {feat}")
+            min_w = 7
+            writer_features.add(feat)
+            if feat in Protocol.SUPPORTED_READER_FEATURES | Protocol.CATALOG_FEATURES:
+                min_r = 3
+                reader_features.add(feat)
         proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
         if min_r >= 3:
             proto["readerFeatures"] = sorted(reader_features)
@@ -769,6 +804,16 @@ class Transaction:
                 actions.append(self._assign_row_ids(adds, hwm_snapshot, version))
             actions.extend(adds)
             payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
+            if (
+                self.committer is None
+                and self.read_snapshot is not None
+                and self.read_snapshot.protocol.is_catalog_managed()
+            ):
+                raise ValueError(
+                    "catalog-managed table: commits must go through the "
+                    "catalog's committer (Transaction.with_committer) — a "
+                    "direct filesystem PUT would bypass ratification"
+                )
             try:
                 if self.committer is not None:
                     self.committer.commit(self.storage, self.table_path, version, payload)
@@ -871,7 +916,23 @@ class Transaction:
         from delta_kernel_rs_spark.sources.snapshot import Snapshot
 
         tail = self.committer.log_tail() if self.committer is not None else None
-        latest = Snapshot.create(self.spark, self.table_path, log_tail=tail or None)
+        # catalog context only applies to genuinely catalog-managed tables
+        # (the committer seam also works as plain staging on normal tables)
+        is_cm = (
+            self.read_snapshot is not None
+            and self.read_snapshot.protocol.is_catalog_managed()
+        )
+        mcv = (
+            self.committer.max_catalog_version()
+            if (self.committer is not None and is_cm)
+            else None
+        )
+        latest = Snapshot.create(
+            self.spark,
+            self.table_path,
+            log_tail=tail or None,
+            max_catalog_version=mcv,
+        )
         if self.read_snapshot is not None:
             before = self.read_snapshot.metadata
             after = latest.metadata
