@@ -477,11 +477,17 @@ def simhash_neardup_pairs(
     often (billions of docs), widen the fingerprint (128-bit SimHash, same
     construction) rather than shrinking k — the plan shape is unchanged.
     """
+    from pyspark.storagelevel import StorageLevel
+
     n_bands = max_hamming + 1
     if 64 % n_bands:
         raise ValueError(f"max_hamming+1 must divide 64, got {n_bands}")
     width = 64 // n_bands
-    fp = simhash64(df, id_col=id_col, text_col=text_col)
+    # the fingerprint aggregation (explode + 64-column groupBy) feeds BOTH
+    # sides of the band self-join; persist it spillably so it runs once
+    fp = simhash64(df, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def band(j: int) -> Column:
         # bands 0.. over s1 then s2; each half contributes 32/width bands

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
+
 #: Marker-word lists for the n-gram/stopword language-ID heuristic.
 #: Deliberately tiny and deterministic; real deployments would extend the
 #: lists, the argmax machinery is what matters.
@@ -177,7 +179,7 @@ def repetition_signals(
     DuckDB oracle's ``ORDER BY c DESC, g DESC`` choice.
     """
     ws = F.split(F.col(text_col), " ")
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars_t"),
         ws.alias("ws"),
@@ -262,7 +264,7 @@ def chunk_documents(
         raise ValueError("window and stride must be >= 1")
     ws = F.split(F.col(text_col), " ")
     starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col),
         ws.alias("ws"),
         F.size(ws).alias("doc_tokens"),
@@ -298,7 +300,7 @@ def tfidf_top_terms(
     so each doc materializes <= top_k rows on both sides of the final
     shuffle.
     """
-    words = df.select(
+    words = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("doc_len"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),

@@ -620,20 +620,22 @@ def p17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline. explode → one count shuffle (map-side partial
     aggregation) → global top-k; ties break on the bigram string so the
     result is a pure function of the corpus."""
-    df = load_table(spark, sf_dir, "documents")
+    from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     ws = "split(text, ' ')"
-    # guard: sequence(1, 0) yields [1, 0] (negative default step) and
-    # element_at(_, 0) raises — single-word docs must contribute an empty
-    # array (explode then drops them), matching DuckDB's empty range(1,1)
+    # zip_with over the two shifted slices pairs adjacent words in ONE
+    # array pass — never element_at(split(...), i) inside a lambda, which
+    # re-splits the text per element (O(n²) per document). A single-word
+    # doc yields an empty zip (slice length 0), matching DuckDB's empty
+    # range(1, 1).
     bigrams = df.select(
         F.explode(
-            F.when(
-                F.expr(f"size({ws}) >= 2"),
-                F.expr(
-                    f"transform(sequence(1, size({ws}) - 1), "
-                    f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+            F.expr(
+                f"zip_with(slice({ws}, 1, size({ws}) - 1), "
+                f"slice({ws}, 2, size({ws}) - 1), "
+                f"(a, b) -> concat(a, ' ', b))"
+            )
         ).alias("bigram")
     )
     return (
