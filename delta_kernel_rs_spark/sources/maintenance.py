@@ -36,7 +36,59 @@ def _check_supported(snap) -> None:
         )
 
 
-def _rewrite_files(table, snap, files, operation: str, target_bytes: int) -> int:
+def _zorder_key(df, cols: list[str], bits: int = 8):
+    """Bit-interleaved Z-order key over quantile-binned column values.
+
+    Each column is binned into 2^bits rank buckets by SAMPLED quantile
+    boundaries (``approxQuantile`` — one lightweight job per column, the
+    driver holds only the 2^bits-1 boundary literals), then the bin bits
+    interleave round-robin into one integer key. No global window/sort —
+    the layout shuffle is a plain range partitioning on the key, which is
+    the property that keeps Z-ORDER viable on a 100 TB table: sampling,
+    binning and interleaving are all map-side.
+
+    NULL orders first (bin 0). Boundary comparison is a codegen'd fold
+    over the boundary array literal — O(2^bits) per row, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bin_cols = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, 0.001)
+        arr = ", ".join(repr(float(b)) for b in bounds)
+        # lambda variable names must never collide with table column
+        # names — a column named `b`/`acc` would be shadowed inside the
+        # lambda and the bin would collapse to a constant
+        bin_cols.append(
+            F.expr(
+                f"aggregate(array({arr}), 0, (__zacc, __zb) -> "
+                f"__zacc + (CASE WHEN CAST({c} AS DOUBLE) >= __zb THEN 1 ELSE 0 END))"
+            )
+        )
+    terms = []
+    for j in range(bits):
+        for i, bc in enumerate(reversed(bin_cols)):
+            shift = j * len(cols) + i
+            terms.append(
+                (F.shiftright(bc, j).bitwiseAND(F.lit(1)).cast("long"))
+                * F.lit(1 << shift).cast("long")
+            )
+    key = terms[0]
+    for t in terms[1:]:
+        key = key + t
+    return key
+
+
+def _rewrite_files(
+    table,
+    snap,
+    files,
+    operation: str,
+    target_bytes: int,
+    zorder_by: list[str] | None = None,
+) -> int:
     """Rewrite ``files`` into ~target-sized files; dataChange=false."""
     scan = snap.scan()
     df, _ = _candidate_df_with_lineage(scan, files=files)
@@ -44,7 +96,18 @@ def _rewrite_files(table, snap, files, operation: str, target_bytes: int) -> int
     total = sum(f.size or 0 for f in files)
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     pcols = snap.metadata.partition_columns
-    if snap.clustering_columns():
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        # multi-dimensional clustering: contiguous z-ranges per output
+        # file give every z-ordered column tight min/max file stats
+        kept = (
+            kept.withColumn("__zkey", _zorder_key(kept, zorder_by))
+            .repartitionByRange(int(n_out), F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif snap.clustering_columns():
         pass  # the transaction's clustered layout shuffle re-clusters
     elif pcols:
         from pyspark.sql import functions as F
@@ -77,14 +140,39 @@ def optimize(
     table,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     small_file_threshold: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Bin-pack small files into ~``target_file_size`` outputs, per
     partition. Only partitions holding 2+ small files are rewritten; the
     rewrite also drops those files' deletion vectors (a compaction is a
     purge for the files it touches). Returns the committed version (the
-    read version when nothing qualifies)."""
+    read version when nothing qualifies).
+
+    ``zorder_by``: OPTIMIZE ... ZORDER BY — rewrite EVERY data file,
+    laying rows out along the interleaved-bit curve over the given
+    columns so every listed column gets tight per-file min/max stats
+    (multi-dimensional data skipping; delta-spark's Z-ORDER semantics).
+    Exclusive with liquid-clustered tables, which own their layout."""
     snap = table.snapshot()
     _check_supported(snap)
+    if zorder_by:
+        if snap.clustering_columns():
+            raise ValueError(
+                "table is liquid-clustered; its layout is maintained by "
+                "delta.clustering — ZORDER BY does not apply"
+            )
+        missing = [c for c in zorder_by if c not in snap.schema.fieldNames()]
+        if missing:
+            raise ValueError(f"zorder_by columns not in schema: {missing}")
+        in_parts = [c for c in zorder_by if c in snap.metadata.partition_columns]
+        if in_parts:
+            raise ValueError(f"zorder_by columns are partition columns: {in_parts}")
+        files = snap.scan().files()
+        if not files:
+            return snap.version
+        return _rewrite_files(
+            table, snap, files, "OPTIMIZE", target_file_size, zorder_by=zorder_by
+        )
     threshold = small_file_threshold if small_file_threshold is not None else target_file_size // 2
     files = snap.scan().files()
     by_part: dict[tuple, list] = {}

@@ -287,7 +287,9 @@ class DeltaTable:
     # -- maintenance ---------------------------------------------------------
     def optimize(self, target_file_size: int | None = None, **kw) -> int:
         """Compact small files (dataChange=false rewrite; see
-        sources/maintenance.py)."""
+        sources/maintenance.py). ``zorder_by=[cols]`` rewrites the whole
+        table along the interleaved-bit curve so every listed column gets
+        tight per-file min/max stats (OPTIMIZE ... ZORDER BY)."""
         from delta_kernel_rs_spark.sources.maintenance import (
             DEFAULT_TARGET_FILE_SIZE,
             optimize,

@@ -225,3 +225,38 @@ def test_cleanup_old_time_travel_gone(spark, tmp_path):
     # versions below the checkpoint are sacrificed by design
     with _pytest.raises(Exception):
         t.snapshot(version=0).scan().to_df().collect()
+
+
+def test_optimize_zorder_multi_column_skipping(spark, tmp_path):
+    """ZORDER BY (a, b): after the rewrite a point-range predicate on
+    EITHER column prunes files via min/max stats — the property a linear
+    sort can only deliver for its leading column."""
+    path = str(tmp_path / "t")
+    # a and b are independent: a linear layout on one leaves the other's
+    # per-file ranges spanning the whole domain
+    df = spark.range(4000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 2654435761) % 4000).alias("b"),
+    )
+    t = DeltaTable.create(spark, path, df=df.repartition(8))
+    before_rows = sorted(r.a for r in t.to_df().collect())
+
+    v = t.optimize(zorder_by=["a", "b"], target_file_size=6_000)
+    assert v == t.snapshot().version
+    assert sorted(r.a for r in t.to_df().collect()) == before_rows
+
+    snap = t.snapshot()
+    n_files = len(snap.scan().files())
+    assert n_files >= 4  # enough output files for pruning to be visible
+    # k contiguous z-ranges pin ~log2(k) leading interleaved bits, so each
+    # column's per-file range is a binary subdivision: a half-domain
+    # predicate must prune on BOTH columns (a linear sort only prunes its
+    # leading column)
+    pruned_a = len(snap.scan(predicate="a < 1500").files())
+    pruned_b = len(snap.scan(predicate="b < 1500").files())
+    assert pruned_a < n_files
+    assert pruned_b < n_files
+
+    # ZORDER on a liquid-clustered or partition column is refused
+    with pytest.raises(ValueError, match="not in schema"):
+        t.optimize(zorder_by=["nope"])
