@@ -231,6 +231,125 @@ class DeltaTable:
         self.maybe_write_crc(version)
         return version
 
+    def restore(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
+        """RESTORE TABLE to an earlier version: one commit that re-adds the
+        target version's files missing from the current snapshot and
+        removes current files absent from the target (matching by (path,
+        DV) identity — a file whose deletion vector changed is restored by
+        a remove+add swap). Data files still present on storage are reused,
+        never rewritten, so the commit is O(changed files); time travel
+        BELOW the restored version keeps working, and CDF/streaming
+        consumers see the restore as ordinary dataChange add/removes
+        (delta-spark RESTORE semantics; the reference kernel exposes the
+        same building blocks via its transaction remove+add actions).
+
+        Schema and table configuration are restored too: a restore across
+        a schema change re-commits the target's metaData.
+        """
+        import time as _time
+
+        cur = self.snapshot()
+        tgt = self.snapshot(version=version, timestamp_ms=timestamp_ms)
+        if tgt.version == cur.version:
+            return cur.version
+
+        cols = [
+            "file_path",
+            "size",
+            "stats",
+            "partition_values",
+            "deletion_vector",
+            "base_row_id",
+            "default_row_commit_version",
+        ]
+
+        def rows_by_key(snap):
+            out = {}
+            for r in snap.scan().scan_files_df().select(*cols).collect():
+                dv = r["deletion_vector"]
+                k = (
+                    r["file_path"],
+                    dv["storageType"] if dv else None,
+                    dv["pathOrInlineDv"] if dv else None,
+                    dv["offset"] if dv else None,
+                )
+                out[k] = r
+            return out
+
+        cur_files = rows_by_key(cur)
+        tgt_files = rows_by_key(tgt)
+        now = int(_time.time() * 1000)
+
+        def dv_dict(dv):
+            return {k: v for k, v in dv.asDict().items() if v is not None} if dv else None
+
+        actions: list[dict] = []
+        for k, r in cur_files.items():
+            if k not in tgt_files:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": self._rel(r["file_path"]),
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "extendedFileMetadata": True,
+                            "partitionValues": dict(r["partition_values"] or {}),
+                            "size": r["size"],
+                            "deletionVector": dv_dict(r["deletion_vector"]),
+                        }
+                    }
+                )
+        missing_on_disk: list[str] = []
+        for k, r in tgt_files.items():
+            if k in cur_files:
+                continue
+            rel = self._rel(r["file_path"])
+            try:
+                self.storage.stat(r["file_path"])
+            except OSError:
+                missing_on_disk.append(rel)
+                continue
+            add = {
+                "path": rel,
+                "partitionValues": dict(r["partition_values"] or {}),
+                "size": r["size"],
+                "modificationTime": now,
+                "dataChange": True,
+                "stats": r["stats"],
+                "deletionVector": dv_dict(r["deletion_vector"]),
+                "baseRowId": r["base_row_id"],
+                "defaultRowCommitVersion": r["default_row_commit_version"],
+            }
+            actions.append({"add": {k2: v for k2, v in add.items() if v is not None}})
+        if missing_on_disk:
+            raise ValueError(
+                f"cannot restore to version {tgt.version}: {len(missing_on_disk)} "
+                f"data file(s) were vacuumed (e.g. {missing_on_disk[0]!r})"
+            )
+        txn = Transaction(
+            self.spark,
+            self.path,
+            operation="RESTORE",
+            read_snapshot=cur,
+            schema=tgt.schema,
+            configuration=dict(tgt.metadata.configuration),
+            partition_columns=list(tgt.metadata.partition_columns),
+        )
+        txn.add_actions(actions)
+        if (
+            tgt.metadata.schema_string != cur.metadata.schema_string
+            or tgt.metadata.configuration != cur.metadata.configuration
+        ):
+            txn.with_updated_metadata()
+        v = txn.commit()
+        self.maybe_write_crc(v)
+        return v
+
+    def _rel(self, abs_path: str) -> str:
+        p = abs_path
+        root = self.path.rstrip("/") + "/"
+        return p[len(root):] if p.startswith(root) else p
+
     # -- schema evolution ---------------------------------------------------
     def alter_schema(self, new_schema: T.StructType) -> int:
         """ALTER TABLE to ``new_schema`` with diff validation (reference

@@ -260,3 +260,53 @@ def test_optimize_zorder_multi_column_skipping(spark, tmp_path):
     # ZORDER on a liquid-clustered or partition column is refused
     with pytest.raises(ValueError, match="not in schema"):
         t.optimize(zorder_by=["nope"])
+
+
+def _xs(t, version=None):
+    return sorted(r.x for r in t.to_df(version=version).collect()) if version is not None else sorted(
+        r.x for r in t.to_df().collect()
+    )
+
+
+def test_restore_to_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(100).toDF("x"))        # v0
+    t.append(spark.range(100, 200).toDF("x"), auto_checkpoint=False)         # v1
+    t.delete("x % 2 = 0")                                                    # v2
+    assert len(_xs(t)) == 100
+
+    v = t.restore(version=1)                                                 # v3
+    assert v == 3
+    assert _xs(t) == list(range(200))
+    # restore is itself a versioned commit: time travel still sees v2
+    assert len(sorted(r.x for r in t.snapshot(version=2).to_df().collect())) == 100
+    # restore further back
+    t.restore(version=0)                                                     # v4
+    assert _xs(t) == list(range(100))
+    # no-op restore returns the current version without a commit
+    assert t.restore(version=t.snapshot().version) == 4
+
+
+def test_restore_reverts_schema_change(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(10).toDF("x"))         # v0
+    t.add_column("extra", T.StringType())                                    # v1
+    assert "extra" in t.snapshot().schema.fieldNames()
+    t.restore(version=0)                                                     # v2
+    assert t.snapshot().schema.fieldNames() == ["x"]
+    assert sorted(r.x for r in t.to_df().collect()) == list(range(10))
+
+
+def test_restore_with_dv_files(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(50).toDF("x"))         # v0
+    delete_with_dvs(t, "x < 10")                                             # v1 (DV on the file)
+    assert len(_xs(t)) == 40
+    t.restore(version=0)                                                     # v2: DV swap back
+    assert _xs(t) == list(range(50))
+    t.restore(version=1)                                                     # v3: forward "restore" re-applies the DV
+    assert _xs(t) == list(range(10, 50))
