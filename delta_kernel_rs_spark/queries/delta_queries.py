@@ -1,4 +1,4 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d21).
+"""Oracle-checked Delta-kernel-path queries (d01–d23).
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,
@@ -141,6 +141,14 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
         )
         t.append(_chunk(src, 4, 1))
         delete_with_dvs(t, "l_orderkey % 9 = 0")
+    elif kind == "restore":  # create, append, CoW delete, RESTORE to v1
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.append(_chunk(src, 4, 1))
+        t.delete("l_quantity > 30")
+        t.restore(version=1)
+    elif kind == "zord":  # multi-file create, then OPTIMIZE ZORDER BY
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0).repartition(8))
+        t.optimize(zorder_by=["l_orderkey", "l_partkey"], target_file_size=200_000)
     else:  # pragma: no cover - registry bug
         raise ValueError(f"unknown fixture kind {kind!r}")
 
@@ -750,5 +758,45 @@ register(
     f"""
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_returnflag LIKE 'N%' AND l_quantity <= 30
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d22 RESTORE: rollback commit re-adds the pre-delete files
+
+
+def d22_delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read after create → append → CoW delete → RESTORE to the pre-delete
+    version: the restore commit must resurrect exactly the deleted rows
+    (file-level re-add diff, sources/table.py restore)."""
+    return _fixture(spark, sf_dir, "restore").to_df()
+
+
+register(
+    "d22_delta_restore_read",
+    d22_delta_restore_read,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 <= 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d23 ZORDER: layout rewrite preserves content; stats serve the predicate
+
+
+def d23_delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate scan after OPTIMIZE ZORDER BY (l_orderkey, l_partkey):
+    the rewritten files' stats must both skip (pytest asserts the pruning)
+    and, for surviving files, filter to exactly the right rows."""
+    t = _fixture(spark, sf_dir, "zord")
+    return t.to_df(predicate="l_partkey <= 500")
+
+
+register(
+    "d23_delta_zorder_scan",
+    d23_delta_zorder_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND l_partkey <= 500
     """,
 )
