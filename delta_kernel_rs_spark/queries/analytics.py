@@ -474,3 +474,53 @@ register(
     FROM events
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q14 — gap-based sessionization: Spark's session_window aggregate (the
+# Structured-Streaming session operator, exercised here in batch). A new
+# session starts when an event is >= 30 minutes after the previous one;
+# session end = last event + gap (half-open [start, end) windows, so an
+# event landing exactly on a session's end begins a NEW session — the
+# oracle's lag/cumsum reconstruction uses >= to match).
+# ---------------------------------------------------------------------------
+def q14_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            F.col("n_events"),
+        )
+    )
+
+
+register(
+    "q14_user_sessions",
+    q14_user_sessions,
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+             AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
