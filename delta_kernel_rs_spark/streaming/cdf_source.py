@@ -115,6 +115,19 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._out_schema = schema
+        # admission control: at most N commits of changes per micro-batch
+        # (CDF change sets are per-commit, so the commit is the natural
+        # admission unit). Same cursor + Spark-authoritative floor pattern
+        # as the append source's rate limits (sources/batch_source.py):
+        # latestOffset may be called before initialOffset, and a restart
+        # re-syncs the floor from partitions()/commit() with at most one
+        # empty micro-batch, never re-emitting rows.
+        mc = opts.get("maxcommitspertrigger")
+        self._max_commits = int(mc) if mc is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self._cursor = self._start
+        self._floor = self._start
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -127,15 +140,24 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             for e in entries
             if e.path.endswith(".json") and e.path[-25:-5].isdigit()
         ]
-        return {"version": (max(versions) + 1) if versions else self._start}
+        tip = (max(versions) + 1) if versions else self._start
+        base = max(self._cursor, self._floor)
+        if self._max_commits is None:
+            self._cursor = max(base, tip)
+        else:
+            self._cursor = max(base, min(base + self._max_commits, tip))
+        return {"version": self._cursor}
 
     def commit(self, end: dict) -> None:
-        pass  # log-backed source: nothing to clean up
+        self._floor = max(self._floor, end["version"])
 
     # -- planning (driver) ----------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        sv = max(start["version"], self._floor)
+        self._floor = sv
+        self._cursor = max(self._cursor, end["version"])
         tasks: list[_CdfTask] = []
-        for v in range(start["version"], end["version"]):
+        for v in range(sv, end["version"]):
             commit_path = f"{_log_dir(self._path)}/{v:020d}.json"
             adds, removes, cdcs, ict = [], [], [], None
             for line in self._storage.read_text(commit_path).splitlines():

@@ -77,3 +77,36 @@ def test_stream_requires_cdf_enabled(spark, tmp_path):
     )
     with pytest.raises(Exception, match="change data feed"):
         q.awaitTermination(120)
+
+
+def test_cdf_stream_max_commits_per_trigger(spark, tmp_path):
+    """maxCommitsPerTrigger bounds each micro-batch's commit range, and
+    the consumed floor survives offset rewinds without re-emitting."""
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+    from delta_kernel_rs_spark.streaming.cdf_source import DeltaCdfStreamReader
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(3).toDF("x"),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    for i in range(3):
+        t.append(spark.range(3 * (i + 1), 3 * (i + 2)).toDF("x"), auto_checkpoint=False)
+    # versions 0..3 exist
+    r = DeltaCdfStreamReader(None, {"path": path, "maxcommitspertrigger": "2"})
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 4}
+    assert r.latestOffset() == {"version": 4}  # caught up
+
+    # restart at a checkpoint of version 3: the rewound reader's floor
+    # re-syncs from Spark's authoritative batch start
+    r2 = DeltaCdfStreamReader(None, {"path": path, "maxcommitspertrigger": "1"})
+    e1 = r2.latestOffset()
+    assert e1 == {"version": 1}  # rewound below the checkpoint
+    assert r2.partitions({"version": 3}, e1) == []  # nothing re-read
+    assert r2.latestOffset() == {"version": 4}  # resumes from the floor
+
+    with pytest.raises(ValueError, match="maxCommitsPerTrigger"):
+        DeltaCdfStreamReader(None, {"path": path, "maxcommitspertrigger": "0"})
