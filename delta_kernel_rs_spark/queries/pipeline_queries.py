@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p24).
+"""Oracle-checked LLM-data-pipeline queries (p01–p25).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
@@ -954,3 +954,65 @@ def _register_p24() -> None:
 
 
 _register_p24()
+
+# ---------------------------------------------------------------------------
+# p25 quantized IVF ANN (coarse quantizer + int8 fine scoring)
+
+
+def p25_embedding_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe scored on int8 codes of the normalized vectors — the 4×-
+    compressed fine-scoring path (operators/similarity.py
+    ivf_topk_quantized). Codes and scales are exact constructions, so the
+    quantized ranking is engine-reproducible."""
+    from delta_kernel_rs_spark.operators.similarity import ivf_topk_quantized
+
+    return ivf_topk_quantized(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16, k=5
+    )
+
+
+register(
+    "p25_embedding_ann_ivf_quantized",
+    p25_embedding_ann_ivf_quantized,
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    c AS (SELECT vec_id centroid_id, embedding ce, norm2 cn2 FROM n WHERE vec_id < 16),
+    sc AS (SELECT n.vec_id, n.embedding, n.norm2, centroid_id,
+                  {_dk_fold_dot("n.embedding", "ce")} / sqrt(n.norm2*cn2) ccos
+           FROM n, c),
+    asg AS (SELECT vec_id, embedding, norm2, centroid_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY ccos DESC, centroid_id) rr
+                  FROM sc)
+            WHERE rr = 1),
+    nv AS (SELECT vec_id, centroid_id,
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)/sqrt(norm2)) AS nvec
+           FROM asg),
+    q AS (SELECT vec_id, centroid_id, nvec,
+                 list_reduce(list_transform(nvec, x -> abs(x)),
+                             (acc, v) -> greatest(acc, v))
+                   / CAST(127 AS DOUBLE) AS qscale
+          FROM nv),
+    qc AS (SELECT vec_id, centroid_id, qscale,
+                  list_transform(nvec,
+                    x -> CAST(CASE WHEN qscale = 0.0 THEN 0.0
+                              ELSE least(127.0, greatest(-127.0,
+                                     floor(x/qscale + 0.5)))
+                              END AS INTEGER)) AS qcodes
+           FROM q),
+    pr AS (SELECT qq.vec_id query_id, bb.centroid_id, bb.vec_id neighbor_id,
+                  CAST(list_reduce(
+                         list_transform(range(1, len(qq.qcodes) + 1),
+                           i -> CAST(qq.qcodes[i] AS BIGINT)*bb.qcodes[i]),
+                         (acc, v) -> acc + v) AS DOUBLE)
+                    * qq.qscale * bb.qscale AS qcos
+           FROM qc qq JOIN qc bb USING (centroid_id)
+           WHERE qq.vec_id < 8 AND bb.vec_id != qq.vec_id)
+    SELECT query_id, centroid_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, qcos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, neighbor_id) rnk
+          FROM pr)
+    WHERE rnk <= 5
+    """,
+)

@@ -408,3 +408,26 @@ def test_pack_documents_next_fit(spark):
 
     with pytest.raises(ValueError):
         pack_documents(df, capacity=0)
+
+
+def test_quantized_ivf_matches_exact_ivf_mostly(spark, embeddings):
+    """int8 fine scoring loses <= 1% cosine precision on unit vectors:
+    the quantized top-1 must agree with the exact IVF top-1 for nearly
+    every query (planted near-identical neighbors are unambiguous)."""
+    from delta_kernel_rs_spark.operators.similarity import ivf_topk, ivf_topk_quantized
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(embeddings, n_centroids=8, k=1, dims=8).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk_quantized(embeddings, n_centroids=8, k=1, dims=8).collect()
+    }
+    assert set(exact) == set(quant)
+    agree = sum(1 for k in exact if exact[k] == quant[k])
+    assert agree >= len(exact) - 1  # at most one near-tie flip
+    # quantized scores stay in the valid cosine band (small overshoot from
+    # the scale product is bounded by the quantization step)
+    rows = ivf_topk_quantized(embeddings, n_centroids=8, k=3, dims=8).collect()
+    assert all(-1.02 <= r.qcos <= 1.02 for r in rows)
