@@ -135,6 +135,28 @@ def _tombstone_retention_ms(snapshot: Snapshot) -> int:
     return ms if ms is not None else DEFAULT_TOMBSTONE_RETENTION_MS
 
 
+def txn_retention_ms(configuration: dict) -> int | None:
+    """``delta.setTransactionRetentionDuration`` — None when unset: txn
+    actions never expire by default (reference table_properties/mod.rs:52,
+    snapshot/mod.rs:437 — lastUpdated-based filtering only when the
+    property is present)."""
+    raw = configuration.get("delta.setTransactionRetentionDuration")
+    return _interval_ms(raw) if raw else None
+
+
+def txn_live(txn: dict, retention_ms: int | None, now_ms: int | None = None) -> bool:
+    """A txn action survives unless retention is configured AND its
+    lastUpdated predates the cutoff. A txn WITHOUT lastUpdated never
+    expires (there is nothing to compare — the reference keeps it)."""
+    if retention_ms is None:
+        return True
+    lu = txn.get("lastUpdated")
+    if lu is None:
+        return True
+    now = now_ms if now_ms is not None else _now_ms()
+    return lu >= now - retention_ms
+
+
 def _driver_actions(snapshot: Snapshot) -> list[dict]:
     """P&M + latest txn per app + live domain metadata (driver-side scan of
     the commit tail — small by construction)."""
@@ -204,7 +226,12 @@ def _driver_actions(snapshot: Snapshot) -> list[dict]:
             ):
                 d = r.domainMetadata.asDict()
                 domains.setdefault(d["domain"], d)
-    actions.extend({"txn": t} for t in txns.values())
+    # expired set-transactions drop out of the checkpoint (reference
+    # action_reconciliation: retention-filtered at checkpoint write)
+    t_ret = txn_retention_ms(snapshot.metadata.configuration)
+    actions.extend(
+        {"txn": t} for t in txns.values() if txn_live(t, t_ret)
+    )
     actions.extend({"domainMetadata": d} for d in domains.values() if not d.get("removed"))
     return actions
 

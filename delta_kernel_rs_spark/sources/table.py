@@ -174,9 +174,15 @@ class DeltaTable:
         )
 
     def latest_txn_version(self, app_id: str) -> int | None:
-        """Reference ``get_app_id_version`` (SetTransaction replay)."""
+        """Reference ``get_app_id_version`` (SetTransaction replay),
+        filtered by ``delta.setTransactionRetentionDuration`` + lastUpdated
+        (reference snapshot/mod.rs:437: an expired txn entry reads as
+        absent, so a restarting writer treats the app id as new)."""
+        from delta_kernel_rs_spark.sources.checkpoint import txn_live, txn_retention_ms
+
         snap = self.snapshot()
         seg = snap.log_segment
+        retention = txn_retention_ms(snap.metadata.configuration)
         best: int | None = None
         for commit in seg.commit_files:
             for line in self.storage.read_text(commit.path).splitlines():
@@ -187,7 +193,7 @@ class DeltaTable:
                 except ValueError:
                     continue
                 txn = action.get("txn")
-                if txn and txn.get("appId") == app_id:
+                if txn and txn.get("appId") == app_id and txn_live(txn, retention):
                     v = txn.get("version")
                     if v is not None and (best is None or v > best):
                         best = v
@@ -196,11 +202,14 @@ class DeltaTable:
             if "txn" in df.columns:
                 rows = (
                     df.filter(F.col("txn.appId") == app_id)
-                    .agg(F.max("txn.version").alias("v"))
+                    .select("txn")
                     .collect()
                 )
-                if rows and rows[0].v is not None:
-                    best = rows[0].v
+                for r in rows:
+                    t = r.txn.asDict()
+                    if txn_live(t, retention) and t.get("version") is not None:
+                        if best is None or t["version"] > best:
+                            best = t["version"]
         return best
 
     def upsert(self, source_df: DataFrame, keys: list[str]) -> int:

@@ -290,3 +290,67 @@ def test_empty_table_scan(spark, orders, tmp_path):
     t = DeltaTable.create(spark, path, schema=orders.schema)
     assert t.to_df().count() == 0
     assert t.to_df().schema.fieldNames() == orders.schema.fieldNames()
+
+
+def test_set_transaction_retention(spark, tmp_path):
+    """delta.setTransactionRetentionDuration expires txn entries by
+    lastUpdated: an expired app id reads as absent (so idempotent writers
+    restart cleanly) and drops out of new checkpoints."""
+    import json
+    import os
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(5).toDF("x"),
+        properties={"delta.setTransactionRetentionDuration": "interval 1 hours"},
+    )
+    assert t.append_with_txn(spark.range(5, 10).toDF("x"), "job-a", 7) is not None
+    assert t.latest_txn_version("job-a") == 7
+
+    # age the txn action by rewriting its lastUpdated 2h into the past
+    log = os.path.join(path, "_delta_log", "00000000000000000001.json")
+    lines = open(log).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "txn" in a:
+            a["txn"]["lastUpdated"] -= 2 * 3600 * 1000
+        out.append(json.dumps(a))
+    open(log, "w").write("\n".join(out) + "\n")
+
+    assert t.latest_txn_version("job-a") is None  # expired -> absent
+    # and a fresh checkpoint no longer carries it
+    t.checkpoint()
+    import pyarrow.parquet as pq
+
+    ck = [
+        os.path.join(path, "_delta_log", n)
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+        if n.endswith(".checkpoint.parquet")
+    ]
+    tbl = pq.read_table(ck[0])
+    if "txn" in tbl.column_names:
+        assert all(v is None for v in tbl.column("txn").to_pylist())
+
+    # a txn without lastUpdated never expires
+    t2 = DeltaTable.create(
+        spark,
+        str(tmp_path / "u"),
+        df=spark.range(2).toDF("x"),
+        properties={"delta.setTransactionRetentionDuration": "interval 1 hours"},
+    )
+    t2.append_with_txn(spark.range(2, 4).toDF("x"), "job-b", 1)
+    log2 = os.path.join(t2.path, "_delta_log", "00000000000000000001.json")
+    lines = open(log2).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "txn" in a:
+            a["txn"].pop("lastUpdated", None)
+        out.append(json.dumps(a))
+    open(log2, "w").write("\n".join(out) + "\n")
+    assert t2.latest_txn_version("job-b") == 1
