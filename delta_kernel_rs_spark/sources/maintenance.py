@@ -164,6 +164,22 @@ def optimize(
         missing = [c for c in zorder_by if c not in snap.schema.fieldNames()]
         if missing:
             raise ValueError(f"zorder_by columns not in schema: {missing}")
+        numeric = (
+            "byte", "short", "int", "integer", "long", "bigint",
+            "float", "double", "decimal",
+        )
+        bad = [
+            f.name
+            for f in snap.schema.fields
+            if f.name in zorder_by
+            and not f.dataType.simpleString().startswith(numeric)
+        ]
+        if bad:
+            raise ValueError(
+                f"zorder_by supports numeric columns only (quantile "
+                f"binning); non-numeric: {bad} — for strings, cluster on a "
+                "numeric surrogate (e.g. a 64-bit hash or dictionary code)"
+            )
         in_parts = [c for c in zorder_by if c in snap.metadata.partition_columns]
         if in_parts:
             raise ValueError(f"zorder_by columns are partition columns: {in_parts}")
