@@ -533,3 +533,50 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate_against(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with an evaluation set (the GPT-3/Pile-style overlap filter).
+
+    Plan shape: both corpora explode to distinct n-grams; the eval side's
+    DISTINCT gram set joins the train side's posting list — an equi-join
+    on the gram string, never a cross product. At 100 TB the eval set is
+    tiny next to the corpus, so Catalyst broadcasts it and contamination
+    checking is map-side against the scan.
+
+    Returns one row per CONTAMINATED train doc: (id, n_hits, first_gram)
+    where n_hits counts distinct shared grams and first_gram is the
+    lexicographically smallest (deterministic evidence). Clean docs are
+    absent — callers anti-join to drop flagged docs.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        ws = F.split(F.col(text_col), " ")
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            )
+        )
+        return (
+            ensure_min_parallelism(df)
+            .filter(F.size(ws) >= n)
+            .select(F.col(id_col), F.explode(g).alias("gram"))
+        )
+
+    eval_grams = grams(eval_df).select("gram").distinct()
+    return (
+        grams(train_df)
+        .join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_hits"),
+            F.min("gram").alias("first_gram"),
+        )
+    )

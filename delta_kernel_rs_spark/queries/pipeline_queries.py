@@ -1,4 +1,4 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p25).
+"""Oracle-checked LLM-data-pipeline queries (p01–p26).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
@@ -1014,5 +1014,37 @@ register(
                                        ORDER BY qcos DESC, neighbor_id) rnk
           FROM pr)
     WHERE rnk <= 5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p26 benchmark decontamination (train/eval n-gram overlap filter)
+
+
+def p26_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs (doc_id % 10 != 0) sharing any word 8-gram with
+    the held-out eval slice (doc_id % 10 = 0) — the GPT-3/Pile overlap
+    filter (operators/dedup.py decontaminate_against)."""
+    from delta_kernel_rs_spark.operators.dedup import decontaminate_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_against(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"), n=8
+    )
+
+
+register(
+    "p26_decontamination",
+    p26_decontamination,
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    tg AS (SELECT doc_id, unnest({_dk_shingles(8)}) gram
+           FROM d WHERE doc_id % 10 != 0 AND len(ws) >= 8),
+    eg AS (SELECT DISTINCT unnest({_dk_shingles(8)}) gram
+           FROM d WHERE doc_id % 10 = 0 AND len(ws) >= 8)
+    SELECT doc_id, count(DISTINCT tg.gram) AS n_hits,
+           min(tg.gram) AS first_gram
+    FROM tg JOIN eg USING (gram)
+    GROUP BY doc_id
     """,
 )

@@ -431,3 +431,24 @@ def test_quantized_ivf_matches_exact_ivf_mostly(spark, embeddings):
     # the scale product is bounded by the quantization step)
     rows = ivf_topk_quantized(embeddings, n_centroids=8, k=3, dims=8).collect()
     assert all(-1.02 <= r.qcos <= 1.02 for r in rows)
+
+
+def test_decontaminate_against_flags_overlap(spark):
+    from delta_kernel_rs_spark.operators.dedup import decontaminate_against
+
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix words here"),
+            (2, "totally unrelated text with no overlap at all in it"),
+            (3, shared),  # exact eval fragment
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"intro {shared} outro")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in decontaminate_against(train, ev, n=8).collect()}
+    assert set(out) == {1, 3}  # doc 2 is clean and absent
+    assert out[3].n_hits == 1 and out[3].first_gram == shared
+    assert out[1].n_hits >= 1
