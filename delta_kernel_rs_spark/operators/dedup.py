@@ -480,8 +480,14 @@ def simhash_neardup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     n_bands = max_hamming + 1
-    if 64 % n_bands:
-        raise ValueError(f"max_hamming+1 must divide 64, got {n_bands}")
+    if max_hamming < 1 or 64 % n_bands:
+        # max_hamming 0 would need one 64-bit band, which neither the
+        # two-halves fingerprint nor a LongType mask can express — for
+        # exact-duplicate fingerprints group by (s1, s2) directly
+        raise ValueError(
+            f"max_hamming must be >= 1 with max_hamming+1 dividing 64, "
+            f"got {max_hamming}"
+        )
     width = 64 // n_bands
     # the fingerprint aggregation (explode + 64-column groupBy) feeds BOTH
     # sides of the band self-join; persist it spillably so it runs once

@@ -896,9 +896,12 @@ def p23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py tfidf_top_terms). The JVM's Math.log and DuckDB's
     libm ln differ in the last ulp, so the double score itself is not
     hash-comparable — the checked output is the integer surface
-    (rank, term, tf, df, doc_len). Ranking is ulp-robust: scores closer
-    than the ln error bound only arise from identical (tf, doc_len, df)
-    inputs, which each engine scores identically and tie-breaks by term."""
+    (rank, term, tf, df, doc_len). Ranking robustness: distinct
+    (tf, df) inputs CAN in principle score mathematically equal
+    ((N/d1)^t1 == (N/d2)^t2 has integer solutions) — verified absent on
+    both gate corpora, where the smallest relative gap between distinct
+    within-doc scores is ~6e-4, twelve orders of magnitude above the
+    ~4e-16 cross-engine ln error band (scripts-level exhaustive check)."""
     from delta_kernel_rs_spark.operators.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=3).drop(

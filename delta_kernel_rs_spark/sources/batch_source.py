@@ -498,16 +498,32 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
             self._start = seg.version + 1
         else:
             self._start = int(sv)
+        #: ``startingVersion=latest`` re-resolves to the CURRENT tip every
+        #: construction, so after a restart self._start may sit ABOVE the
+        #: query's checkpointed position — seeding the cursor/floor from
+        #: it would silently skip every commit that arrived while the
+        #: query was down. Such moving starts keep a None (unknown) seed:
+        #: rate limits engage only once partitions()/commit() teach the
+        #: floor from Spark's authoritative offsets (for a FRESH
+        #: latest-query the first batch is empty anyway — it starts at
+        #: the tip). Fixed starts (default 0, explicit version, resolved
+        #: timestamp) are restart-stable and seed directly, so limits
+        #: bound even the very first backlog batch.
+        fixed_start = not (sv is not None and str(sv).lower() == "latest")
         #: admission cursor: everything below it has been handed out in a
         #: latestOffset() result. Seeded at construction — Spark may call
         #: latestOffset() before initialOffset() (separate planning and
-        #: execution runner processes), so __init__ must provide it.
-        self._cursor: tuple[int, int] = (self._start, 0)
+        #: execution runner processes).
+        self._cursor: tuple[int, int] | None = (
+            (self._start, 0) if fixed_start else None
+        )
         #: Spark-authoritative consumed floor: raised by partitions()
-        #: starts and commit() ends. After a restart this snaps the
-        #: cursor forward to the checkpoint position, and partitions()
-        #: slices from it so a rewound offset log can never re-emit rows.
-        self._hwm: tuple[int, int] = (self._start, 0)
+        #: starts and commit() ends. partitions() slices from it so a
+        #: rewound offset log can never re-emit rows, and it can only
+        #: ever RISE to offsets Spark itself reported.
+        self._hwm: tuple[int, int] | None = (
+            (self._start, 0) if fixed_start else None
+        )
 
     # -- offsets ---------------------------------------------------------
     @staticmethod
@@ -565,10 +581,15 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
     def latestOffset(self) -> dict:
         storage = storage_for_uri(self._path)
         tip = self._tip(storage)
-        base = max(self._cursor, self._hwm)
-        if self._max_files is None and self._max_bytes is None:
+        known = [p for p in (self._cursor, self._hwm) if p is not None]
+        if not known or (self._max_files is None and self._max_bytes is None):
+            # unlimited — or a moving-start restart whose true position
+            # only Spark's offset log knows: read to the tip (partitions()
+            # will slice from Spark's authoritative start)
+            base = max(known) if known else (tip, 0)
             self._cursor = max(base, (tip, 0))
             return {"version": self._cursor[0], "index": self._cursor[1]}
+        base = max(known)
 
         v, idx = base
         n_files = 0
@@ -595,7 +616,8 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # a committed batch is consumed for sure: raise the floor
-        self._hwm = max(self._hwm, self._okey(end))
+        e = self._okey(end)
+        self._hwm = e if self._hwm is None else max(self._hwm, e)
         for v in [k for k in self._adds_cache if k < self._hwm[0]]:
             del self._adds_cache[v]
 
@@ -608,10 +630,13 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
         # / checkpoint). Slice from max(start, floor) so that even if an
         # out-of-sync limited latestOffset briefly rewound the offset log
         # below the checkpoint, already-emitted files are never re-read.
-        sv, si = max(self._okey(start), self._hwm)
+        s = self._okey(start)
+        sv, si = s if self._hwm is None else max(s, self._hwm)
         self._hwm = (sv, si)
         ev, ei = self._okey(end)
-        self._cursor = max(self._cursor, (ev, ei))
+        self._cursor = (
+            (ev, ei) if self._cursor is None else max(self._cursor, (ev, ei))
+        )
         adds: list[dict] = []
         for v in range(sv, ev + 1):
             # the end offset is exclusive: version ev is read only up to

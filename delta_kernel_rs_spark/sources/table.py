@@ -313,9 +313,10 @@ class DeltaTable:
             if k in cur_files:
                 continue
             rel = self._rel(r["file_path"])
-            try:
-                self.storage.stat(r["file_path"])
-            except OSError:
+            # exists() is the storage-portable probe: stat() raises
+            # backend-specific errors (Py4J on Hadoop) or returns a
+            # zero-size entry (pyarrow) for missing files
+            if not self.storage.exists(r["file_path"]):
                 missing_on_disk.append(rel)
                 continue
             add = {

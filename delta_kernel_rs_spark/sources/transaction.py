@@ -292,7 +292,26 @@ class Transaction:
 
     def with_committer(self, committer) -> "Transaction":
         """Route the atomic commit through a custom committer (catalog-
-        managed tables; reference Committer trait, committer/mod.rs:56)."""
+        managed tables; reference Committer trait, committer/mod.rs:56).
+
+        A catalog committer on a table WITHOUT the catalogManaged feature
+        is refused up front: its staged commits would be unreadable
+        (Snapshot.create requires catalog context for staged log tails,
+        and that context in turn requires the feature — builder.rs's
+        validation is intentionally two-way), which would surface later
+        as an unretryable conflict in ``_revalidate``.
+        """
+        if (
+            committer is not None
+            and committer.is_catalog_committer()
+            and self.read_snapshot is not None
+            and not self.read_snapshot.protocol.is_catalog_managed()
+        ):
+            raise ValueError(
+                "catalog committer on a non-catalog-managed table: enable "
+                "the feature first (delta.feature.catalogManaged=supported "
+                "at create, or an ALTER adding it to the protocol)"
+            )
         self.committer = committer
         return self
 
@@ -593,6 +612,15 @@ class Transaction:
             if feat in Protocol.SUPPORTED_READER_FEATURES | Protocol.CATALOG_FEATURES:
                 min_r = 3
                 reader_features.add(feat)
+        # the feature loop may have raised the protocol to r3/w7 AFTER the
+        # earlier columnMapping backfill checks ran at r2/w5 — at the
+        # table-features protocol every ACTIVE feature must be listed, so
+        # re-apply the backfill (Delta spec: legacy features become
+        # explicit once feature lists exist)
+        if min_w >= 7 and self._cm_mode() != "none":
+            writer_features.add("columnMapping")
+        if min_r >= 3 and self._cm_mode() != "none":
+            reader_features.add("columnMapping")
         proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
         if min_r >= 3:
             proto["readerFeatures"] = sorted(reader_features)
@@ -916,8 +944,10 @@ class Transaction:
         from delta_kernel_rs_spark.sources.snapshot import Snapshot
 
         tail = self.committer.log_tail() if self.committer is not None else None
-        # catalog context only applies to genuinely catalog-managed tables
-        # (the committer seam also works as plain staging on normal tables)
+        # with_committer() guarantees a catalog committer implies a
+        # catalog-managed read snapshot, so a staged tail here always
+        # carries its catalog context (is_cm re-checked for the
+        # no-read-snapshot create path, where tails cannot exist yet)
         is_cm = (
             self.read_snapshot is not None
             and self.read_snapshot.protocol.is_catalog_managed()

@@ -576,3 +576,34 @@ def test_stream_rate_limit_restart_never_duplicates(spark, tmp_path):
     parts = r.partitions(e1, e2)  # Spark passes the rewound start back
     rows = sum(len(b) for p in parts for b in r.read(p))
     assert rows == 2  # only version 2's rows — 0..7 never re-emitted
+
+
+def test_stream_latest_restart_does_not_skip_backlog(spark, tmp_path):
+    """startingVersion=latest re-resolves to the CURRENT tip at every
+    construction; after a restart the reader must still honor Spark's
+    checkpointed start — commits landed while the query was down are
+    delivered, never silently skipped by the re-seeded floor."""
+    from delta_kernel_rs_spark.sources.batch_source import DeltaKernelStreamReader
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(4).toDF("x").repartition(2))
+    # first run consumed through version 1 (checkpoint start = (1, 0));
+    # versions 1..3 arrive while the query is down
+    t.append(spark.range(4, 8).toDF("x").repartition(2))
+    t.append(spark.range(8, 10).toDF("x"))
+    t.append(spark.range(10, 12).toDF("x"))
+
+    r = DeltaKernelStreamReader(
+        None, {"path": path, "startingversion": "latest", "maxfilespertrigger": "2"}
+    )
+    # restart: Spark asks for the latest offset first — unknown position,
+    # so the reader reads to the tip and lets Spark's start do the slicing
+    e = r.latestOffset()
+    assert e == {"version": 4, "index": 0}
+    parts = r.partitions({"version": 1, "index": 0}, e)
+    rows = sum(len(b) for p in parts for b in r.read(p))
+    assert rows == 8  # x = 4..11 — the whole backlog, nothing skipped
+    # afterwards the floor is known and rate limits engage again:
+    # the next commit (version 4, four files) admits only two per trigger
+    t.append(spark.range(12, 16).toDF("x").repartition(4))
+    assert r.latestOffset() == {"version": 4, "index": 2}

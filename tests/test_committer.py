@@ -200,3 +200,39 @@ def test_unknown_feature_property_refused(spark, tmp_path):
     assert "delta.feature.catalogManaged" not in snap.metadata.configuration
     assert "catalogManaged" in (snap.protocol.writer_features or [])
     assert "catalogManaged" in (snap.protocol.reader_features or [])
+
+
+def test_catalog_committer_refused_on_plain_table(spark, tmp_path):
+    """Staged commits need catalog context, and that context needs the
+    feature — a catalog committer on a plain table must fail fast, not
+    produce commits that later read back as invalid."""
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(3).toDF("x"))
+    txn = Transaction(
+        spark, t.path, operation="WRITE", read_snapshot=t.snapshot()
+    ).write_data(spark.range(3, 6).toDF("x"))
+    with pytest.raises(ValueError, match="non-catalog-managed"):
+        txn.with_committer(InMemoryCatalogCommitter())
+    # a filesystem committer is always fine
+    assert txn.with_committer(FileSystemCommitter()).commit() == 1
+
+
+def test_feature_enablement_lists_active_legacy_features(spark, tmp_path):
+    """A delta.feature.* opt-in that raises the protocol to r3/w7 must
+    also list every ACTIVE legacy feature (Delta spec: at the
+    table-features protocol, nothing is implicit) — columnMapping here."""
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df=spark.range(3).toDF("x"),
+        properties={
+            "delta.columnMapping.mode": "name",
+            "delta.feature.catalogManaged": "supported",
+        },
+    )
+    cat = InMemoryCatalogCommitter()
+    cat.register(0)
+    snap = _cm_snapshot(spark, t, cat)
+    assert "columnMapping" in (snap.protocol.writer_features or [])
+    assert "columnMapping" in (snap.protocol.reader_features or [])
+    assert snap.protocol.min_reader_version == 3
+    assert snap.protocol.min_writer_version == 7

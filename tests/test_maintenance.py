@@ -310,3 +310,20 @@ def test_restore_with_dv_files(spark, tmp_path):
     assert _xs(t) == list(range(50))
     t.restore(version=1)                                                     # v3: forward "restore" re-applies the DV
     assert _xs(t) == list(range(10, 50))
+
+
+def test_restore_refuses_vacuumed_files(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(spark, path, df=spark.range(20).toDF("x"))   # v0
+    t.delete("x >= 10")                                                # v1 rewrite
+    # physically remove a v0 file that v1 no longer references
+    live = {f.path for f in t.snapshot().scan().files()}
+    import glob
+
+    gone = [p for p in glob.glob(os.path.join(path, "*.parquet")) if p not in live]
+    assert gone
+    os.remove(gone[0])
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(version=0)
