@@ -17,35 +17,69 @@ centroid/block bucketing for embeddings. Nothing does an unbucketed
 all-pairs crossJoin.
 """
 
+from delta_kernel_rs_spark.operators.cluster import (
+    connected_components,
+    neardup_clusters,
+)
 from delta_kernel_rs_spark.operators.dedup import (
+    decontaminate_against,
     exact_duplicate_groups,
     jaccard_pairs_exact,
     minhash_band_signatures,
     neardup_pairs_minhash,
     simhash,
+    simhash64,
+    simhash_neardup_pairs,
     with_word_shingles,
 )
+from delta_kernel_rs_spark.operators.packing import pack_documents
 from delta_kernel_rs_spark.operators.multimodal import (
     binary_meta,
     decode_image,
     with_binary_payload,
+)
+from delta_kernel_rs_spark.operators.sampling import (
+    cap_per_group,
+    deterministic_sample,
 )
 from delta_kernel_rs_spark.operators.similarity import (
     cosine_expr,
     cosine_topk,
     embedding_neardup_blocked,
     ivf_topk,
+    ivf_topk_quantized,
+    quantize_int8,
     random_hyperplane_buckets,
 )
+from delta_kernel_rs_spark.operators.sketch import kmv_distinct_estimate
 from delta_kernel_rs_spark.operators.text import (
+    chunk_documents,
     fingerprint_expr,
     lang_scores,
+    pii_columns,
     quality_columns,
+    repetition_signals,
+    tfidf_top_terms,
     token_stat_columns,
 )
 
 __all__ = [
     "binary_meta",
+    "cap_per_group",
+    "chunk_documents",
+    "connected_components",
+    "decontaminate_against",
+    "deterministic_sample",
+    "ivf_topk_quantized",
+    "kmv_distinct_estimate",
+    "neardup_clusters",
+    "pack_documents",
+    "pii_columns",
+    "quantize_int8",
+    "repetition_signals",
+    "simhash64",
+    "simhash_neardup_pairs",
+    "tfidf_top_terms",
     "cosine_expr",
     "cosine_topk",
     "decode_image",

@@ -607,3 +607,56 @@ def test_stream_latest_restart_does_not_skip_backlog(spark, tmp_path):
     # the next commit (version 4, four files) admits only two per trigger
     t.append(spark.range(12, 16).toDF("x").repartition(4))
     assert r.latestOffset() == {"version": 4, "index": 2}
+
+
+def test_stream_windowed_agg_over_append_source(spark, tmp_path):
+    """The delta_kernel append source composes with Spark's stateful
+    streaming operators: watermark + tumbling-window counts over the
+    streamed rows equal the same aggregation computed in batch."""
+    import datetime as dt
+    import time
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i % 25, 0)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    t = DeltaTable.create(spark, path, df=df)
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, dt.datetime(2024, 1, 1, 1, i % 7, 0)) for i in range(20)],
+            "id long, ts timestamp",
+        )
+    )
+    register_batch_source(spark)
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .load()
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        expected = {
+            (r["window"]["start"], r["count"])
+            for r in t.to_df()
+            .groupBy(F.window("ts", "10 minutes"))
+            .count()
+            .collect()
+        }
+        got = set()
+        while time.time() < deadline and got != expected:
+            got = {
+                (r["window"]["start"], r["count"])
+                for r in spark.sql("SELECT * FROM win_counts").collect()
+            }
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == expected
