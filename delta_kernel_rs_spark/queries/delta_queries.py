@@ -1,4 +1,4 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d23).
+"""Oracle-checked Delta-kernel-path queries (d01–d25).
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,
@@ -149,6 +149,19 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
     elif kind == "zord":  # multi-file create, then OPTIMIZE ZORDER BY
         t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0).repartition(8))
         t.optimize(zorder_by=["l_orderkey", "l_partkey"], target_file_size=200_000)
+    elif kind == "upd":  # create, append, then UPDATE with expressions
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.append(_chunk(src, 4, 1))
+        t.update(
+            "l_quantity <= 10",
+            {"l_returnflag": "'U'", "l_extendedprice": "l_extendedprice * 2"},
+        )
+    elif kind == "repl":  # create two chunks, replaceWhere the q>40 band
+        t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
+        t.overwrite_where(
+            _chunk(src, 4, 2).filter(F.col("l_quantity") > 40),
+            "l_quantity > 40",
+        )
     else:  # pragma: no cover - registry bug
         raise ValueError(f"unknown fixture kind {kind!r}")
 
@@ -798,5 +811,56 @@ register(
     f"""
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND l_partkey <= 500
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d24 UPDATE: expression assignments over the pre-update row, targeted
+# rewrite (reference building blocks kernel/src/transaction/update.rs)
+
+
+def d24_delta_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back after UPDATE ... SET l_returnflag='U',
+    l_extendedprice=l_extendedprice*2 WHERE l_quantity <= 10 over a
+    two-commit table; files with no matching row are never rewritten."""
+    t = _fixture(spark, sf_dir, "upd")
+    return t.to_df()
+
+
+register(
+    "d24_delta_update_rewrite",
+    d24_delta_update_rewrite,
+    """
+    SELECT l_orderkey, l_partkey, l_quantity,
+           CASE WHEN l_quantity <= 10 THEN l_extendedprice * 2
+                ELSE l_extendedprice END AS l_extendedprice,
+           l_shipdate,
+           CASE WHEN l_quantity <= 10 THEN 'U' ELSE l_returnflag END
+               AS l_returnflag
+    FROM lineitem WHERE l_orderkey % 4 <= 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d25 replaceWhere: one transaction swaps the predicate band for new data
+
+
+def d25_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overwrite_where(new_chunk WHERE q>40, "l_quantity > 40"): the q>40
+    rows of the original chunk vanish, the new chunk's q>40 rows land, and
+    the q<=40 remainder of partially-matching files survives the rewrite."""
+    t = _fixture(spark, sf_dir, "repl")
+    return t.to_df()
+
+
+register(
+    "d25_delta_replace_where",
+    d25_delta_replace_where,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND l_quantity <= 40
+    UNION ALL
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 2 AND l_quantity > 40
     """,
 )

@@ -227,6 +227,30 @@ class DeltaTable:
 
         return merge(self, source_df, on, **clauses)
 
+    def update(self, predicate, assignments: dict) -> int:
+        """Row-level UPDATE by targeted file rewrite (copy-on-write):
+        ``assignments`` maps column → SQL expression over the pre-update
+        row; only files containing matching rows are rewritten. CDF tables
+        get update_preimage/update_postimage cdc rows. See
+        sources/update.py (reference kernel/src/transaction/update.rs)."""
+        from delta_kernel_rs_spark.sources.update import update_where
+
+        return update_where(self, predicate, assignments)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table's data in one transaction (schema
+        unchanged; use alter_schema for evolution)."""
+        from delta_kernel_rs_spark.sources.update import overwrite
+
+        return overwrite(self, df)
+
+    def overwrite_where(self, df: DataFrame, predicate) -> int:
+        """replaceWhere: atomically swap the rows matching ``predicate``
+        for ``df`` (every incoming row must satisfy the predicate)."""
+        from delta_kernel_rs_spark.sources.update import overwrite_where
+
+        return overwrite_where(self, df, predicate)
+
     def delete(self, predicate) -> int:
         """Row-level delete by file rewrite (copy-on-write).
 
