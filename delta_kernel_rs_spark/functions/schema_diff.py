@@ -89,3 +89,49 @@ def validate_schema_evolution(
         nf = next((f for f in new.fields if f.name == p), None)
         if of is not None and nf is not None and of.dataType != nf.dataType:
             raise SchemaEvolutionError(f"partition column {p!r} type cannot change")
+
+
+def merge_append_schema(
+    old: T.StructType, incoming: T.StructType
+) -> T.StructType:
+    """Merged table schema for a mergeSchema append (the auto-evolution
+    writers expect from Delta's ``mergeSchema`` option):
+
+    * columns in both: keep the table's field (metadata, nullability);
+      widen the type along the widening lattice when the incoming type is
+      strictly wider; incoming-narrower values cast up losslessly at write;
+      any other type change raises.
+    * incoming-only columns: appended at the end, nullable.
+    * table-only columns: kept (absent from the written files → NULL on
+      read, the standard parquet-absent-column resolution).
+
+    Matching is by (case-insensitive) column name — the incoming DataFrame
+    has no column-mapping identity; new fields get physical ids from the
+    normal ALTER path when column mapping is enabled.
+    """
+    old_by_name = {f.name.lower(): f for f in old.fields}
+    inc_by_name = {f.name.lower(): f for f in incoming.fields}
+    if len(inc_by_name) != len(incoming.fields):
+        raise SchemaEvolutionError("incoming schema has duplicate column names")
+
+    fields: list[T.StructField] = []
+    for f in old.fields:
+        inc = inc_by_name.get(f.name.lower())
+        if inc is None or inc.dataType == f.dataType:
+            fields.append(f)
+        elif is_widening(f.dataType, inc.dataType):
+            fields.append(
+                T.StructField(f.name, inc.dataType, f.nullable, f.metadata)
+            )
+        elif is_widening(inc.dataType, f.dataType):
+            fields.append(f)  # incoming is narrower: cast up at write
+        else:
+            raise SchemaEvolutionError(
+                f"column {f.name}: incoming type "
+                f"{inc.dataType.simpleString()} is incompatible with table "
+                f"type {f.dataType.simpleString()}"
+            )
+    for f in incoming.fields:
+        if f.name.lower() not in old_by_name:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)

@@ -142,19 +142,66 @@ class DeltaTable:
         return self.changes(start_v, end_v)
 
     # -- writes ------------------------------------------------------------
-    def append(self, df: DataFrame, auto_checkpoint: bool = True) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        auto_checkpoint: bool = True,
+        merge_schema: bool = False,
+    ) -> int:
+        """Append ``df``. With ``merge_schema=True`` (Delta's
+        ``mergeSchema`` writer option) new incoming columns are added to
+        the table schema and widening type changes applied, metadata
+        update and data landing in ONE commit; incompatible changes still
+        raise."""
         snap = self.snapshot()
-        if [f.name for f in df.schema.fields] != [f.name for f in snap.schema.fields]:
+        table_schema = snap.schema
+        txn = None
+        if merge_schema:
+            from delta_kernel_rs_spark.functions.schema_diff import merge_append_schema
+            from delta_kernel_rs_spark.functions.schema_codec import to_schema_string
+
+            merged = merge_append_schema(table_schema, df.schema)
+            if to_schema_string(merged) != to_schema_string(table_schema):
+                txn = self._evolution_txn(snap, merged, "WRITE")
+                table_schema = txn.schema  # post-cm-assignment field set
+        if txn is None:
+            txn = Transaction(
+                self.spark, self.path, operation="WRITE", read_snapshot=snap
+            )
+        if [f.name for f in df.schema.fields] != [f.name for f in table_schema.fields]:
             # Reorder/prune to the table schema, keeping only columns the
             # DataFrame has — absent generated/identity/default columns are
-            # filled by the transaction's column policies.
+            # filled by the transaction's column policies; other absent
+            # columns become typed NULLs (so constraint scans resolve).
             have = set(df.columns)
-            df = df.select(*[f.name for f in snap.schema.fields if f.name in have])
-        version = (
-            Transaction(self.spark, self.path, operation="WRITE", read_snapshot=snap)
-            .write_data(df)
-            .commit()
+            policy_keys = (
+                Transaction.GENERATION_EXPRESSION_KEY,
+                Transaction.CURRENT_DEFAULT_KEY,
+                Transaction.IDENTITY_START_KEY,
+                Transaction.IDENTITY_STEP_KEY,
+            )
+            cols = []
+            for f in table_schema.fields:
+                if f.name in have:
+                    cols.append(F.col(f.name))
+                elif not any(k in (f.metadata or {}) for k in policy_keys):
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            df = df.select(*cols)
+        # narrower incoming primitives cast up to the (possibly widened)
+        # table types losslessly; any other mismatch is left for the
+        # write path to reject rather than silently coerced
+        from delta_kernel_rs_spark.functions.schema_diff import is_widening
+
+        types = {f.name: f.dataType for f in table_schema.fields}
+        df = df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                if is_widening(df.schema[c].dataType, types[c])
+                else F.col(c)
+                for c in df.columns
+            ]
         )
+        version = txn.write_data(df).commit()
         self.maybe_write_crc(version)
         if auto_checkpoint:
             self.maybe_checkpoint(version)
@@ -385,14 +432,12 @@ class DeltaTable:
         return p[len(root):] if p.startswith(root) else p
 
     # -- schema evolution ---------------------------------------------------
-    def alter_schema(self, new_schema: T.StructType) -> int:
-        """ALTER TABLE to ``new_schema`` with diff validation (reference
-        kernel/src/transaction/builder/schema_evolution.rs +
-        kernel/src/schema/diff.rs). Existing files resolve missing new
-        columns to NULL and widened types via parquet type promotion."""
+    def _evolution_txn(self, snap, new_schema: T.StructType, operation: str):
+        """Validated metadata-updating transaction for ``snap.schema →
+        new_schema`` (column-mapping id assignment included); the caller
+        stages data and/or commits."""
         from delta_kernel_rs_spark.functions.schema_diff import validate_schema_evolution
 
-        snap = self.snapshot()
         cm_mode = snap.metadata.column_mapping_mode
         validate_schema_evolution(
             snap.schema, new_schema, snap.metadata.partition_columns, cm_mode
@@ -414,13 +459,21 @@ class DeltaTable:
         txn = Transaction(
             self.spark,
             self.path,
-            operation="ALTER TABLE",
+            operation=operation,
             read_snapshot=snap,
             schema=new_schema,
             partition_columns=snap.metadata.partition_columns,
             configuration=config,
         )
-        version = txn.with_updated_metadata().commit()
+        return txn.with_updated_metadata()
+
+    def alter_schema(self, new_schema: T.StructType) -> int:
+        """ALTER TABLE to ``new_schema`` with diff validation (reference
+        kernel/src/transaction/builder/schema_evolution.rs +
+        kernel/src/schema/diff.rs). Existing files resolve missing new
+        columns to NULL and widened types via parquet type promotion."""
+        snap = self.snapshot()
+        version = self._evolution_txn(snap, new_schema, "ALTER TABLE").commit()
         self.maybe_write_crc(version)
         return version
 
