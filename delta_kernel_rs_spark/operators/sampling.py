@@ -55,3 +55,45 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_thresholds(rates: dict[str, float], chars: int = 4) -> dict[str, str]:
+    """Per-group md5-hex-prefix thresholds encoding sampling rates.
+
+    A rate quantizes to ``floor(rate * 16^chars)`` buckets of the hex
+    space (4 chars = 1/65536 granularity); the comparison is plain
+    lexicographic string order on lowercase hex, which every engine
+    totals identically — that is what makes the selection reproducible
+    cross-engine, unlike rand()-based sampling."""
+    scale = 16 ** chars
+    out = {}
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+        q = min(scale, int(r * scale))
+        out[g] = "g" if q == scale else format(q, f"0{chars}x")  # 'g' > any hex
+    return out
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    chars: int = 4,
+) -> DataFrame:
+    """Training-mixture reweighting: keep each ``group_col`` value at its
+    configured rate (groups without a rate drop entirely), deterministically
+    by ``md5(key)`` prefix. Map-only — no shuffle, no join, no RNG state —
+    so the same mixture re-derives identically on any cluster layout, and
+    re-runs over a grown corpus keep previously-selected rows selected
+    (the hash, not the population, decides).
+    """
+    thr = mixture_thresholds(rates, chars)
+    mapping = F.create_map(
+        *[F.lit(x) for g in sorted(thr) for x in (g, thr[g])]
+    )
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, chars)
+        < F.coalesce(mapping[F.col(group_col)], F.lit("0" * chars))
+    )

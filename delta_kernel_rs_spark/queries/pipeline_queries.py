@@ -1051,3 +1051,38 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# p27 weighted mixture sampling (training-data mixing weights)
+
+
+def p27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture rates (keep all zh, 90% en, half de/fr, a
+    quarter es) applied as deterministic md5-prefix thresholds
+    (operators/sampling.py weighted_mixture_sample). Map-only: no
+    shuffle, no join, no RNG — the mixture re-derives identically on any
+    cluster layout and stays stable as the corpus grows."""
+    from delta_kernel_rs_spark.operators.sampling import weighted_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_mixture_sample(
+        docs,
+        "lang",
+        {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 1.0},
+        "doc_id",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+register(
+    "p27_mixture_sample",
+    p27_mixture_sample,
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN 'e666' WHEN 'de' THEN '8000'
+                    WHEN 'fr' THEN '8000' WHEN 'es' THEN '4000'
+                    WHEN 'zh' THEN 'g' ELSE '0000' END
+    """,
+)

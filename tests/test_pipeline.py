@@ -452,3 +452,30 @@ def test_decontaminate_against_flags_overlap(spark):
     assert set(out) == {1, 3}  # doc 2 is clean and absent
     assert out[3].n_hits == 1 and out[3].first_gram == shared
     assert out[1].n_hits >= 1
+
+
+def test_weighted_mixture_sample(spark):
+    from delta_kernel_rs_spark.operators.sampling import (
+        mixture_thresholds,
+        weighted_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], "k long, g string"
+    )
+    out = weighted_mixture_sample(df, "g", {"a": 1.0, "b": 0.25}, "k")
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, set()).add(r.k)
+    assert len(by_g["a"]) == 200  # rate 1.0 keeps everything
+    assert 20 <= len(by_g["b"]) <= 80  # ~25% of 200, hash-determined
+    # deterministic: same inputs, same selection
+    again = {r.k for r in weighted_mixture_sample(df, "g", {"a": 1.0, "b": 0.25}, "k").collect() if r.g == "b"}
+    assert again == by_g["b"]
+    # groups without a rate drop entirely
+    assert weighted_mixture_sample(df, "g", {"a": 0.5}, "k").filter("g = 'b'").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        mixture_thresholds({"x": 1.5})
