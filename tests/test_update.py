@@ -124,3 +124,41 @@ def test_overwrite_where_cdf(spark, tmp_path):
     assert by_type["delete"] == {5, 6, 7, 8, 9}
     assert by_type["insert"] == {100}
     assert "update_preimage" not in by_type
+
+
+def test_update_partitioned_column_mapped(spark, tmp_path):
+    """UPDATE on a column-mapped, partitioned table — including an
+    assignment that moves rows across partitions."""
+    path = str(tmp_path / "cmtbl")
+    df = _kv(spark, [(i, "x" if i < 10 else "y", float(i)) for i in range(20)])
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=df,
+        partition_by=["v"],
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    t.update("k >= 15", {"v": "'z'", "amt": "amt + 0.5"})
+    got = {r.k: (r.v, r.amt) for r in t.to_df().collect()}
+    assert len(got) == 20
+    for k in range(15, 20):
+        assert got[k] == ("z", k + 0.5)  # moved partition, new value
+    for k in range(10):
+        assert got[k] == ("x", float(k))
+    # partition pruning still serves the new layout
+    assert {r.k for r in t.to_df(predicate="v = 'z'").collect()} == set(range(15, 20))
+
+
+def test_update_on_dv_table_keeps_deletes(spark, tmp_path):
+    """UPDATE of a file carrying a DV must not resurrect DV-hidden rows."""
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "dvtbl")
+    t = DeltaTable.create(
+        spark, path, df=_kv(spark, [(i, f"v{i}", float(i)) for i in range(10)])
+    )
+    delete_with_dvs(t, "k IN (2, 3)")
+    t.update("k >= 0", {"amt": "amt * 10"})
+    got = {r.k: r.amt for r in t.to_df().collect()}
+    assert set(got) == set(range(10)) - {2, 3}
+    assert got[4] == 40.0
