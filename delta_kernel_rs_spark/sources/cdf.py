@@ -510,19 +510,25 @@ def changes_by_row_tracking(
     changed = joined.withColumn("__ct", ct).filter(F.col("__ct").isNotNull())
     version_col = F.lit(end_version).cast("long")
 
-    def arm(src: str, change: str, only: str) -> DataFrame:
-        return (
-            changed.filter(F.col("__ct") == only)
-            .select(
-                *[F.col(f"{src}.{c}").alias(c) for c in data_cols],
-                F.lit(change).alias(CHANGE_TYPE_COL),
-                version_col.alias(COMMIT_VERSION_COL),
+    # Emit all four change kinds from ONE pass over the join: a
+    # union-of-filtered-arms plan executes the full-outer join once per
+    # arm (4×); tagging each row with its (change_type, image) pairs and
+    # exploding keeps the join single-execution.
+    def tagged(change: str, src: str):
+        return F.struct(F.lit(change).alias("t"), F.col(src).alias("row"))
+
+    pairs = (
+        F.when(F.col("__ct") == "insert", F.array(tagged("insert", "post")))
+        .when(F.col("__ct") == "delete", F.array(tagged("delete", "pre")))
+        .otherwise(
+            F.array(
+                tagged("update_preimage", "pre"),
+                tagged("update_postimage", "post"),
             )
         )
-
-    return (
-        arm("post", "insert", "insert")
-        .unionByName(arm("pre", "delete", "delete"))
-        .unionByName(arm("pre", "update_preimage", "update"))
-        .unionByName(arm("post", "update_postimage", "update"))
+    )
+    return changed.select(F.explode(pairs).alias("__x")).select(
+        *[F.col(f"__x.row.{c}").alias(c) for c in data_cols],
+        F.col("__x.t").alias(CHANGE_TYPE_COL),
+        version_col.alias(COMMIT_VERSION_COL),
     )
