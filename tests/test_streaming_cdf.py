@@ -110,3 +110,19 @@ def test_cdf_stream_max_commits_per_trigger(spark, tmp_path):
 
     with pytest.raises(ValueError, match="maxCommitsPerTrigger"):
         DeltaCdfStreamReader(None, {"path": path, "maxcommitspertrigger": "0"})
+
+
+def test_stream_sees_update_images(spark, tmp_path):
+    """UPDATE's cdc files (update_preimage/postimage) flow through the
+    streaming source exactly like the batch arms."""
+    path = str(tmp_path / "upd")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10), properties=CDF_PROPS)
+    t.update("k >= 8", {"k": "k + 100"})
+    got = _run_stream(spark, path, name="upd_sink").collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r._change_type, set()).add(r.k)
+    assert by_type["update_preimage"] == {8, 9}
+    assert by_type["update_postimage"] == {108, 109}
+    # the initial create arrives as inserts; kept rows emit nothing else
+    assert by_type["insert"] == set(range(10))
