@@ -162,3 +162,54 @@ def test_update_on_dv_table_keeps_deletes(spark, tmp_path):
     got = {r.k: r.amt for r in t.to_df().collect()}
     assert set(got) == set(range(10)) - {2, 3}
     assert got[4] == 40.0
+
+
+def test_update_refused_on_append_only_table(spark, tmp_path):
+    from delta_kernel_rs_spark.sources.transaction import AppendOnlyError
+
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "ao"),
+        df=_kv(spark, [(1, "a", 0.0)]),
+        properties={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(AppendOnlyError):
+        t.update("k = 1", {"v": "'x'"})
+    with pytest.raises(AppendOnlyError):
+        t.overwrite(_kv(spark, [(2, "b", 0.0)]))
+
+
+def test_update_rebases_over_concurrent_append(spark, tmp_path):
+    """An UPDATE built on a stale snapshot commits after a concurrent
+    append lands — disjoint files rebase instead of failing — and the
+    appended rows survive untouched."""
+    import threading
+
+    from delta_kernel_rs_spark.sources import update as upd_mod
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark, path, df=_kv(spark, [(i, "old", float(i)) for i in range(10)])
+    )
+
+    orig_write_data = upd_mod.Transaction.write_data
+    appended = threading.Event()
+
+    def racing_write_data(self, df):
+        # land a concurrent append between the UPDATE's read and commit
+        if not appended.is_set():
+            appended.set()
+            DeltaTable(spark, path).append(
+                _kv(spark, [(100, "new", 1.0)]), auto_checkpoint=False
+            )
+        return orig_write_data(self, df)
+
+    upd_mod.Transaction.write_data = racing_write_data
+    try:
+        t.update("k < 5", {"v": "'upd'"})
+    finally:
+        upd_mod.Transaction.write_data = orig_write_data
+    got = {r.k: r.v for r in t.to_df().collect()}
+    assert got[100] == "new"  # concurrent append survived
+    assert all(got[k] == "upd" for k in range(5))
+    assert all(got[k] == "old" for k in range(5, 10))
