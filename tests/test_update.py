@@ -213,3 +213,21 @@ def test_update_rebases_over_concurrent_append(spark, tmp_path):
     assert got[100] == "new"  # concurrent append survived
     assert all(got[k] == "upd" for k in range(5))
     assert all(got[k] == "old" for k in range(5, 10))
+
+
+def test_overwrite_cdf_file_level_arms(spark, tmp_path):
+    """Plain overwrite writes no cdc files: the CDF reader derives the
+    row-level feed from the remove/add actions themselves (every old row
+    a delete, every new row an insert)."""
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "ow"),
+        df=_kv(spark, [(i, "old", 0.0) for i in range(5)]),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.overwrite(_kv(spark, [(10, "new", 1.0), (11, "new", 2.0)]))
+    by_type = {}
+    for r in t.changes(1).collect():
+        by_type.setdefault(r._change_type, set()).add(r.k)
+    assert by_type["delete"] == set(range(5))
+    assert by_type["insert"] == {10, 11}
