@@ -1,4 +1,4 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d25).
+"""Oracle-checked Delta-kernel-path queries (d01–d26).
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,
@@ -862,5 +862,43 @@ register(
     UNION ALL
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 2 AND l_quantity > 40
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d26 CONVERT TO DELTA: adopt a partitioned parquet dir, then a pruned scan
+
+
+def d26_delta_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a plain hive-partitioned parquet dataset (no Delta anywhere),
+    CONVERT it in place (footer-only stats, zero data rewrite —
+    sources/convert.py), and read a partition- and stats-pruned slice
+    through the kernel path."""
+    from pyspark.sql import types as T
+
+    key = (sf_dir, "conv")
+    if key not in _FIXTURES:
+        root = tempfile.mkdtemp(prefix="dkrs_conv_")
+        src_dir = f"{root}/plain_parquet"
+        src = _src(spark, sf_dir)
+        (
+            _chunk(src, 4, 0)
+            .write.partitionBy("l_returnflag")
+            .parquet(src_dir)
+        )
+        DeltaTable.convert(
+            spark, src_dir, partition_by={"l_returnflag": T.StringType()}
+        )
+        _FIXTURES[key] = src_dir
+    t = DeltaTable(spark, _FIXTURES[key])
+    return t.to_df(predicate="l_returnflag = 'A' AND l_quantity <= 30").select(*COLS)
+
+
+register(
+    "d26_delta_convert_scan",
+    d26_delta_convert_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND l_returnflag = 'A' AND l_quantity <= 30
     """,
 )

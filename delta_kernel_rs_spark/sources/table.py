@@ -65,6 +65,21 @@ class DeltaTable:
         return DeltaTable(spark, path)
 
     @staticmethod
+    def convert(
+        spark: SparkSession,
+        path: str,
+        partition_by: dict | None = None,
+        properties: dict | None = None,
+    ) -> "DeltaTable":
+        """CONVERT TO DELTA: adopt an existing parquet directory in place
+        (footer-only stats pass, no data rewrite). See sources/convert.py."""
+        from delta_kernel_rs_spark.sources.convert import convert_to_delta
+
+        return convert_to_delta(
+            spark, path, partition_by=partition_by, properties=properties
+        )
+
+    @staticmethod
     def exists(spark: SparkSession, path: str) -> bool:
         from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
 

@@ -1,0 +1,69 @@
+"""CONVERT TO DELTA: in-place adoption of parquet directories."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.sources.convert import ConvertError, convert_to_delta
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _df(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+
+
+def test_convert_flat_dir(spark, tmp_path):
+    src = str(tmp_path / "flat")
+    _df(spark).repartition(4).write.parquet(src)
+    t = convert_to_delta(spark, src)
+    assert t.snapshot().version == 0
+    got = {r.k for r in t.to_df().collect()}
+    assert got == set(range(100))
+    # footer stats landed → data skipping prunes files on a tight predicate
+    files = t.snapshot().scan(predicate="k < 0").files()
+    assert files == []
+
+
+def test_convert_partitioned(spark, tmp_path):
+    src = str(tmp_path / "part")
+    _df(spark).write.partitionBy("bucket").parquet(src)
+    t = convert_to_delta(
+        spark, src, partition_by={"bucket": T.IntegerType()}
+    )
+    snap = t.snapshot()
+    assert snap.metadata.partition_columns == ["bucket"]
+    rows = t.to_df().collect()
+    assert len(rows) == 100
+    assert all(r.bucket == r.k % 3 for r in rows)
+    # partition pruning works against the converted layout
+    pruned = snap.scan(predicate="bucket = 1")
+    assert all(f.partition_values.get("bucket") == "1" for f in pruned.files())
+    assert {r.k for r in pruned.to_df().collect()} == {k for k in range(100) if k % 3 == 1}
+
+
+def test_converted_table_is_writable(spark, tmp_path):
+    src = str(tmp_path / "rw")
+    _df(spark, 10).repartition(1).write.parquet(src)
+    t = convert_to_delta(spark, src)
+    t.append(_df(spark, 10).withColumn("k", F.col("k") + 100))
+    t.delete("k = 3")
+    got = {r.k for r in t.to_df().collect()}
+    assert got == (set(range(10)) | set(range(100, 110))) - {3}
+
+
+def test_convert_refusals(spark, tmp_path):
+    src = str(tmp_path / "bad")
+    _df(spark, 10).write.partitionBy("bucket").parquet(src)
+    with pytest.raises(ConvertError, match="partition directories"):
+        convert_to_delta(spark, src)  # partition_by not declared
+    t = convert_to_delta(spark, src, partition_by={"bucket": T.IntegerType()})
+    with pytest.raises(ConvertError, match="already has a _delta_log"):
+        convert_to_delta(spark, src, partition_by={"bucket": T.IntegerType()})
+    with pytest.raises(ConvertError, match="no parquet files"):
+        convert_to_delta(spark, str(tmp_path / "empty"))
