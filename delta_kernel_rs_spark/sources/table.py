@@ -108,6 +108,66 @@ class DeltaTable:
             predicate=predicate, columns=columns, with_row_ids=with_row_ids
         )
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL: one-row table summary (id, name, location,
+        created time, partition/clustering columns, numFiles, sizeInBytes,
+        properties, reader/writer protocol). File counts come from ONE
+        distributed aggregation over the live-file frame — the driver never
+        materializes the file list."""
+        snap = self.snapshot()
+        agg = (
+            snap.scan()
+            .scan_files_df()
+            .agg(
+                F.count(F.lit(1)).alias("numFiles"),
+                F.coalesce(F.sum("size"), F.lit(0)).alias("sizeInBytes"),
+            )
+            .collect()[0]
+        )
+        meta = snap.metadata
+        proto = snap.protocol
+        row = {
+            "format": "delta",
+            "id": meta.id,
+            "name": meta.name,
+            "location": self.path,
+            "createdAt": meta.created_time,
+            "partitionColumns": list(meta.partition_columns),
+            "clusteringColumns": [
+                ".".join(c["logical"])
+                for c in snap.clustering_columns()
+                if c.get("logical")
+            ],
+            "numFiles": agg["numFiles"],
+            "sizeInBytes": agg["sizeInBytes"],
+            "properties": dict(meta.configuration),
+            "minReaderVersion": proto.min_reader_version,
+            "minWriterVersion": proto.min_writer_version,
+            "tableFeatures": sorted(
+                set(proto.reader_features or []) | set(proto.writer_features or [])
+            ),
+            "version": snap.version,
+        }
+        schema = T.StructType(
+            [
+                T.StructField("format", T.StringType()),
+                T.StructField("id", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("location", T.StringType()),
+                T.StructField("createdAt", T.LongType()),
+                T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                T.StructField("clusteringColumns", T.ArrayType(T.StringType())),
+                T.StructField("numFiles", T.LongType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("minReaderVersion", T.IntegerType()),
+                T.StructField("minWriterVersion", T.IntegerType()),
+                T.StructField("tableFeatures", T.ArrayType(T.StringType())),
+                T.StructField("version", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame([row], schema)
+
     def history(self) -> DataFrame:
         """commitInfo per version, newest first."""
         snap = self.snapshot()

@@ -354,3 +354,32 @@ def test_set_transaction_retention(spark, tmp_path):
         out.append(json.dumps(a))
     open(log2, "w").write("\n".join(out) + "\n")
     assert t2.latest_txn_version("job-b") == 1
+
+
+def test_describe_detail(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "dd"),
+        df=spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+        properties={"delta.appendOnly": "false"},
+    )
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        )
+    )
+    d = t.detail().collect()[0]
+    assert d.format == "delta"
+    assert d.partitionColumns == ["p"]
+    assert d.version == 1
+    files = t.snapshot().scan().files()
+    assert d.numFiles == len(files)
+    assert d.sizeInBytes == sum(f.size for f in files) > 0
+    assert d.properties["delta.appendOnly"] == "false"
