@@ -1,0 +1,114 @@
+"""SHALLOW CLONE: a zero-copy Delta table referencing another table's files.
+
+Commit 0 of the clone carries the source snapshot's live ``add`` entries
+with ABSOLUTE file paths (the Delta log's escape hatch for files outside
+the table root — resolve_add_path passes rooted/URI paths through), the
+source's schema/partition/configuration, and the original stats strings,
+so data skipping works identically. Deletion vectors survive the move:
+uuid-relative (``u``) descriptors are rewritten as absolute-path (``p``)
+descriptors resolved against the SOURCE root.
+
+The clone is a real table: appends/deletes/updates land new files under
+the clone's own root and never touch the source; time travel inside the
+clone starts at its commit 0. (VACUUM on the source can of course break
+a shallow clone — the same caveat every shallow-clone implementation
+documents.)
+
+The reference kernel has no clone statement; everything written here is
+the action vocabulary its replay consumes (kernel/src/actions/mod.rs:860
+Add with absolute path, deletion_vector storageType 'p').
+
+Scale note: a clone commit is inherently O(live files) driver-side
+metadata — the same cost as writing any checkpoint manifest; no data
+pages are read or copied.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from pyspark.sql import SparkSession
+
+from delta_kernel_rs_spark.functions.dv import dv_absolute_path
+
+
+class CloneError(Exception):
+    pass
+
+
+def _portable_dv(src_root: str, dv: dict | None) -> dict | None:
+    """Rewrite a DV descriptor so it resolves from ANY table root."""
+    if not dv or not dv.get("storageType"):
+        return None
+    if dv["storageType"] == "u":
+        out = dict(dv)
+        out["storageType"] = "p"
+        out["pathOrInlineDv"] = dv_absolute_path(src_root, dv)
+        return out
+    return dict(dv)  # inline ('i') and absolute ('p') are already portable
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    version: int | None = None,
+    properties: "dict[str, str] | None" = None,
+):
+    """Create ``dest_path`` as a shallow clone of ``src_path`` at
+    ``version`` (default: latest). Returns the clone's DeltaTable."""
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+    from delta_kernel_rs_spark.sources.transaction import Transaction
+
+    src_path = src_path.rstrip("/")
+    dest_path = dest_path.rstrip("/")
+    if DeltaTable.exists(spark, dest_path):
+        raise CloneError(f"{dest_path} already has a _delta_log")
+    src = DeltaTable(spark, src_path)
+    snap = src.snapshot(version=version)
+
+    # O(live files) metadata rows; stats strings ride along verbatim so
+    # the clone skips files exactly like the source.
+    rows = snap.scan().scan_files_df().collect()
+    adds = []
+    for r in rows:
+        dv = r.deletion_vector.asDict() if r.deletion_vector else None
+        adds.append(
+            {
+                "add": {
+                    "path": "/".join(
+                        urllib.parse.quote(seg)
+                        for seg in r.file_path.split("/")
+                    ),
+                    "partitionValues": dict(r.partition_values or {}),
+                    "size": r.size,
+                    "modificationTime": r.modification_time,
+                    "dataChange": True,
+                    "stats": r.stats,
+                    "deletionVector": _portable_dv(src_path, dv),
+                }
+            }
+        )
+
+    config = dict(snap.metadata.configuration)
+    # the cloned files may need every capability the source's protocol
+    # declared (DVs, column mapping, row tracking, ...): re-enable them on
+    # the clone through the standard ``delta.feature.<name>=supported``
+    # keys, which the create transaction materializes into its protocol
+    for feat in set(snap.protocol.reader_features or []) | set(
+        snap.protocol.writer_features or []
+    ):
+        config[f"delta.feature.{feat}"] = "supported"
+    config.update(properties or {})
+    txn = Transaction(
+        spark,
+        dest_path,
+        operation="CLONE",
+        is_create=True,
+        schema=snap.schema,
+        partition_columns=list(snap.metadata.partition_columns),
+        configuration=config,
+    )
+    txn.add_actions(adds)
+    txn.commit()
+    return DeltaTable(spark, dest_path)

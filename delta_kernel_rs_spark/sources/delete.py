@@ -71,7 +71,14 @@ def _typed_predicate(predicate, schema=None):
 
 
 def _rel_path(table_path: str, abs_path: str) -> str:
-    rel = abs_path[len(table_path.rstrip("/")) + 1 :]
+    """Log path string for a file action: table-relative when the file
+    lives under the table root; the absolute form otherwise (shallow-clone
+    adds reference foreign roots — a remove must spell the path EXACTLY
+    like the add it cancels, or replay never pairs them)."""
+    root = table_path.rstrip("/") + "/"
+    if not abs_path.startswith(root):
+        return "/".join(urllib.parse.quote(seg) for seg in abs_path.split("/"))
+    rel = abs_path[len(root):]
     return "/".join(urllib.parse.quote(seg) for seg in rel.split("/"))
 
 

@@ -79,6 +79,21 @@ class DeltaTable:
             spark, path, partition_by=partition_by, properties=properties
         )
 
+    def shallow_clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        properties: dict | None = None,
+    ) -> "DeltaTable":
+        """SHALLOW CLONE at a version: a new zero-copy table whose commit 0
+        references this table's files by absolute path (DV descriptors made
+        portable). See sources/clone.py."""
+        from delta_kernel_rs_spark.sources.clone import shallow_clone
+
+        return shallow_clone(
+            self.spark, self.path, dest_path, version=version, properties=properties
+        )
+
     @staticmethod
     def exists(spark: SparkSession, path: str) -> bool:
         from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
