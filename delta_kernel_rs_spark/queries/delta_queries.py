@@ -1,4 +1,4 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d26).
+"""Oracle-checked Delta-kernel-path queries (d01–d27).
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,
@@ -900,5 +900,32 @@ register(
     f"""
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND l_returnflag = 'A' AND l_quantity <= 30
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d27 SHALLOW CLONE: zero-copy table read through the kernel path
+
+
+def d27_delta_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone the two-commit 'plain' fixture (absolute-path adds,
+    stats carried verbatim — sources/clone.py) and run a stats-pruned
+    predicate scan on the CLONE."""
+    key = (sf_dir, "clone")
+    if key not in _FIXTURES:
+        src = _fixture(spark, sf_dir, "plain")
+        dest = f"{tempfile.mkdtemp(prefix='dkrs_clone_')}/tbl"
+        src.shallow_clone(dest)
+        _FIXTURES[key] = dest
+    t = DeltaTable(spark, _FIXTURES[key])
+    return t.to_df(predicate="l_quantity > 35")
+
+
+register(
+    "d27_delta_clone_scan",
+    d27_delta_clone_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_quantity > 35
     """,
 )

@@ -86,3 +86,20 @@ def test_clone_refuses_existing_dest(spark, src, tmp_path):
     src.shallow_clone(str(tmp_path / "c"))
     with pytest.raises(CloneError, match="already has a _delta_log"):
         src.shallow_clone(str(tmp_path / "c"))
+
+
+def test_dv_delete_on_clone_merges_portable_dv(spark, tmp_path):
+    """A DV delete on the clone must merge with the source's portable 'p'
+    descriptor and write the new DV under the CLONE's root."""
+    t = DeltaTable.create(spark, str(tmp_path / "s"), df=_ints(spark, 0, 10))
+    delete_with_dvs(t, "k IN (1, 2)")
+    c = t.shallow_clone(str(tmp_path / "c"))
+    delete_with_dvs(c, "k IN (3, 4)")
+    assert {r.k for r in c.to_df().collect()} == set(range(10)) - {1, 2, 3, 4}
+    # source unaffected
+    assert {r.k for r in t.to_df().collect()} == set(range(10)) - {1, 2}
+    # files touched by the clone's delete carry a fresh DV (uuid-relative
+    # or inline) while untouched files keep the source's portable 'p' form
+    dvs = [f.dv for f in c.snapshot().scan().files() if f.dv]
+    assert any(d["storageType"] in ("u", "i") for d in dvs)
+    assert any(d["storageType"] == "p" for d in dvs)
