@@ -156,6 +156,28 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
             "l_quantity <= 10",
             {"l_returnflag": "'U'", "l_extendedprice": "l_extendedprice * 2"},
         )
+    elif kind == "genpart":  # partitioned on a GENERATED column (YEAR(ts))
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType()),
+                T.StructField("l_partkey", T.LongType()),
+                T.StructField("l_quantity", T.DoubleType()),
+                T.StructField("l_extendedprice", T.DoubleType()),
+                T.StructField("l_shipdate", T.TimestampType()),
+                T.StructField("l_returnflag", T.StringType()),
+                T.StructField(
+                    "ship_year",
+                    T.IntegerType(),
+                    True,
+                    {"delta.generationExpression": "YEAR(l_shipdate)"},
+                ),
+            ]
+        )
+        t = DeltaTable.create(spark, path, schema=schema, partition_by=["ship_year"])
+        t.append(_chunk(src, 4, 0))
+        t.append(_chunk(src, 4, 1))
     elif kind == "repl":  # create two chunks, replaceWhere the q>40 band
         t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
         t.overwrite_where(
@@ -927,5 +949,33 @@ register(
     f"""
     SELECT {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_quantity > 35
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d28 generated-column partition pruning: predicate on the SOURCE column
+
+
+def d28_delta_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a table partitioned on ``ship_year GENERATED AS
+    YEAR(l_shipdate)`` with a predicate on ``l_shipdate`` only. The
+    derived filter (plans/generated_pruning) prunes whole year
+    partitions; the oracle recomputes the same rows (and the generated
+    column) straight from the raw parquet."""
+    t = _fixture(spark, sf_dir, "genpart")
+    return t.to_df(
+        predicate="l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'",
+        columns=["l_orderkey", "l_quantity", "l_shipdate", "ship_year"],
+    )
+
+
+register(
+    "d28_delta_generated_partition",
+    d28_delta_generated_partition,
+    """
+    SELECT l_orderkey, l_quantity, l_shipdate,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year
+    FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_shipdate >= TIMESTAMP '1996-01-01'
     """,
 )

@@ -269,12 +269,27 @@ class Scan:
         if pred is None:
             return None
         from delta_kernel_rs_spark.plans.data_skipping import file_skipping_predicate
+        from delta_kernel_rs_spark.plans.generated_pruning import (
+            derived_partition_filter,
+        )
 
-        return file_skipping_predicate(
+        keep = file_skipping_predicate(
             pred,
             self.snapshot.schema,
             self.snapshot.metadata.partition_columns,
         )
+        # Generated-column partition pruning: a predicate on the SOURCE of a
+        # generated partition column implies a predicate on the partition
+        # value (plans/generated_pruning) — AND-ing an implied filter only
+        # drops files with no matching rows.
+        derived = derived_partition_filter(
+            pred,
+            self.snapshot.schema,
+            self.snapshot.metadata.partition_columns,
+        )
+        if derived is None:
+            return keep
+        return derived if keep is None else (keep & derived)
 
     def files(self) -> list[ScanFile]:
         if self._files_cache is None:

@@ -1,0 +1,215 @@
+"""Generated-column partition pruning (plans/generated_pruning).
+
+A predicate on the SOURCE column of a generated partition column
+(``event_date = CAST(ts AS DATE)``) must prune partitions even though it
+names no partition column — the derived filter is implied by the original,
+so results are identical and only non-matching files disappear.
+
+Reference: the ``delta.generationExpression`` metadata contract
+(kernel/src/schema/mod.rs:253-320); the derivation rules mirror
+delta-spark's documented partition-pruning optimization for generated
+columns.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_kernel_rs_spark.plans.generated_pruning import (
+    _parse_generation_expr,
+    generation_rules,
+)
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+
+def _ts_table(spark, path):
+    """3 daily partitions via event_date GENERATED AS CAST(ts AS DATE)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "event_date",
+                T.DateType(),
+                True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["event_date"])
+    rows = [
+        (i, datetime.datetime(2024, 3, 1 + (i % 3), 6 + i % 12, 30)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, ts TIMESTAMP")
+    t.append(df)
+    return t
+
+
+def test_parse_supported_shapes():
+    assert _parse_generation_expr("CAST(ts AS DATE)")[0] == "ts"
+    assert _parse_generation_expr("cast(`ts` as date)")[0] == "ts"
+    assert _parse_generation_expr("YEAR(ts)")[1] is True
+    assert _parse_generation_expr("MONTH(ts)")[1] is False  # cyclic, eq-only
+    assert _parse_generation_expr("SUBSTRING(code, 1, 2)")[0] == "code"
+    assert _parse_generation_expr("DATE_FORMAT(ts, 'yyyy-MM')")[1] is True
+    assert _parse_generation_expr("DATE_FORMAT(ts, 'HH')") is None  # non-monotone
+    assert _parse_generation_expr("DATE_TRUNC('week', ts)")[0] == "ts"
+    assert _parse_generation_expr("x * 2") is None  # arbitrary exprs: no rule
+
+
+def test_rules_require_partition_and_data_columns():
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "d",
+                T.DateType(),
+                True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+            T.StructField(
+                "not_part",
+                T.DateType(),
+                True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    rules = generation_rules(schema, ["d"])
+    assert [(r.part_col, r.src_col, r.monotone) for r in rules] == [("d", "ts", True)]
+
+
+def test_source_range_predicate_prunes_files(spark, tmp_path):
+    t = _ts_table(spark, str(tmp_path / "t"))
+    all_files = len(t.snapshot().scan().files())
+    assert all_files >= 3
+
+    scan = t.snapshot().scan("ts >= TIMESTAMP '2024-03-03 00:00:00'")
+    kept = scan.files()
+    # only the 2024-03-03 partition's files survive
+    assert 0 < len(kept) < all_files
+    got = sorted(r.id for r in scan.to_df().collect())
+    assert got == sorted(i for i in range(30) if i % 3 == 2)
+
+
+def test_source_equality_predicate_prunes_and_matches(spark, tmp_path):
+    t = _ts_table(spark, str(tmp_path / "t"))
+    all_files = len(t.snapshot().scan().files())
+    pred = "ts = TIMESTAMP '2024-03-02 07:30:00'"
+    scan = t.snapshot().scan(pred)
+    assert 0 < len(scan.files()) < all_files
+    got = {(r.id, r.ts) for r in scan.to_df().collect()}
+    exp = {
+        (i, datetime.datetime(2024, 3, 1 + (i % 3), 6 + i % 12, 30))
+        for i in range(30)
+        if i % 3 == 1 and (6 + i % 12) == 7
+    }
+    assert got == exp
+
+
+def test_non_monotone_rule_equality_only(spark, tmp_path):
+    """MONTH(ts) prunes on equality but never on ranges (it cycles)."""
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "m",
+                T.IntegerType(),
+                True,
+                {"delta.generationExpression": "MONTH(ts)"},
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["m"])
+    rows = [(i, datetime.datetime(2024, 1 + (i % 3), 10)) for i in range(12)]
+    t.append(spark.createDataFrame(rows, "id LONG, ts TIMESTAMP"))
+    all_files = len(t.snapshot().scan().files())
+
+    eq_scan = t.snapshot().scan("ts = TIMESTAMP '2024-02-10 00:00:00'")
+    assert 0 < len(eq_scan.files()) < all_files
+    assert sorted(r.id for r in eq_scan.to_df().collect()) == [
+        i for i in range(12) if i % 3 == 1
+    ]
+
+    # a range over a cyclic generation derives nothing — and must not
+    # wrongly prune (Dec 2023 < Jan 2024 but MONTH(12) > MONTH(1)). The
+    # files that do disappear are January's, pruned by ordinary min/max
+    # stats on ts itself — every Feb/Mar file must survive.
+    rng = t.snapshot().scan("ts >= TIMESTAMP '2024-02-01 00:00:00'")
+    kept = {f.partition_values["m"] for f in rng.files()}
+    assert kept == {"2", "3"}
+    assert len(rng.files()) == all_files * 2 // 3
+    assert sorted(r.id for r in rng.to_df().collect()) == [
+        i for i in range(12) if i % 3 in (1, 2)
+    ]
+
+
+def test_substring_rule_prunes_string_source(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("code", T.StringType()),
+            T.StructField(
+                "cc",
+                T.StringType(),
+                True,
+                {"delta.generationExpression": "SUBSTRING(code, 1, 2)"},
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["cc"])
+    rows = [(i, f"{pc}-{i}") for i, pc in enumerate(["DE", "FR", "US"] * 4)]
+    t.append(spark.createDataFrame(rows, "id LONG, code STRING"))
+    all_files = len(t.snapshot().scan().files())
+
+    scan = t.snapshot().scan("code >= 'US'")
+    assert 0 < len(scan.files()) < all_files
+    assert sorted(r.id for r in scan.to_df().collect()) == [
+        i for i in range(12) if i % 3 == 2
+    ]
+
+
+def test_in_predicate_derives_partition_in(spark, tmp_path):
+    t = _ts_table(spark, str(tmp_path / "t"))
+    all_files = len(t.snapshot().scan().files())
+    scan = t.snapshot().scan(
+        "ts IN (TIMESTAMP '2024-03-01 06:30:00', TIMESTAMP '2024-03-01 09:30:00')"
+    )
+    assert 0 < len(scan.files()) < all_files
+    got = sorted(r.id for r in scan.to_df().collect())
+    exp = sorted(
+        i
+        for i in range(30)
+        if i % 3 == 0 and (6 + i % 12) in (6, 9)
+    )
+    assert got == exp
+
+
+def test_unsupported_generation_expr_is_ignored(spark, tmp_path):
+    """Arbitrary generation expressions derive nothing and never break scans."""
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField(
+                "x2",
+                T.LongType(),
+                True,
+                {"delta.generationExpression": "x * 2"},
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["x2"])
+    t.append(spark.range(6).toDF("x"))
+    assert generation_rules(t.snapshot().schema, ["x2"]) == []
+    # files still shrink — via ordinary min/max stats on x, not the rule —
+    # and results stay exact
+    scan = t.snapshot().scan("x >= 3")
+    assert len(scan.files()) == 3
+    assert sorted(r.x for r in scan.to_df().collect()) == [3, 4, 5]
