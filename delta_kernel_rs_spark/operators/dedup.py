@@ -586,3 +586,135 @@ def decontaminate_against(
             F.min("gram").alias("first_gram"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    out: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
+
+    Hash every word ``k``-gram, slide a window of ``w`` consecutive gram
+    hashes, and keep each window's minimum (ties → rightmost position, the
+    paper's rule). The guarantee: any shared passage of at least
+    ``k + w - 1`` words between two documents yields at least one shared
+    selected hash — with only ~``2/(w+1)`` of the grams retained, so the
+    inverted index downstream is ~w× smaller than a full shingle index.
+
+    Plan shape: one codegen'd projection per document — nested
+    higher-order-function folds, no shuffle, no Python. Documents shorter
+    than ``k + w - 1`` words carry no fingerprints and are dropped.
+
+    Returns ``(id_col, fps array<bigint>, n_fps)``.
+    """
+    df = ensure_min_parallelism(df)
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    # gram hashes: H[i] = md5_32(words[i..i+k-1]), i = 1..n-k+1
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: md5_hash32(F.concat_ws(" ", F.slice(ws, i, k))),
+    )
+    base = df.filter(n >= k + w - 1).select(
+        F.col(id_col), grams.alias("gh")
+    )
+    # per window j (1-based), the (hash, -pos) minimum: struct ordering
+    # gives the smallest hash, and the negated position breaks ties
+    # toward the RIGHTMOST occurrence — both engines compare the same way
+    selected = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("gh")) - (w - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                lambda o: F.struct(
+                    F.element_at(F.col("gh"), (j + o).cast("int")).alias("h"),
+                    (-(j + o)).cast("long").alias("negpos"),
+                ),
+            )
+        ),
+    )
+    fps = F.array_distinct(F.transform(selected, lambda s: s.getField("h")))
+    return base.select(
+        id_col,
+        fps.alias(out),
+        F.size(fps).alias("n_fps"),
+    )
+
+
+def winnowing_passage_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
+
+    The passage-overlap dedup pass: unlike whole-document MinHash (p02),
+    this catches documents that share *copied passages* while differing
+    elsewhere — the dominant contamination/boilerplate mode in web
+    corpora. Candidate generation is the inverted-index equi-join on the
+    winnowed hash set (~w× smaller than a shingle index); fingerprints
+    occurring in more than ``max_df`` documents are dropped first
+    (boilerplate guard — the standard df-cap that keeps the posting-list
+    self-join from going quadratic on hot passages; the cap is part of
+    the operator's spec so the oracle replays it exactly).
+
+    Output: (doc_a, doc_b, shared_fps, overlap) with doc_a < doc_b and
+    overlap = shared / min(|fps_a|, |fps_b|).
+
+    100 TB posture: one projection (fingerprints) → one explode → one
+    df-cap aggregation keyed by hash → one posting self-join keyed by
+    hash → one pair aggregation. All shuffles on high-cardinality hash
+    keys; the df-cap bounds every posting list at ``max_df``, so join
+    fanout per hash is at most max_df² — constant, not corpus-sized.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fps = winnowing_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    posting = fps.select(
+        F.col(id_col), "n_fps", F.explode("fps").alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rare = (
+        posting.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_h"))
+        .filter(F.col("df_h") <= max_df)
+        .select("h")
+    )
+    kept = posting.join(rare, "h")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.first(F.col("a.n_fps")).alias("na"),
+            F.first(F.col("b.n_fps")).alias("nb"),
+        )
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "shared_fps",
+        (
+            F.col("shared_fps").cast("double")
+            / F.least(F.col("na"), F.col("nb"))
+        ).alias("overlap"),
+    )

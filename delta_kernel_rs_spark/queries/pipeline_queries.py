@@ -1086,3 +1086,55 @@ register(
                     WHEN 'zh' THEN 'g' ELSE '0000' END
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# p28 winnowing passage fingerprints (copied-passage dedup pairs)
+
+
+def p28_winnowing_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing copied passages, found via winnowing
+    fingerprints (Schleimer et al., SIGMOD'03 — operators/dedup.py
+    winnowing_passage_pairs): any shared run of >= k+w-1 words guarantees
+    a shared selected hash, with only ~2/(w+1) of the grams indexed.
+    The oracle replays the identical k-gram hash / window-min (rightmost
+    tie) / df-cap / posting-join pipeline in DuckDB."""
+    from delta_kernel_rs_spark.operators.dedup import winnowing_passage_pairs
+
+    return winnowing_passage_pairs(
+        load_table(spark, sf_dir, "documents"), k=4, w=4, min_shared=2, max_df=50
+    )
+
+
+register(
+    "p28_winnowing_passages",
+    p28_winnowing_passages,
+    """
+    WITH d AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(range(1, len(ws)-2),
+              i -> ('0x'||substr(md5(array_to_string(ws[i:i+3],' ')),1,8))::BIGINT)
+              AS gh
+          FROM d WHERE len(ws) >= 7),
+    sel AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(gh)-2),
+                j -> list_reduce(
+                       list_transform(range(0, 4), o -> [gh[j+o], -(j+o)]),
+                       (a, b) -> CASE WHEN b < a THEN b ELSE a END)[1]))
+                AS fps
+            FROM g),
+    sz AS (SELECT doc_id, len(fps) AS n_fps FROM sel),
+    e AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+    rare AS (SELECT h FROM (SELECT h, count(*) c FROM e GROUP BY h)
+             WHERE c <= 50),
+    ek AS (SELECT doc_id, h FROM e JOIN rare USING (h)),
+    pr AS (SELECT pa.doc_id da, pb.doc_id db, count(*) shared
+           FROM ek pa JOIN ek pb ON pa.h = pb.h AND pa.doc_id < pb.doc_id
+           GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(shared AS BIGINT) AS shared_fps,
+           CAST(shared AS DOUBLE)/least(na.n_fps, nb.n_fps) AS overlap
+    FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
+    WHERE shared >= 2
+    """,
+)
