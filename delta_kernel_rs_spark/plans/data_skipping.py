@@ -158,14 +158,16 @@ class _SkippingRewriter:
         return F.lit(value).cast(t)
 
     # -- classification ---------------------------------------------------
-    def _col_lit(self, p: Compare) -> tuple[Col, Literal] | None:
-        """Return (column, literal) for a comparison, swapping sides so the
-        column is on the left; None when the shape is not col-vs-lit."""
+    def _col_lit(self, p: Compare) -> Compare | None:
+        """Canonicalize a comparison to col-on-left, or None when the shape
+        is not col-vs-lit.  Returns the WHOLE swapped Compare — swapped()
+        flips the operator, and callers must dispatch on the flipped op
+        (``L <= col`` ≡ ``col >= L``; dispatching on the original op would
+        prune via inverted min/max bounds)."""
         if isinstance(p.left, Col) and isinstance(p.right, Literal):
-            return p.left, p.right
+            return p
         if isinstance(p.left, Literal) and isinstance(p.right, Col):
-            sw = p.swapped()
-            return sw.left, sw.right  # type: ignore[return-value]
+            return p.swapped()
         return None
 
     def _is_partition_col(self, c: Col) -> bool:
@@ -211,7 +213,8 @@ class _SkippingRewriter:
             shape = self._col_lit(p)
             if shape is None:
                 return None
-            c, v = shape
+            p = shape  # col-on-left; p.op is the (possibly flipped) op
+            c, v = p.left, p.right
             if self._is_partition_col(c):
                 return _compare(p.op, self._partition_value(c.path), F.lit(v.value))
             if not self._has_stats(c):

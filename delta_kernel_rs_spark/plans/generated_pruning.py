@@ -59,7 +59,15 @@ from delta_kernel_rs_spark.plans.expressions import (
 
 GENERATION_EXPRESSION_KEY = "delta.generationExpression"
 
-_MONOTONE_DATE_FORMATS = ("yyyy-MM-dd-HH", "yyyy-MM-dd", "yyyy-MM")
+_MONOTONE_DATE_FORMATS = (
+    "yyyy-MM-dd-HH",
+    "yyyy-MM-dd",
+    "yyyy-MM",
+    "yyyy",
+    "yyyyMM",
+    "yyyyMMdd",
+    "yyyyMMddHH",
+)
 
 
 @dataclass(frozen=True)
@@ -104,9 +112,12 @@ def _parse_generation_expr(expr: str):
     )
     if m:
         fmt = m.group(2)
-        if fmt in _MONOTONE_DATE_FORMATS:
-            return m.group(1), True, lambda c: F.date_format(c, fmt)
-        return None
+        # Non-monotone formats (e.g. 'MM', 'dd-MM') still derive soundly
+        # from eq/IN — any deterministic f does — so return monotone=False
+        # rather than refusing outright.
+        return m.group(1), fmt in _MONOTONE_DATE_FORMATS, (
+            lambda c: F.date_format(c, fmt)
+        )
 
     m = re.fullmatch(r"(?i)DATE_TRUNC\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)", e)
     if m:
@@ -184,11 +195,13 @@ class _Deriver:
                 out = out | x
             return out
         if isinstance(p, Compare):
+            if isinstance(p.left, Literal) and isinstance(p.right, Col):
+                # Canonicalize literal-on-left to col-on-left; swapped()
+                # flips the operator too, so dispatch below MUST see the
+                # swapped op (L <= src  ≡  src >= L ⇒ part >= f(L)).
+                p = p.swapped()
             if isinstance(p.left, Col) and isinstance(p.right, Literal):
                 c, v = p.left, p.right
-            elif isinstance(p.left, Literal) and isinstance(p.right, Col):
-                sw = p.swapped()
-                c, v = sw.left, sw.right  # type: ignore[assignment]
             else:
                 return None
             if not c.top_level:

@@ -55,7 +55,9 @@ def test_parse_supported_shapes():
     assert _parse_generation_expr("MONTH(ts)")[1] is False  # cyclic, eq-only
     assert _parse_generation_expr("SUBSTRING(code, 1, 2)")[0] == "code"
     assert _parse_generation_expr("DATE_FORMAT(ts, 'yyyy-MM')")[1] is True
-    assert _parse_generation_expr("DATE_FORMAT(ts, 'HH')") is None  # non-monotone
+    assert _parse_generation_expr("DATE_FORMAT(ts, 'yyyy')")[1] is True
+    # non-monotone (cyclic) formats still derive from eq/IN
+    assert _parse_generation_expr("DATE_FORMAT(ts, 'HH')")[1] is False
     assert _parse_generation_expr("DATE_TRUNC('week', ts)")[0] == "ts"
     assert _parse_generation_expr("x * 2") is None  # arbitrary exprs: no rule
 
@@ -213,3 +215,80 @@ def test_unsupported_generation_expr_is_ignored(spark, tmp_path):
     scan = t.snapshot().scan("x >= 3")
     assert len(scan.files()) == 3
     assert sorted(r.x for r in scan.to_df().collect()) == [3, 4, 5]
+
+
+def test_literal_on_left_range_predicates(spark, tmp_path):
+    """Literal-on-left spellings must derive the SAME bound as col-on-left.
+
+    Regression: the deriver used to dispatch on the pre-swap operator, so
+    ``TIMESTAMP L <= ts`` derived ``part <= f(L)`` (inverted) and silently
+    pruned every matching partition.
+    """
+    t = _ts_table(spark, str(tmp_path / "t"))
+    all_files = len(t.snapshot().scan().files())
+    lit = "TIMESTAMP '2024-03-03 00:00:00'"
+    exp_ge = sorted(i for i in range(30) if i % 3 == 2)
+    for pred in (f"{lit} <= ts", f"{lit} < ts"):
+        scan = t.snapshot().scan(pred)
+        assert 0 < len(scan.files()) < all_files, pred
+        assert sorted(r.id for r in scan.to_df().collect()) == exp_ge, pred
+    lit_lo = "TIMESTAMP '2024-03-02 00:00:00'"
+    exp_lt = sorted(i for i in range(30) if i % 3 == 0)
+    for pred in (f"{lit_lo} >= ts", f"{lit_lo} > ts"):
+        scan = t.snapshot().scan(pred)
+        assert 0 < len(scan.files()) < all_files, pred
+        assert sorted(r.id for r in scan.to_df().collect()) == exp_lt, pred
+
+
+def test_literal_on_left_matches_col_on_left_stats_skipping(spark, tmp_path):
+    """Same bug class in plain min/max data skipping (plans/data_skipping):
+    ``5 >= x`` must behave exactly like ``x <= 5``."""
+    path = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    t = DeltaTable.create(spark, path, schema=schema)
+    # three files: x in [0..9], [10..19], [20..29]
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 10).toDF("x").coalesce(1))
+    all_files = len(t.snapshot().scan().files())
+    assert all_files == 3
+    for a, b in (("x <= 5", "5 >= x"), ("x < 5", "5 > x"),
+                 ("x >= 25", "25 <= x"), ("x > 25", "25 < x")):
+        sa, sb = t.snapshot().scan(a), t.snapshot().scan(b)
+        assert len(sb.files()) == len(sa.files()) == 1, (a, b)
+        ra = sorted(r.x for r in sa.to_df().collect())
+        rb = sorted(r.x for r in sb.to_df().collect())
+        assert ra == rb and len(ra) > 0, (a, b)
+
+
+def test_cyclic_date_format_eq_still_prunes(spark, tmp_path):
+    """DATE_FORMAT with a cyclic format derives from equality (new rule)."""
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "dd",
+                T.StringType(),
+                True,
+                {"delta.generationExpression": "DATE_FORMAT(ts, 'dd')"},
+            ),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["dd"])
+    rows = [
+        (i, datetime.datetime(2024, 3, 1 + (i % 3), 12, 0)) for i in range(30)
+    ]
+    t.append(spark.createDataFrame(rows, "id LONG, ts TIMESTAMP"))
+    all_files = len(t.snapshot().scan().files())
+    scan = t.snapshot().scan("ts = TIMESTAMP '2024-03-02 12:00:00'")
+    assert 0 < len(scan.files()) < all_files
+    assert sorted(r.id for r in scan.to_df().collect()) == sorted(
+        i for i in range(30) if i % 3 == 1
+    )
+    # ranges must NOT use the cyclic rule — but stats on ts still apply,
+    # so just assert correctness
+    scan2 = t.snapshot().scan("ts >= TIMESTAMP '2024-03-03 00:00:00'")
+    assert sorted(r.id for r in scan2.to_df().collect()) == sorted(
+        i for i in range(30) if i % 3 == 2
+    )
