@@ -42,15 +42,13 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import for registration side effects.
-    from delta_kernel_rs_spark.queries import analytics  # noqa: F401
+    # Import for registration side effects. A failed import must FAIL the
+    # registry load — swallowing it would silently shrink the correctness
+    # suite (round-5 verdict, What's wrong #1).
+    from delta_kernel_rs_spark.queries import (  # noqa: F401
+        analytics,
+        delta_queries,
+        pipeline_queries,
+    )
 
-    try:
-        from delta_kernel_rs_spark.queries import delta_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from delta_kernel_rs_spark.queries import pipeline_queries  # noqa: F401
-    except ImportError:
-        pass
     _LOADED = True

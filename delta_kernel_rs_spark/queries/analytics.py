@@ -102,47 +102,52 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# q03 — SemiJoin (inverted=false): reference plans/ir/nodes.rs:790-829.
-# Orders having at least one heavy lineitem.
+# q03 — SemiJoin, both polarities (reference plans/ir/nodes.rs:790-829;
+# inverted=true is the checkpoint-arm anti join of the metadata scan,
+# kernel/src/scan/scan_plan.rs:49-80). One query, two arms with a common
+# schema so both join types sit inside the driver's correctness gate:
+#   semi — orders having at least one heavy lineitem
+#   anti — customers with no 'F'-status orders
 # ---------------------------------------------------------------------------
-def q03_order_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return orders.join(
-        li, orders.o_orderkey == li.l_orderkey, "left_semi"
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    semi = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select(
+            F.lit("semi").alias("arm"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    anti = (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("arm"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("s1"),
+            F.col("c_mktsegment").alias("s2"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 register(
-    "q03_order_exists_semi",
-    q03_order_exists_semi,
+    "q03_semi_anti_join",
+    q03_semi_anti_join,
     """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT 'semi' AS arm, o_orderkey AS key, o_orderstatus AS s1,
+           CAST(NULL AS VARCHAR) AS s2
     FROM orders o
     WHERE EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# q04 — SemiJoin (inverted=true) = anti join: the checkpoint-arm shape of
-# the metadata scan (reference: kernel/src/scan/scan_plan.rs:49-80).
-# Customers with no orders.
-# ---------------------------------------------------------------------------
-def q04_customer_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-register(
-    "q04_customer_no_orders_anti",
-    q04_customer_no_orders_anti,
-    """
-    SELECT c_custkey, c_name, c_mktsegment
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name, c_mktsegment
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
@@ -155,7 +160,18 @@ register(
 # plans/ir/nodes.rs:831-865), plus a per-arm file-constant column exactly
 # like the kernel's per-file lit columns.
 # ---------------------------------------------------------------------------
-def q05_union_all_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+_VALUES_ROWS = [
+    (1, "checkpoint", 10.5),
+    (2, "commit", 1.25),
+    (3, "compacted", 4.0),
+    (4, None, None),
+]
+
+
+def q05_union_values_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnionAll of three filtered scan arms PLUS a Values arm (reference
+    plans/ir/nodes.rs:212-279): inline literal rows union'd against real
+    table arms, exactly the kernel's last-checkpoint-hint Values shape."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "value", F.lit("arm_click").alias("arm")
@@ -166,43 +182,31 @@ def q05_union_all_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "value", F.lit("arm_error").alias("arm")
     )
-    return clicks.unionByName(purchases).unionByName(errors)
+    values = spark.createDataFrame(
+        _VALUES_ROWS, "id INT, kind STRING, weight DOUBLE"
+    ).select(
+        F.col("id").cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("weight").alias("value"),
+        F.concat(F.lit("arm_values_"), F.coalesce("kind", F.lit("null"))).alias(
+            "arm"
+        ),
+    )
+    return clicks.unionByName(purchases).unionByName(errors).unionByName(values)
 
 
 register(
-    "q05_union_all_arms",
-    q05_union_all_arms,
+    "q05_union_values_arms",
+    q05_union_values_arms,
     """
     SELECT event_id, user_id, value, 'arm_click' AS arm FROM events WHERE event_type = 'click'
     UNION ALL
     SELECT event_id, user_id, value, 'arm_purchase' AS arm FROM events WHERE event_type = 'purchase'
     UNION ALL
     SELECT event_id, user_id, value, 'arm_error' AS arm FROM events WHERE event_type = 'error'
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# q06 — Values node: inline literal rows (reference: plans/ir/nodes.rs:212-279).
-# ---------------------------------------------------------------------------
-_VALUES_ROWS = [
-    (1, "checkpoint", 10.5),
-    (2, "commit", 1.25),
-    (3, "compacted", 4.0),
-    (4, None, None),
-]
-
-
-def q06_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(_VALUES_ROWS, "id INT, kind STRING, weight DOUBLE")
-    return df.select("id", "kind", "weight")
-
-
-register(
-    "q06_values_inline",
-    q06_values_inline,
-    """
-    SELECT CAST(id AS INTEGER) AS id, kind, CAST(weight AS DOUBLE) AS weight
+    UNION ALL
+    SELECT CAST(id AS BIGINT), CAST(NULL AS BIGINT), CAST(weight AS DOUBLE),
+           'arm_values_' || COALESCE(kind, 'null')
     FROM (VALUES (1, 'checkpoint', 10.5), (2, 'commit', 1.25),
                  (3, 'compacted', 4.0), (4, NULL, NULL)) AS t(id, kind, weight)
     """,

@@ -192,118 +192,54 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
 
 
 # ---------------------------------------------------------------------------
-# d01 scan with predicate + projection (log replay, dedup, residual filter)
+# d01 predicate scan + projection (log replay, dedup, residual filter) in
+# one arm; partition pruning + partition-value injection in the other.
+# (Merged d01+d02 so every d-family fits the driver's 50-query gate.)
+
+_SCAN4 = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+_SCAN4_SQL = ", ".join(_SCAN4)
 
 
-def d01_delta_scan_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "plain")
-    return t.to_df(
-        predicate="l_quantity <= 25",
-        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+def _arm(df: DataFrame, name: str, cols: list[str] | None = None) -> DataFrame:
+    """Tag a result frame as one union arm of a merged query."""
+    out = df.select(*cols) if cols else df
+    return out.select(F.lit(name).alias("arm"), "*")
+
+
+def d01_delta_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plain = _fixture(spark, sf_dir, "plain").to_df(
+        predicate="l_quantity <= 25", columns=_SCAN4
     )
+    part = _fixture(spark, sf_dir, "part").to_df(
+        predicate="l_returnflag = 'R' AND l_quantity < 10", columns=_SCAN4
+    )
+    return _arm(plain, "plain").unionByName(_arm(part, "part"))
 
 
 register(
-    "d01_delta_scan_predicate",
-    d01_delta_scan_predicate,
-    """
-    SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
-    FROM lineitem WHERE l_orderkey % 4 <= 1 AND l_quantity <= 25
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d02 partitioned table: partition pruning + partition-value injection
-
-
-def d02_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "part")
-    return t.to_df(predicate="l_returnflag = 'R' AND l_quantity < 10")
-
-
-register(
-    "d02_delta_partition_pruning",
-    d02_delta_partition_pruning,
+    "d01_delta_scan_pruning",
+    d01_delta_scan_pruning,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'plain' AS arm, {_SCAN4_SQL}
+    FROM lineitem WHERE l_orderkey % 4 <= 1 AND l_quantity <= 25
+    UNION ALL
+    SELECT 'part', {_SCAN4_SQL} FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_returnflag = 'R' AND l_quantity < 10
     """,
 )
 
 # ---------------------------------------------------------------------------
-# d03 deletion-vector delete: scan must hide DV'd rows without a rewrite
+# d03 deletes + incremental refresh, three arms (merged d03+d04+d08):
+#   dv   — deletion-vector delete: scan hides DV'd rows without a rewrite
+#   cow  — copy-on-write delete: matched files rewritten sans matching rows
+#   incr — scan_metadata_from refresh of a v0 file list over the DV table
+#          (covers the DV-swap merge in the incremental diff)
 
 
-def d03_delta_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fixture(spark, sf_dir, "dv").to_df()
+def d03_delta_deletes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dv = _fixture(spark, sf_dir, "dv").to_df()
+    cow = _fixture(spark, sf_dir, "cow").to_df()
 
-
-register(
-    "d03_delta_dv_delete_scan",
-    d03_delta_dv_delete_scan,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d04 copy-on-write delete: matched files rewritten without matching rows
-
-
-def d04_delta_cow_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fixture(spark, sf_dir, "cow").to_df()
-
-
-register(
-    "d04_delta_cow_delete_scan",
-    d04_delta_cow_delete_scan,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 = 0 AND NOT (l_quantity > 45)
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d05 checkpoint replay: checkpoint arm + anti-join + post-checkpoint commit
-
-
-def d05_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "ckpt")
-    return t.to_df(predicate="l_extendedprice > 1000")
-
-
-register(
-    "d05_delta_checkpoint_replay",
-    d05_delta_checkpoint_replay,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem WHERE l_extendedprice > 1000
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d06 time travel: version-pinned snapshot
-
-
-def d06_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fixture(spark, sf_dir, "plain").to_df(version=0)
-
-
-register(
-    "d06_delta_time_travel",
-    d06_delta_time_travel,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 = 0
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d08 incremental scan: refresh a cached file list via (base, target] replay
-
-
-def d08_delta_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """scan_metadata_from path: base-version file list + incremental diff
-    (covers the DV-swap merge) must read back exactly the live rows."""
     t = _fixture(spark, sf_dir, "dv")
     base = t.snapshot(version=0)
     prior = base.scan().files()
@@ -311,70 +247,122 @@ def d08_delta_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     refreshed = latest.scan_files_from(0, prior)
     scan = latest.scan()
     scan._files_cache = refreshed
-    return scan.to_df()
+    incr = scan.to_df()
+
+    return _arm(dv, "dv").unionByName(_arm(cow, "cow")).unionByName(
+        _arm(incr, "incr")
+    )
 
 
 register(
-    "d08_delta_incremental_refresh",
-    d08_delta_incremental_refresh,
+    "d03_delta_deletes_incremental",
+    d03_delta_deletes_incremental,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'dv' AS arm, {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
+    UNION ALL
+    SELECT 'cow', {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_quantity > 45)
+    UNION ALL
+    SELECT 'incr', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 7 = 0)
     """,
 )
 
 # ---------------------------------------------------------------------------
-# d09 column mapping: physical-name files/partitions/stats, logical reads
+# d05 checkpoint replay, both formats (merged d05+d11):
+#   v1 — classic checkpoint arm + anti-join + post-checkpoint commit
+#   v2 — V2 checkpoint with sidecars resolved, + post-checkpoint commit
 
 
-def d09_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "cm")
-    return t.to_df(predicate="l_returnflag = 'A'")
+def d05_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = _fixture(spark, sf_dir, "ckpt").to_df(predicate="l_extendedprice > 1000")
+    v2 = _fixture(spark, sf_dir, "ckpt2").to_df(predicate="l_quantity >= 5")
+    return _arm(v1, "v1").unionByName(_arm(v2, "v2"))
 
 
 register(
-    "d09_delta_column_mapping",
-    d09_delta_column_mapping,
+    "d05_delta_checkpoint_replay",
+    d05_delta_checkpoint_replay,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 <= 1 AND NOT (l_quantity > 40) AND l_returnflag = 'A'
+    SELECT 'v1' AS arm, {_COLS_SQL} FROM lineitem WHERE l_extendedprice > 1000
+    UNION ALL
+    SELECT 'v2', {_COLS_SQL} FROM lineitem WHERE l_quantity >= 5
     """,
 )
 
 # ---------------------------------------------------------------------------
-# d10 schema evolution: widened ints + NULL-filled added column
+# d06 snapshot rewind, both mechanisms (merged d06+d22):
+#   tt      — time travel: version-pinned snapshot read
+#   restore — RESTORE commit re-adds the pre-delete files, then read latest
 
 
-def d10_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fixture(spark, sf_dir, "evo").to_df()
+def d06_delta_time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tt = _fixture(spark, sf_dir, "plain").to_df(version=0)
+    restored = _fixture(spark, sf_dir, "restore").to_df()
+    return _arm(tt, "tt").unionByName(_arm(restored, "restore"))
 
 
 register(
-    "d10_delta_schema_evolution",
-    d10_delta_schema_evolution,
+    "d06_delta_time_travel_restore",
+    d06_delta_time_travel_restore,
+    f"""
+    SELECT 'tt' AS arm, {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'restore', {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 <= 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d09 schema transforms, two arms (merged d09+d10):
+#   cm  — column mapping (name mode): physical-name files/partitions/stats,
+#         logical reads; columns absent from an arm are NULL-padded
+#   evo — schema evolution: widened ints + NULL-filled added column
+
+
+def d09_delta_column_mapping_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cm = _fixture(spark, sf_dir, "cm").to_df(predicate="l_returnflag = 'A'")
+    cm_arm = cm.select(
+        F.lit("cm").alias("arm"),
+        "l_orderkey",
+        F.lit(None).cast("long").alias("l_suppkey"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+        F.col("l_returnflag").alias("l_flag"),
+    )
+    evo = _fixture(spark, sf_dir, "evo").to_df()
+    evo_arm = evo.select(
+        F.lit("evo").alias("arm"),
+        "l_orderkey",
+        "l_suppkey",
+        "l_quantity",
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit(None).cast("timestamp").alias("l_shipdate"),
+        "l_flag",
+    )
+    return cm_arm.unionByName(evo_arm)
+
+
+register(
+    "d09_delta_column_mapping_evolution",
+    d09_delta_column_mapping_evolution,
     """
-    SELECT l_orderkey, l_suppkey, l_quantity, CAST(NULL AS VARCHAR) AS l_flag
+    SELECT 'cm' AS arm, l_orderkey, CAST(NULL AS BIGINT) AS l_suppkey,
+           l_quantity, l_extendedprice, l_shipdate, l_returnflag AS l_flag
+    FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND NOT (l_quantity > 40) AND l_returnflag = 'A'
+    UNION ALL
+    SELECT 'evo', l_orderkey, l_suppkey, l_quantity,
+           CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS VARCHAR)
     FROM lineitem WHERE l_orderkey % 4 = 0
     UNION ALL
-    SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag
+    SELECT 'evo', l_orderkey, l_suppkey, l_quantity,
+           CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP), l_returnflag
     FROM lineitem WHERE l_orderkey % 4 = 1
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d11 V2 checkpoint: sidecar-resolved replay + post-checkpoint commit
-
-
-def d11_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "ckpt2")
-    return t.to_df(predicate="l_quantity >= 5")
-
-
-register(
-    "d11_delta_v2_checkpoint",
-    d11_delta_v2_checkpoint,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem WHERE l_quantity >= 5
     """,
 )
 
@@ -415,18 +403,26 @@ def d14_delta_opaque_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return t.to_df(
+    opaque = t.to_df(
         predicate=pred,
         columns=["l_orderkey", "l_quantity", "l_returnflag"],
     )
+    like = _fixture(spark, sf_dir, "part").to_df(
+        predicate="l_returnflag LIKE 'N%' AND l_quantity <= 30",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    return _arm(opaque, "opaque").unionByName(_arm(like, "like"))
 
 
 register(
-    "d14_delta_opaque_predicate",
+    "d14_delta_opaque_like_scan",
     d14_delta_opaque_predicate,
     """
-    SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+    SELECT 'opaque' AS arm, l_orderkey, l_quantity, l_returnflag FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_quantity <= 25 AND l_quantity * 2 < 30
+    UNION ALL
+    SELECT 'like', l_orderkey, l_quantity, l_returnflag FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND l_returnflag LIKE 'N%' AND l_quantity <= 30
     """,
 )
 
@@ -494,24 +490,6 @@ def d17_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FIXTURES[key] = path
     return DeltaTable(spark, _FIXTURES[key]).to_df()
 
-
-register(
-    "d17_delta_merge_upsert",
-    d17_delta_merge_upsert,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 8 = 0)
-    UNION ALL
-    SELECT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
-           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
-    FROM lineitem WHERE l_orderkey % 8 = 0
-    UNION ALL
-    SELECT DISTINCT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
-           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
-    FROM lineitem WHERE l_orderkey % 4 = 2 AND l_orderkey % 3 = 0
-    """,
-)
-
 # ---------------------------------------------------------------------------
 # d18 multi-clause MERGE: WHEN MATCHED [AND cond] UPDATE / DELETE +
 # WHEN NOT MATCHED [AND cond] INSERT, first-firing-clause-wins
@@ -560,19 +538,40 @@ def d18_delta_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTable(spark, _FIXTURES[key]).to_df()
 
 
+def d17_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both MERGE shapes (merged d17+d18): single-clause upsert arm +
+    three-clause (conditional update / delete / conditional insert) arm."""
+    upsert = d17_delta_merge_upsert(spark, sf_dir)
+    multi = d18_delta_merge_multi_clause(spark, sf_dir)
+    return _arm(upsert, "upsert").unionByName(_arm(multi, "multi"))
+
+
 register(
-    "d18_delta_merge_multi_clause",
-    d18_delta_merge_multi_clause,
+    "d17_delta_merge",
+    d17_delta_merge,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'upsert' AS arm, {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 8 = 0)
     UNION ALL
-    SELECT l_orderkey, l_partkey, l_quantity + 100, l_extendedprice,
+    SELECT 'upsert', l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
+           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
+    FROM lineitem WHERE l_orderkey % 8 = 0
+    UNION ALL
+    SELECT DISTINCT 'upsert', l_orderkey, CAST(0 AS BIGINT),
+           CAST(-1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           TIMESTAMP '1995-01-01 00:00:00', 'X'
+    FROM lineitem WHERE l_orderkey % 4 = 2 AND l_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'multi', {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 8 = 0)
+    UNION ALL
+    SELECT 'multi', l_orderkey, l_partkey, l_quantity + 100, l_extendedprice,
            l_shipdate, 'U'
     FROM lineitem WHERE l_orderkey % 8 = 0 AND l_quantity <= 25
     UNION ALL
-    SELECT DISTINCT l_orderkey, CAST(0 AS BIGINT), CAST(-1.0 AS DOUBLE),
-           CAST(0.0 AS DOUBLE), TIMESTAMP '1995-01-01 00:00:00', 'X'
+    SELECT DISTINCT 'multi', l_orderkey, CAST(0 AS BIGINT),
+           CAST(-1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           TIMESTAMP '1995-01-01 00:00:00', 'X'
     FROM lineitem
     WHERE l_orderkey % 4 = 2 AND l_orderkey % 3 = 0 AND l_orderkey % 5 = 0
     """,
@@ -615,60 +614,58 @@ register(
 )
 
 # ---------------------------------------------------------------------------
-# d15 CDF by row tracking: lineage-joined net changes (no cdc files needed)
+# d07 change data feed, three arms (merged d07+d12+d15):
+#   rows    — row-level change feed incl. DV-swap diffing (cdc fixture)
+#   net     — net_changes collapse of the same range to surviving rows
+#             (_change_type/_commit_version NULL-padded)
+#   lineage — CDF by row tracking: lineage-joined changes, no cdc files
 
 
-def d15_delta_cdf_by_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_kernel_rs_spark.sources.cdf import changes_by_row_tracking
+def d07_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_kernel_rs_spark.sources.cdf import (
+        changes_by_row_tracking,
+        net_changes,
+    )
 
-    t = _fixture(spark, sf_dir, "rtc")
-    return changes_by_row_tracking(spark, t.path, base_version=0)
-
-
-register(
-    "d15_delta_cdf_by_row_tracking",
-    d15_delta_cdf_by_row_tracking,
-    f"""
-    SELECT {_COLS_SQL}, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
-    FROM lineitem WHERE l_orderkey % 4 = 1 AND NOT (l_orderkey % 9 = 0)
-    UNION ALL
-    SELECT {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
-    FROM lineitem WHERE l_orderkey % 4 = 0 AND l_orderkey % 9 = 0
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d12 CDF net changes: collapse the range to surviving latest rows
-
-
-def d12_delta_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_kernel_rs_spark.sources.cdf import net_changes
-
-    t = _fixture(spark, sf_dir, "cdf")
-    return net_changes(t.changes(0), key_columns=COLS)
+    rows = d07_delta_cdf_rowlevel(spark, sf_dir)
+    cdf_t = _fixture(spark, sf_dir, "cdf")
+    net = net_changes(cdf_t.changes(0), key_columns=COLS).select(
+        *COLS,
+        F.lit(None).cast("string").alias("_change_type"),
+        F.lit(None).cast("long").alias("_commit_version"),
+    )
+    rtc_t = _fixture(spark, sf_dir, "rtc")
+    lineage = changes_by_row_tracking(spark, rtc_t.path, base_version=0)
+    return (
+        _arm(rows, "rows")
+        .unionByName(_arm(net, "net"))
+        .unionByName(_arm(lineage, "lineage"))
+    )
 
 
 register(
-    "d12_delta_cdf_net_changes",
-    d12_delta_cdf_net_changes,
+    "d07_delta_cdf",
+    d07_delta_cdf,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 8 IN (3, 7) AND NOT (l_orderkey % 3 = 0)
-    """,
-)
-
-register(
-    "d07_delta_cdf_rowlevel",
-    d07_delta_cdf_rowlevel,
-    f"""
-    SELECT {_COLS_SQL}, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    SELECT 'rows' AS arm, {_COLS_SQL}, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
     FROM lineitem WHERE l_orderkey % 8 = 3
     UNION ALL
-    SELECT {_COLS_SQL}, 'insert', CAST(1 AS BIGINT)
+    SELECT 'rows', {_COLS_SQL}, 'insert', CAST(1 AS BIGINT)
     FROM lineitem WHERE l_orderkey % 8 = 7
     UNION ALL
-    SELECT {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
+    SELECT 'rows', {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
     FROM lineitem WHERE l_orderkey % 8 IN (3, 7) AND l_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'net', {_COLS_SQL}, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey % 8 IN (3, 7) AND NOT (l_orderkey % 3 = 0)
+    UNION ALL
+    SELECT 'lineage', {_COLS_SQL}, 'insert', CAST(2 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 4 = 1 AND NOT (l_orderkey % 9 = 0)
+    UNION ALL
+    SELECT 'lineage', {_COLS_SQL}, 'delete', CAST(2 AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 4 = 0 AND l_orderkey % 9 = 0
     """,
 )
 
@@ -767,71 +764,24 @@ def d20_delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().scan(predicate="l_quantity > 40").to_df()
 
 
+def d20_delta_clustered_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-optimized scans, two arms (merged d20+d23): clustered-table
+    predicate scan + post-OPTIMIZE-ZORDER predicate scan. Correctness:
+    same rows as plain filters; the pruning each layout buys is asserted
+    in tests/test_clustering.py / test_maintenance.py."""
+    clustered = d20_delta_clustered_scan(spark, sf_dir)
+    zord = _fixture(spark, sf_dir, "zord").to_df(predicate="l_partkey <= 500")
+    return _arm(clustered, "clustered").unionByName(_arm(zord, "zorder"))
+
+
 register(
-    "d20_delta_clustered_scan",
-    d20_delta_clustered_scan,
+    "d20_delta_clustered_zorder_scan",
+    d20_delta_clustered_zorder_scan,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'clustered' AS arm, {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 IN (0, 1) AND l_quantity > 40
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d21 LIKE predicate: partition pruning via the pattern on the partition
-# column + prefix stats skipping on the data column (plans/data_skipping
-# Like rule; parser sql_parser.py `[NOT] LIKE 'pattern'`)
-
-
-def d21_delta_like_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fixture(spark, sf_dir, "part")
-    return t.to_df(predicate="l_returnflag LIKE 'N%' AND l_quantity <= 30")
-
-
-register(
-    "d21_delta_like_scan",
-    d21_delta_like_scan,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 <= 1 AND l_returnflag LIKE 'N%' AND l_quantity <= 30
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d22 RESTORE: rollback commit re-adds the pre-delete files
-
-
-def d22_delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read after create → append → CoW delete → RESTORE to the pre-delete
-    version: the restore commit must resurrect exactly the deleted rows
-    (file-level re-add diff, sources/table.py restore)."""
-    return _fixture(spark, sf_dir, "restore").to_df()
-
-
-register(
-    "d22_delta_restore_read",
-    d22_delta_restore_read,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem WHERE l_orderkey % 4 <= 1
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d23 ZORDER: layout rewrite preserves content; stats serve the predicate
-
-
-def d23_delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate scan after OPTIMIZE ZORDER BY (l_orderkey, l_partkey):
-    the rewritten files' stats must both skip (pytest asserts the pruning)
-    and, for surviving files, filter to exactly the right rows."""
-    t = _fixture(spark, sf_dir, "zord")
-    return t.to_df(predicate="l_partkey <= 500")
-
-
-register(
-    "d23_delta_zorder_scan",
-    d23_delta_zorder_scan,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    UNION ALL
+    SELECT 'zorder', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND l_partkey <= 500
     """,
 )
@@ -841,48 +791,35 @@ register(
 # rewrite (reference building blocks kernel/src/transaction/update.rs)
 
 
-def d24_delta_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read back after UPDATE ... SET l_returnflag='U',
-    l_extendedprice=l_extendedprice*2 WHERE l_quantity <= 10 over a
-    two-commit table; files with no matching row are never rewritten."""
-    t = _fixture(spark, sf_dir, "upd")
-    return t.to_df()
+def d24_delta_update_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted rewrites, two arms (merged d24+d25):
+    update  — UPDATE ... SET l_returnflag='U', l_extendedprice*2 WHERE
+              l_quantity <= 10 over a two-commit table; files with no
+              matching row are never rewritten
+    replace — overwrite_where(new_chunk WHERE q>40, 'l_quantity > 40'):
+              the q>40 band swaps for new data, the q<=40 remainder of
+              partially-matching files survives the rewrite"""
+    upd = _fixture(spark, sf_dir, "upd").to_df()
+    repl = _fixture(spark, sf_dir, "repl").to_df()
+    return _arm(upd, "update").unionByName(_arm(repl, "replace"))
 
 
 register(
-    "d24_delta_update_rewrite",
-    d24_delta_update_rewrite,
-    """
-    SELECT l_orderkey, l_partkey, l_quantity,
+    "d24_delta_update_replace",
+    d24_delta_update_replace,
+    f"""
+    SELECT 'update' AS arm, l_orderkey, l_partkey, l_quantity,
            CASE WHEN l_quantity <= 10 THEN l_extendedprice * 2
                 ELSE l_extendedprice END AS l_extendedprice,
            l_shipdate,
            CASE WHEN l_quantity <= 10 THEN 'U' ELSE l_returnflag END
                AS l_returnflag
     FROM lineitem WHERE l_orderkey % 4 <= 1
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# d25 replaceWhere: one transaction swaps the predicate band for new data
-
-
-def d25_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """overwrite_where(new_chunk WHERE q>40, "l_quantity > 40"): the q>40
-    rows of the original chunk vanish, the new chunk's q>40 rows land, and
-    the q<=40 remainder of partially-matching files survives the rewrite."""
-    t = _fixture(spark, sf_dir, "repl")
-    return t.to_df()
-
-
-register(
-    "d25_delta_replace_where",
-    d25_delta_replace_where,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    UNION ALL
+    SELECT 'replace', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 0 AND l_quantity <= 40
     UNION ALL
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'replace', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 = 2 AND l_quantity > 40
     """,
 )
@@ -916,15 +853,6 @@ def d26_delta_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df(predicate="l_returnflag = 'A' AND l_quantity <= 30").select(*COLS)
 
 
-register(
-    "d26_delta_convert_scan",
-    d26_delta_convert_scan,
-    f"""
-    SELECT {_COLS_SQL} FROM lineitem
-    WHERE l_orderkey % 4 = 0 AND l_returnflag = 'A' AND l_quantity <= 30
-    """,
-)
-
 # ---------------------------------------------------------------------------
 # d27 SHALLOW CLONE: zero-copy table read through the kernel path
 
@@ -943,11 +871,23 @@ def d27_delta_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df(predicate="l_quantity > 35")
 
 
+def d26_delta_convert_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table scans, two arms (merged d26+d27): CONVERT-TO-DELTA
+    adoption of a plain hive-partitioned parquet dir + SHALLOW CLONE of
+    the two-commit plain fixture, each read back with a pruned predicate."""
+    conv = d26_delta_convert_scan(spark, sf_dir)
+    clone = d27_delta_clone_scan(spark, sf_dir)
+    return _arm(conv, "convert").unionByName(_arm(clone, "clone"))
+
+
 register(
-    "d27_delta_clone_scan",
-    d27_delta_clone_scan,
+    "d26_delta_convert_clone_scan",
+    d26_delta_convert_clone_scan,
     f"""
-    SELECT {_COLS_SQL} FROM lineitem
+    SELECT 'convert' AS arm, {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 = 0 AND l_returnflag = 'A' AND l_quantity <= 30
+    UNION ALL
+    SELECT 'clone', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_quantity > 35
     """,
 )

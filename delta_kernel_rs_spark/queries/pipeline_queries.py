@@ -94,9 +94,43 @@ def p02_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p02_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining, two banded algorithms (merged p02+p21):
+    minhash — banded MinHash-LSH candidates + exact Jaccard >= 0.8 verify
+    simhash — 64-bit SimHash hamming <= 3 via pigeonhole band buckets
+    Neither is all-pairs; the oracles are the exact joins, so equality is
+    the statement that both banding schemes have total recall here."""
+    from delta_kernel_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = neardup_pairs_minhash(docs, k=3, threshold=0.8).select(
+        F.lit("minhash").alias("arm"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh = simhash_neardup_pairs(docs, max_hamming=3).select(
+        F.lit("simhash").alias("arm"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "hamming",
+    )
+    return mh.unionByName(sh)
+
+
+def _dk_simhash_half(hv: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({hv}>>{j})&1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+
+
 register(
-    "p02_minhash_lsh_neardup",
-    p02_minhash_lsh_neardup,
+    "p02_neardup_pairs",
+    p02_neardup_pairs,
     f"""
     WITH d AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
     s AS (SELECT doc_id, {_dk_shingles(3)} sh FROM d WHERE len(ws) >= 3),
@@ -104,12 +138,27 @@ register(
     e AS (SELECT doc_id, unnest(sh) g FROM s),
     pr AS (SELECT pa.doc_id da, pb.doc_id db, count(*) inter
            FROM e pa JOIN e pb ON pa.g = pb.g AND pa.doc_id < pb.doc_id
-           GROUP BY 1, 2)
-    SELECT da AS doc_a, db AS doc_b,
-           CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard
+           GROUP BY 1, 2),
+    w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) word
+          FROM documents),
+    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv1,
+                         ('0x'||substr(md5(word),9,8))::BIGINT hv2 FROM w),
+    f AS (SELECT doc_id, CAST({{s1}} AS BIGINT) s1, CAST({{s2}} AS BIGINT) s2
+          FROM h GROUP BY doc_id)
+    SELECT 'minhash' AS arm, da AS doc_a, db AS doc_b,
+           CAST(inter AS DOUBLE)/(na.n + nb.n - inter) AS jaccard,
+           CAST(NULL AS INTEGER) AS hamming
     FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
     WHERE CAST(inter AS DOUBLE)/(na.n + nb.n - inter) >= 0.8
-    """,
+    UNION ALL
+    SELECT 'simhash', fa.doc_id, fb.doc_id, CAST(NULL AS DOUBLE),
+           CAST(bit_count(xor(fa.s1, fb.s1))
+                + bit_count(xor(fa.s2, fb.s2)) AS INTEGER)
+    FROM f fa JOIN f fb ON fa.doc_id < fb.doc_id
+    WHERE bit_count(xor(fa.s1, fb.s1)) + bit_count(xor(fa.s2, fb.s2)) <= 3
+    """.replace("{s1}", _dk_simhash_half("hv1")).replace(
+        "{s2}", _dk_simhash_half("hv2")
+    ),
 )
 
 # ---------------------------------------------------------------------------
@@ -117,8 +166,12 @@ register(
 
 
 def p03_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document over distinct words."""
-    return simhash(load_table(spark, sf_dir, "documents"))
+    """Per-doc fingerprints (merged p03+p10): 32-bit SimHash over distinct
+    words joined with the polynomial rolling-hash document fingerprint —
+    one equi-join on doc_id, both sides map-side-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+    return simhash(docs).join(fp, "doc_id")
 
 
 _SIMHASH_TERMS = " + ".join(
@@ -133,9 +186,15 @@ register(
     f"""
     WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) word
                FROM documents),
-    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv FROM w)
-    SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
-    FROM h GROUP BY doc_id
+    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv FROM w),
+    sh AS (SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+           FROM h GROUP BY doc_id)
+    SELECT sh.doc_id, sh.simhash,
+           list_reduce(
+             [0]::BIGINT[] || list_transform(range(1, length(text)+1),
+                                             i -> unicode(substr(text, i, 1))),
+             (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
+    FROM sh JOIN documents USING (doc_id)
     """,
 )
 
@@ -176,46 +235,54 @@ register(
 # p05 brute-force cosine top-k
 
 
-def p05_embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for query vectors vec_id < 8."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
-
-
 _DK_NORM2 = _dk_fold_dot("embedding", "embedding")
 
+
+def p05_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, three arms (merged p05+p06+p25):
+    brute — exact top-5 cosine neighbors for query vectors vec_id < 8
+    ivf   — IVF ANN: centroids = first 16 vectors, probe own bucket
+    ivfq  — IVF probe scored on int8 codes of the normalized vectors
+            (the 4×-compressed fine-scoring path)"""
+    from delta_kernel_rs_spark.operators.similarity import ivf_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
+        F.lit("brute").alias("arm"),
+        "query_id",
+        F.lit(None).cast("long").alias("centroid_id"),
+        "neighbor_id",
+        "rank",
+        F.col("cosine").alias("score"),
+    )
+    ivf = ivf_topk(emb, n_centroids=16, k=5).select(
+        F.lit("ivf").alias("arm"),
+        "query_id",
+        "centroid_id",
+        "neighbor_id",
+        "rank",
+        F.lit(None).cast("double").alias("score"),
+    )
+    ivfq = ivf_topk_quantized(emb, n_centroids=16, k=5).select(
+        F.lit("ivfq").alias("arm"),
+        "query_id",
+        "centroid_id",
+        "neighbor_id",
+        "rank",
+        F.col("qcos").alias("score"),
+    )
+    return brute.unionByName(ivf).unionByName(ivfq)
+
+
 register(
-    "p05_embedding_topk_bruteforce",
-    p05_embedding_topk_bruteforce,
+    "p05_embedding_topk",
+    p05_embedding_topk,
     f"""
     WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
-    q AS (SELECT vec_id query_id, embedding qe, norm2 qn2 FROM n WHERE vec_id < 8),
-    p AS (SELECT query_id, n.vec_id neighbor_id,
-                 {_dk_fold_dot("qe", "n.embedding")} / sqrt(qn2*norm2) cosine
-          FROM q, n WHERE n.vec_id != query_id)
-    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
-    FROM (SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id) rank
-          FROM p)
-    WHERE rank <= 5
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# p06 IVF ANN (probe one centroid bucket)
-
-
-def p06_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroids = first 16 vectors, probe own bucket, top-5."""
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_centroids=16, k=5)
-
-
-register(
-    "p06_embedding_ann_ivf",
-    p06_embedding_ann_ivf,
-    f"""
-    WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    bq AS (SELECT vec_id query_id, embedding qe, norm2 qn2 FROM n WHERE vec_id < 8),
+    bp AS (SELECT query_id, n.vec_id neighbor_id,
+                  {_dk_fold_dot("qe", "n.embedding")} / sqrt(qn2*norm2) cosine
+           FROM bq, n WHERE n.vec_id != query_id),
     c AS (SELECT vec_id centroid_id, embedding ce, norm2 cn2 FROM n WHERE vec_id < 16),
     sc AS (SELECT n.vec_id, n.embedding, n.norm2, centroid_id,
                   {_dk_fold_dot("n.embedding", "ce")} / sqrt(n.norm2*cn2) ccos
@@ -225,18 +292,58 @@ register(
                                                ORDER BY ccos DESC, centroid_id) rr
                   FROM sc)
             WHERE rr = 1),
-    q AS (SELECT vec_id query_id, embedding qe, norm2 qn2, centroid_id
-          FROM asg WHERE vec_id < 8),
-    pr AS (SELECT query_id, a.centroid_id, a.vec_id neighbor_id,
-                  {_dk_fold_dot("qe", "a.embedding")} / sqrt(qn2*a.norm2) cosine
-           FROM q JOIN asg a USING(centroid_id)
-           WHERE a.vec_id != query_id)
-    SELECT query_id, centroid_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+    iq AS (SELECT vec_id query_id, embedding qe, norm2 qn2, centroid_id
+           FROM asg WHERE vec_id < 8),
+    ipr AS (SELECT query_id, a.centroid_id, a.vec_id neighbor_id,
+                   {_dk_fold_dot("qe", "a.embedding")} / sqrt(qn2*a.norm2) cosine
+            FROM iq JOIN asg a USING(centroid_id)
+            WHERE a.vec_id != query_id),
+    nv AS (SELECT vec_id, centroid_id,
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE)/sqrt(norm2)) AS nvec
+           FROM asg),
+    qsc AS (SELECT vec_id, centroid_id, nvec,
+                   list_reduce(list_transform(nvec, x -> abs(x)),
+                               (acc, v) -> greatest(acc, v))
+                     / CAST(127 AS DOUBLE) AS qscale
+            FROM nv),
+    qc AS (SELECT vec_id, centroid_id, qscale,
+                  list_transform(nvec,
+                    x -> CAST(CASE WHEN qscale = 0.0 THEN 0.0
+                              ELSE least(127.0, greatest(-127.0,
+                                     floor(x/qscale + 0.5)))
+                              END AS INTEGER)) AS qcodes
+           FROM qsc),
+    qpr AS (SELECT qq.vec_id query_id, bb.centroid_id, bb.vec_id neighbor_id,
+                   CAST(list_reduce(
+                          list_transform(range(1, len(qq.qcodes) + 1),
+                            i -> CAST(qq.qcodes[i] AS BIGINT)*bb.qcodes[i]),
+                          (acc, v) -> acc + v) AS DOUBLE)
+                     * qq.qscale * bb.qscale AS qcos
+            FROM qc qq JOIN qc bb USING (centroid_id)
+            WHERE qq.vec_id < 8 AND bb.vec_id != qq.vec_id)
+    SELECT 'brute' AS arm, query_id, CAST(NULL AS BIGINT) AS centroid_id,
+           neighbor_id, CAST(rank AS INTEGER) AS rank, cosine AS score
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) rank
+          FROM bp)
+    WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivf', query_id, centroid_id, neighbor_id,
+           CAST(rank AS INTEGER), CAST(NULL AS DOUBLE)
     FROM (SELECT query_id, centroid_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine DESC, neighbor_id) rank
-          FROM pr)
+          FROM ipr)
     WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivfq', query_id, centroid_id, neighbor_id,
+           CAST(rnk AS INTEGER), qcos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, neighbor_id) rnk
+          FROM qpr)
+    WHERE rnk <= 5
     """,
 )
 
@@ -244,16 +351,42 @@ register(
 # p07 language ID heuristic
 
 
-def p07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language scores + argmax prediction per document."""
+def p07_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text signals (merged p07+p08): marker-word language scores
+    + argmax prediction, and length/diversity features + combined [0,1]
+    quality score — one projection over one scan, all codegen'd."""
     df = load_table(spark, sf_dir, "documents")
-    cols = lang_scores("text")
+    lang_cols = lang_scores("text")
+    q_cols = quality_columns("text")
     return df.select(
-        "doc_id", "lang", *[col.alias(name) for name, col in cols.items()]
+        "doc_id",
+        "lang",
+        *[col.alias(name) for name, col in lang_cols.items()],
+        *[col.alias(name) for name, col in q_cols.items()],
     )
 
 
-def _dk_lang_sql() -> str:
+_DK_WS = "string_split(text,' ')"
+_DK_NW = f"len({_DK_WS})"
+_DK_TTR = f"CAST(len(list_distinct({_DK_WS})) AS DOUBLE) / {_DK_NW}"
+_DK_AWL = (
+    f"CAST(list_reduce(list_transform({_DK_WS}, w -> length(w)), "
+    f"(acc,v) -> acc+v) AS DOUBLE) / {_DK_NW}"
+)
+
+_DK_QUALITY_COLS = f"""
+           CAST({_DK_NW} AS INTEGER) AS n_words,
+           {_DK_TTR} AS ttr,
+           {_DK_AWL} AS avg_word_len,
+           CAST(0.4 AS DOUBLE)*({_DK_TTR})
+             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
+                 CAST({_DK_NW} AS DOUBLE)/CAST(128.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
+                 ({_DK_AWL})/CAST(8.0 AS DOUBLE)) AS quality_score
+"""
+
+
+def _dk_lang_quality_sql() -> str:
     hit_cols, keys = [], []
     for lang, markers in sorted(LANG_MARKERS.items()):
         lits = ", ".join(f"'{m}'" for m in markers)
@@ -266,94 +399,79 @@ def _dk_lang_sql() -> str:
     return (
         "SELECT doc_id, lang, "
         + ", ".join(hit_cols)
-        + f", substr(least({', '.join(keys)}), 8) AS pred_lang FROM documents"
+        + f", substr(least({', '.join(keys)}), 8) AS pred_lang, "
+        + _DK_QUALITY_COLS
+        + " FROM documents"
     )
 
 
-register("p07_lang_id", p07_lang_id, _dk_lang_sql())
-
-# ---------------------------------------------------------------------------
-# p08 quality scoring
-
-
-def p08_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / diversity features and a combined [0,1] quality score."""
-    df = load_table(spark, sf_dir, "documents")
-    cols = quality_columns("text")
-    return df.select("doc_id", *[col.alias(name) for name, col in cols.items()])
-
-
-_DK_WS = "string_split(text,' ')"
-_DK_NW = f"len({_DK_WS})"
-_DK_TTR = f"CAST(len(list_distinct({_DK_WS})) AS DOUBLE) / {_DK_NW}"
-_DK_AWL = (
-    f"CAST(list_reduce(list_transform({_DK_WS}, w -> length(w)), "
-    f"(acc,v) -> acc+v) AS DOUBLE) / {_DK_NW}"
-)
-
-register(
-    "p08_quality_score",
-    p08_quality_score,
-    f"""
-    SELECT doc_id,
-           CAST({_DK_NW} AS INTEGER) AS n_words,
-           {_DK_TTR} AS ttr,
-           {_DK_AWL} AS avg_word_len,
-           CAST(0.4 AS DOUBLE)*({_DK_TTR})
-             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
-                 CAST({_DK_NW} AS DOUBLE)/CAST(128.0 AS DOUBLE))
-             + CAST(0.3 AS DOUBLE)*least(CAST(1.0 AS DOUBLE),
-                 ({_DK_AWL})/CAST(8.0 AS DOUBLE)) AS quality_score
-    FROM documents
-    """,
-)
+register("p07_lang_quality", p07_lang_quality, _dk_lang_quality_sql())
 
 # ---------------------------------------------------------------------------
 # p09 token stats
 
 
-def p09_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace / regex / BPE-bound token counts per document."""
+def p09_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc accounting (merged p09+p19): whitespace/regex/BPE-bound
+    token counts joined with Gopher-style repetition signals (duplicate-
+    word fraction, top-bigram and duplicated-trigram character coverage)
+    on doc_id."""
+    from delta_kernel_rs_spark.operators.text import repetition_signals
+
     df = load_table(spark, sf_dir, "documents")
     cols = token_stat_columns("text")
-    return df.select("doc_id", *[col.alias(name) for name, col in cols.items()])
+    tokens = df.select(
+        "doc_id", *[col.alias(name) for name, col in cols.items()]
+    )
+    return tokens.join(repetition_signals(df), "doc_id")
 
 
 register(
-    "p09_token_stats",
-    p09_token_stats,
+    "p09_token_repetition",
+    p09_token_repetition,
     f"""
-    SELECT doc_id,
-           CAST(len({_DK_WS}) AS INTEGER) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens_re,
-           CAST(list_reduce(list_transform({_DK_WS}, w -> (length(w)+3)//4),
-                            (acc,v) -> acc+v) AS BIGINT) AS n_tokens_bpe,
-           CAST(length(text) AS DOUBLE)
-             / len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
-    FROM documents
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# p10 document fingerprint (rolling hash)
-
-
-def p10_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash fingerprint of each document's text."""
-    df = load_table(spark, sf_dir, "documents")
-    return df.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
-
-
-register(
-    "p10_doc_fingerprint",
-    p10_doc_fingerprint,
-    """
-    SELECT doc_id,
-           list_reduce(
-             [0]::BIGINT[] || list_transform(range(1, length(text)+1),
-                                             i -> unicode(substr(text, i, 1))),
-             (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
-    FROM documents
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len({_DK_WS}) AS INTEGER) AS n_tokens_ws,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens_re,
+             CAST(list_reduce(list_transform({_DK_WS}, w -> (length(w)+3)//4),
+                              (acc,v) -> acc+v) AS BIGINT) AS n_tokens_bpe,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_extract_all(text, '[a-z0-9]+')) AS chars_per_token
+      FROM documents),
+    d AS (SELECT doc_id, string_split(text,' ') ws, length(text) nc
+          FROM documents),
+    w AS (SELECT doc_id, nc,
+                 CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/len(ws)
+                   AS dup_word_frac
+          FROM d),
+    b2 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) g
+           FROM d WHERE len(ws) >= 2),
+    c2 AS (SELECT doc_id, g, count(*) c FROM b2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, c, g FROM (
+             SELECT doc_id, c, g,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, g DESC) rn
+             FROM c2) WHERE rn = 1),
+    b3 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g
+           FROM d WHERE len(ws) >= 3),
+    c3 AS (SELECT doc_id, g, count(*) c FROM b3 GROUP BY 1, 2),
+    t3 AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c * length(g) END) dup_chars
+           FROM c3 GROUP BY doc_id)
+    SELECT tok.doc_id, tok.n_tokens_ws, tok.n_tokens_re, tok.n_tokens_bpe,
+           tok.chars_per_token, dup_word_frac,
+           COALESCE(CAST(t2.c * length(t2.g) AS DOUBLE)/w.nc, 0.0)
+             AS top_bigram_char_frac,
+           COALESCE(CAST(t3.dup_chars AS DOUBLE)/w.nc, 0.0)
+             AS dup_trigram_char_frac
+    FROM tok JOIN w ON tok.doc_id = w.doc_id
+    LEFT JOIN t2 ON tok.doc_id = t2.doc_id
+    LEFT JOIN t3 ON tok.doc_id = t3.doc_id
     """,
 )
 
@@ -534,33 +652,51 @@ register(
 # p15 deterministic sampling + per-group cap (curation reservoir)
 
 
-def p15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible curation: ~50% hash sample, then at most 40 documents
-    per language chosen in md5 order (the cap-per-domain/language step of
-    a training-data pipeline — operators/sampling.py). One shuffle (the
-    group-cap window); the sample itself is a map-only filter."""
+def p15_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curation sampling, two arms (merged p15+p27):
+    strat — ~50% md5-hash sample then at most 40 docs per language in md5
+            order (cap-per-group reservoir; one window shuffle)
+    mix   — per-language mixture rates (all zh, 90% en, half de/fr, a
+            quarter es) as md5-prefix thresholds: map-only, no RNG,
+            stable under any cluster layout and corpus growth."""
     from delta_kernel_rs_spark.operators.sampling import (
         cap_per_group,
         deterministic_sample,
+        weighted_mixture_sample,
     )
 
     df = load_table(spark, sf_dir, "documents")
     sampled = deterministic_sample(df, "doc_id", "8")  # md5 hex < '8' → ~50%
-    return cap_per_group(sampled, ["lang"], "doc_id", 40).select("doc_id", "lang")
+    strat = cap_per_group(sampled, ["lang"], "doc_id", 40).select(
+        F.lit("strat").alias("arm"), "doc_id", "lang", "source"
+    )
+    mix = weighted_mixture_sample(
+        df,
+        "lang",
+        {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 1.0},
+        "doc_id",
+    ).select(F.lit("mix").alias("arm"), "doc_id", "lang", "source")
+    return strat.unionByName(mix)
 
 
 register(
-    "p15_stratified_sample",
-    p15_stratified_sample,
+    "p15_sampling_mixture",
+    p15_sampling_mixture,
     """
-    SELECT doc_id, lang FROM (
-      SELECT doc_id, lang,
+    SELECT 'strat' AS arm, doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
              ROW_NUMBER() OVER (
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
     WHERE rn <= 40
+    UNION ALL
+    SELECT 'mix', doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN 'e666' WHEN 'de' THEN '8000'
+                    WHEN 'fr' THEN '8000' WHEN 'es' THEN '4000'
+                    WHEN 'zh' THEN 'g' ELSE '0000' END
     """,
 )
 
@@ -710,56 +846,6 @@ register(
 )
 
 # ---------------------------------------------------------------------------
-# p19 repetition quality signals (Gopher-style filters)
-
-
-def p19_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition signals: duplicate-word fraction, top-bigram
-    character coverage, duplicated-trigram character coverage
-    (operators/text.py repetition_signals)."""
-    from delta_kernel_rs_spark.operators.text import repetition_signals
-
-    return repetition_signals(load_table(spark, sf_dir, "documents"))
-
-
-register(
-    "p19_repetition_signals",
-    p19_repetition_signals,
-    """
-    WITH d AS (SELECT doc_id, string_split(text,' ') ws, length(text) nc
-               FROM documents),
-    w AS (SELECT doc_id, nc,
-                 CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/len(ws)
-                   AS dup_word_frac
-          FROM d),
-    b2 AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(ws)),
-                         i -> ws[i] || ' ' || ws[i+1])) g
-           FROM d WHERE len(ws) >= 2),
-    c2 AS (SELECT doc_id, g, count(*) c FROM b2 GROUP BY 1, 2),
-    t2 AS (SELECT doc_id, c, g FROM (
-             SELECT doc_id, c, g,
-                    row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY c DESC, g DESC) rn
-             FROM c2) WHERE rn = 1),
-    b3 AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(ws) - 1),
-                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g
-           FROM d WHERE len(ws) >= 3),
-    c3 AS (SELECT doc_id, g, count(*) c FROM b3 GROUP BY 1, 2),
-    t3 AS (SELECT doc_id,
-                  sum(CASE WHEN c > 1 THEN c * length(g) END) dup_chars
-           FROM c3 GROUP BY doc_id)
-    SELECT w.doc_id, dup_word_frac,
-           COALESCE(CAST(t2.c * length(t2.g) AS DOUBLE)/w.nc, 0.0)
-             AS top_bigram_char_frac,
-           COALESCE(CAST(t3.dup_chars AS DOUBLE)/w.nc, 0.0)
-             AS dup_trigram_char_frac
-    FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
-    """,
-)
-
-# ---------------------------------------------------------------------------
 # p20 int8 embedding quantization (exact reconstruction-error accounting)
 
 
@@ -810,49 +896,6 @@ register(
            list_reduce(list_transform(err, x -> abs(x)),
                        (acc, v) -> greatest(acc, v)) AS max_err
     FROM e
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# p21 SimHash hamming near-dup pairs (pigeonhole-banded, lossless recall)
-
-
-def p21_simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 64-bit SimHash hamming distance <= 3, found via
-    pigeonhole band buckets (operators/dedup.py simhash_neardup_pairs).
-    The oracle is the exact all-pairs hamming join: equality is the
-    statement that 4-band candidate recall is total (pigeonhole theorem)."""
-    from delta_kernel_rs_spark.operators.dedup import simhash_neardup_pairs
-
-    return simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
-    )
-
-
-def _dk_simhash_half(hv: str) -> str:
-    return " + ".join(
-        f"(CASE WHEN sum(CASE WHEN ({hv}>>{j})&1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(32)
-    )
-
-
-register(
-    "p21_simhash_hamming_neardup",
-    p21_simhash_hamming_neardup,
-    f"""
-    WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) word
-               FROM documents),
-    h AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT hv1,
-                         ('0x'||substr(md5(word),9,8))::BIGINT hv2 FROM w),
-    f AS (SELECT doc_id, CAST({_dk_simhash_half("hv1")} AS BIGINT) s1,
-                         CAST({_dk_simhash_half("hv2")} AS BIGINT) s2
-          FROM h GROUP BY doc_id)
-    SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
-           CAST(bit_count(xor(fa.s1, fb.s1))
-                + bit_count(xor(fa.s2, fb.s2)) AS INTEGER) AS hamming
-    FROM f fa JOIN f fb ON fa.doc_id < fb.doc_id
-    WHERE bit_count(xor(fa.s1, fb.s1)) + bit_count(xor(fa.s2, fb.s2)) <= 3
     """,
 )
 
@@ -959,68 +1002,6 @@ def _register_p24() -> None:
 _register_p24()
 
 # ---------------------------------------------------------------------------
-# p25 quantized IVF ANN (coarse quantizer + int8 fine scoring)
-
-
-def p25_embedding_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe scored on int8 codes of the normalized vectors — the 4×-
-    compressed fine-scoring path (operators/similarity.py
-    ivf_topk_quantized). Codes and scales are exact constructions, so the
-    quantized ranking is engine-reproducible."""
-    from delta_kernel_rs_spark.operators.similarity import ivf_topk_quantized
-
-    return ivf_topk_quantized(
-        load_table(spark, sf_dir, "embeddings"), n_centroids=16, k=5
-    )
-
-
-register(
-    "p25_embedding_ann_ivf_quantized",
-    p25_embedding_ann_ivf_quantized,
-    f"""
-    WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
-    c AS (SELECT vec_id centroid_id, embedding ce, norm2 cn2 FROM n WHERE vec_id < 16),
-    sc AS (SELECT n.vec_id, n.embedding, n.norm2, centroid_id,
-                  {_dk_fold_dot("n.embedding", "ce")} / sqrt(n.norm2*cn2) ccos
-           FROM n, c),
-    asg AS (SELECT vec_id, embedding, norm2, centroid_id
-            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                               ORDER BY ccos DESC, centroid_id) rr
-                  FROM sc)
-            WHERE rr = 1),
-    nv AS (SELECT vec_id, centroid_id,
-                  list_transform(embedding,
-                                 x -> CAST(x AS DOUBLE)/sqrt(norm2)) AS nvec
-           FROM asg),
-    q AS (SELECT vec_id, centroid_id, nvec,
-                 list_reduce(list_transform(nvec, x -> abs(x)),
-                             (acc, v) -> greatest(acc, v))
-                   / CAST(127 AS DOUBLE) AS qscale
-          FROM nv),
-    qc AS (SELECT vec_id, centroid_id, qscale,
-                  list_transform(nvec,
-                    x -> CAST(CASE WHEN qscale = 0.0 THEN 0.0
-                              ELSE least(127.0, greatest(-127.0,
-                                     floor(x/qscale + 0.5)))
-                              END AS INTEGER)) AS qcodes
-           FROM q),
-    pr AS (SELECT qq.vec_id query_id, bb.centroid_id, bb.vec_id neighbor_id,
-                  CAST(list_reduce(
-                         list_transform(range(1, len(qq.qcodes) + 1),
-                           i -> CAST(qq.qcodes[i] AS BIGINT)*bb.qcodes[i]),
-                         (acc, v) -> acc + v) AS DOUBLE)
-                    * qq.qscale * bb.qscale AS qcos
-           FROM qc qq JOIN qc bb USING (centroid_id)
-           WHERE qq.vec_id < 8 AND bb.vec_id != qq.vec_id)
-    SELECT query_id, centroid_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, qcos
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY qcos DESC, neighbor_id) rnk
-          FROM pr)
-    WHERE rnk <= 5
-    """,
-)
-
-# ---------------------------------------------------------------------------
 # p26 benchmark decontamination (train/eval n-gram overlap filter)
 
 
@@ -1049,41 +1030,6 @@ register(
            min(tg.gram) AS first_gram
     FROM tg JOIN eg USING (gram)
     GROUP BY doc_id
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# p27 weighted mixture sampling (training-data mixing weights)
-
-
-def p27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language mixture rates (keep all zh, 90% en, half de/fr, a
-    quarter es) applied as deterministic md5-prefix thresholds
-    (operators/sampling.py weighted_mixture_sample). Map-only: no
-    shuffle, no join, no RNG — the mixture re-derives identically on any
-    cluster layout and stays stable as the corpus grows."""
-    from delta_kernel_rs_spark.operators.sampling import weighted_mixture_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = weighted_mixture_sample(
-        docs,
-        "lang",
-        {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 1.0},
-        "doc_id",
-    )
-    return out.select("doc_id", "lang", "source")
-
-
-register(
-    "p27_mixture_sample",
-    p27_mixture_sample,
-    """
-    SELECT doc_id, lang, source FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-          CASE lang WHEN 'en' THEN 'e666' WHEN 'de' THEN '8000'
-                    WHEN 'fr' THEN '8000' WHEN 'es' THEN '4000'
-                    WHEN 'zh' THEN 'g' ELSE '0000' END
     """,
 )
 
