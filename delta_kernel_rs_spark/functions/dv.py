@@ -341,37 +341,22 @@ def dv_diff_from_df(desc_df, table_path: str):
     )
 
 
-def deleted_rows_df(spark, files, table_path: str):
-    """(file_path, row_index) DataFrame of all deleted rows across files.
+def deleted_rows_from_desc_df(desc_df, table_path: str):
+    """(file_path, row_index) DataFrame of all deleted rows.
 
-    The *descriptors* are tiny (one row per DV-carrying file) and are
-    parallelized to executors; each executor opens its DV spans via
-    pyarrow.fs (handles file/hdfs/s3 URIs) and explodes them to row
-    indexes there — the driver never materializes the deleted-row set
-    (reference applies a per-file selection vector at
-    kernel/src/scan/mod.rs:1330-1406; a heavily-deleted 100 TB table can
-    hold billions of deleted rows, so the explode must be distributed).
+    ``desc_df`` columns: dv_file_path, storage_type, path_or_inline,
+    offset — one row per DV-carrying file. The descriptors are tiny and
+    parallelize to executors; each executor resolves the DV blob path
+    itself, opens the spans via pyarrow.fs (file/hdfs/s3 URIs) and
+    explodes them to row indexes there — the driver never materializes
+    the deleted-row set (reference applies a per-file selection vector
+    at kernel/src/scan/mod.rs:1330-1406; a heavily-deleted 100 TB table
+    can hold billions of deleted rows, so the explode must be
+    distributed).
     """
     from collections.abc import Iterator
 
     import pandas as pd
-
-    desc_rows = [
-        (
-            f.path,
-            f.dv.get("storageType"),
-            f.dv.get("pathOrInlineDv"),
-            f.dv.get("offset"),
-            dv_absolute_path(table_path, f.dv),
-        )
-        for f in files
-        if f.dv
-    ]
-    desc_df = spark.createDataFrame(
-        desc_rows,
-        "dv_file_path STRING, storage_type STRING, path_or_inline STRING,"
-        " offset LONG, dv_path STRING",
-    ).repartition(max(1, min(len(desc_rows), 64)))
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.fs as pafs
@@ -382,15 +367,20 @@ def deleted_rows_df(spark, files, table_path: str):
                 if r.storage_type == "i":
                     data = z85_decode(r.path_or_inline)
                 else:
-                    blob = blob_cache.get(r.dv_path)
+                    dv_path = dv_absolute_path(
+                        table_path,
+                        {"storageType": r.storage_type, "pathOrInlineDv": r.path_or_inline},
+                    )
+                    blob = blob_cache.get(dv_path)
                     if blob is None:
                         fs, rel = pafs.FileSystem.from_uri(
-                            r.dv_path if "://" in r.dv_path else f"file://{r.dv_path}"
+                            dv_path if "://" in dv_path else f"file://{dv_path}"
                         )
                         with fs.open_input_stream(rel) as fh:
                             blob = fh.read()
-                        blob_cache[r.dv_path] = blob
-                    data = extract_dv_blob(blob, r.offset)
+                        blob_cache[dv_path] = blob
+                    off = None if (r.offset is None or pd.isna(r.offset)) else int(r.offset)
+                    data = extract_dv_blob(blob, off)
                 idx = decode_treemap(data)
                 for start in range(0, len(idx), 1 << 20):
                     chunk = idx[start : start + (1 << 20)]
@@ -402,3 +392,24 @@ def deleted_rows_df(spark, files, table_path: str):
                     )
 
     return desc_df.mapInPandas(explode, "dv_file_path STRING, dv_row_index LONG")
+
+
+def deleted_rows_df(spark, files, table_path: str):
+    """List-fed twin of :func:`deleted_rows_from_desc_df` for callers that
+    already hold a bounded ScanFile list (delete rewrite, cached scans)."""
+    desc_rows = [
+        (
+            f.path,
+            f.dv.get("storageType"),
+            f.dv.get("pathOrInlineDv"),
+            f.dv.get("offset"),
+        )
+        for f in files
+        if f.dv
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows,
+        "dv_file_path STRING, storage_type STRING, path_or_inline STRING,"
+        " offset LONG",
+    ).repartition(max(1, min(len(desc_rows), 64)))
+    return deleted_rows_from_desc_df(desc_df, table_path)
