@@ -94,28 +94,33 @@ def convert_to_delta(
         + [T.StructField(n, t, True) for n, t in pcols.items()]
     )
 
-    # Distributed footer pass: real stats without reading data pages.
-    stats_by_path = collect_file_stats_footer(
-        spark, [f[0] for f in files], data_schema
-    )
+    # Distributed footer pass + streamed commit assembly: stats are
+    # computed (executor-side) and turned into add actions one bounded
+    # chunk of files at a time, so converting a million-file directory
+    # never holds the full stats map or action list in driver memory —
+    # only the (path, pv, size, mtime) string tuples from the listing.
+    CHUNK = 10_000
 
-    adds = []
-    for abs_path, rel, raw_pv, size, mtime in files:
-        raw = stats_by_path.get(abs_path)
-        adds.append(
-            {
-                "add": {
-                    "path": "/".join(
-                        urllib.parse.quote(seg) for seg in rel.split("/")
-                    ),
-                    "partitionValues": raw_pv,
-                    "size": size,
-                    "modificationTime": mtime,
-                    "dataChange": True,
-                    "stats": stats_json(raw, data_schema) if raw else None,
+    def convert_adds():
+        for lo in range(0, len(files), CHUNK):
+            chunk = files[lo : lo + CHUNK]
+            stats_by_path = collect_file_stats_footer(
+                spark, [f[0] for f in chunk], data_schema
+            )
+            for abs_path, rel, raw_pv, size, mtime in chunk:
+                raw = stats_by_path.get(abs_path)
+                yield {
+                    "add": {
+                        "path": "/".join(
+                            urllib.parse.quote(seg) for seg in rel.split("/")
+                        ),
+                        "partitionValues": raw_pv,
+                        "size": size,
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                        "stats": stats_json(raw, data_schema) if raw else None,
+                    }
                 }
-            }
-        )
 
     txn = Transaction(
         spark,
@@ -126,6 +131,6 @@ def convert_to_delta(
         partition_columns=list(pcols),
         configuration=properties or {},
     )
-    txn.add_actions(adds)
+    txn.add_actions_stream(convert_adds)
     txn.commit()
     return DeltaTable(spark, path)

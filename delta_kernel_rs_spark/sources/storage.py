@@ -39,6 +39,14 @@ def _strip_scheme(path: str) -> str:
     return path
 
 
+def _byte_chunks(data):
+    """Normalize a commit payload (bytes or iterable of bytes) to chunks."""
+    if isinstance(data, (bytes, bytearray)):
+        yield bytes(data)
+    else:
+        yield from data
+
+
 class LocalStorage:
     """POSIX storage handler."""
 
@@ -90,8 +98,14 @@ class LocalStorage:
     def mkdirs(self, directory: str) -> None:
         os.makedirs(_strip_scheme(directory), exist_ok=True)
 
-    def put_if_absent(self, path: str, data: bytes) -> None:
-        """Atomic create-if-not-exists — THE commit primitive."""
+    def put_if_absent(self, path: str, data) -> None:
+        """Atomic create-if-not-exists — THE commit primitive.
+
+        ``data`` is bytes or an iterable of bytes chunks; chunked input
+        streams to disk so huge commits (clone/convert manifests) never
+        buffer fully in driver memory. O_EXCL claims the name first, so
+        atomicity is unchanged — a torn write is unlinked.
+        """
         path = _strip_scheme(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -100,7 +114,8 @@ class LocalStorage:
             raise CommitConflict(path) from exc
         try:
             with os.fdopen(fd, "wb") as fh:
-                fh.write(data)
+                for chunk in _byte_chunks(data):
+                    fh.write(chunk)
                 fh.flush()
                 os.fsync(fh.fileno())
         except BaseException:
@@ -222,13 +237,14 @@ class HadoopStorage:
     def mkdirs(self, directory: str) -> None:
         self._fs.mkdirs(self._jpath(directory))
 
-    def put_if_absent(self, path: str, data: bytes) -> None:
+    def put_if_absent(self, path: str, data) -> None:
         try:
             stream = self._fs.create(self._jpath(path), False)
         except Exception as exc:  # FileAlreadyExistsException
             raise CommitConflict(path) from exc
         try:
-            stream.write(bytearray(data))
+            for chunk in _byte_chunks(data):
+                stream.write(bytearray(chunk))
         finally:
             stream.close()
 

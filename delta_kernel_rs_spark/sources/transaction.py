@@ -176,6 +176,7 @@ class Transaction:
         self._txn_actions: list[dict] = []
         self._domain_metadata: list[dict] = []
         self._extra_actions: list[dict] = []
+        self._stream_factory = None
         self._update_metadata = False
         if self.is_create and self.schema is not None and self._cm_mode() != "none":
             from delta_kernel_rs_spark.functions.schema_codec import assign_column_mapping
@@ -383,6 +384,15 @@ class Transaction:
     def add_actions(self, actions: list[dict]) -> "Transaction":
         """Stage raw actions (remove/cdc/...) built by higher-level ops."""
         self._extra_actions.extend(actions)
+        return self
+
+    def add_actions_stream(self, factory) -> "Transaction":
+        """Stage an unbounded action stream: ``factory()`` returns a fresh
+        iterator of action dicts, consumed lazily at commit time and
+        streamed to storage in bounded NDJSON chunks — clone/convert
+        manifests (O(live files) actions) never buffer fully in driver
+        memory. The factory is re-invoked on commit retry."""
+        self._stream_factory = factory
         return self
 
     def _constraint_predicates(self) -> list[tuple[str, str]]:
@@ -814,7 +824,13 @@ class Transaction:
         base_actions.extend(self._domain_metadata)
         base_actions.extend(self._extra_actions)
 
-        if not self.is_create and not base_actions and not adds and self.read_snapshot is not None:
+        if (
+            not self.is_create
+            and not base_actions
+            and not adds
+            and self._stream_factory is None
+            and self.read_snapshot is not None
+        ):
             # Nothing to commit (e.g. a MERGE whose source changed no rows):
             # skip the empty version bump, report the version we read.
             return self.read_snapshot.version
@@ -831,7 +847,28 @@ class Transaction:
                 # high-water mark — recompute per attempt.
                 actions.append(self._assign_row_ids(adds, hwm_snapshot, version))
             actions.extend(adds)
-            payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
+            if self._stream_factory is not None:
+                factory = self._stream_factory
+
+                def payload_chunks(head_actions=tuple(actions)):
+                    buf: list[str] = []
+                    size = 0
+                    for a in head_actions:
+                        buf.append(_json_line(a) + "\n")
+                        size += len(buf[-1])
+                    for a in factory():
+                        line = _json_line(a) + "\n"
+                        buf.append(line)
+                        size += len(line)
+                        if size >= (1 << 20):
+                            yield "".join(buf).encode()
+                            buf, size = [], 0
+                    if buf:
+                        yield "".join(buf).encode()
+
+                payload = payload_chunks()
+            else:
+                payload = ("\n".join(_json_line(a) for a in actions) + "\n").encode()
             if (
                 self.committer is None
                 and self.read_snapshot is not None
@@ -844,6 +881,9 @@ class Transaction:
                 )
             try:
                 if self.committer is not None:
+                    # committer ABI takes bytes; streamed payloads join here
+                    if not isinstance(payload, (bytes, bytearray)):
+                        payload = b"".join(payload)
                     self.committer.commit(self.storage, self.table_path, version, payload)
                 else:
                     path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"

@@ -103,3 +103,24 @@ def test_dv_delete_on_clone_merges_portable_dv(spark, tmp_path):
     dvs = [f.dv for f in c.snapshot().scan().files() if f.dv]
     assert any(d["storageType"] in ("u", "i") for d in dvs)
     assert any(d["storageType"] == "p" for d in dvs)
+
+
+def test_clone_commit_streams_without_full_collect(spark, tmp_path, monkeypatch):
+    """Clone assembles its commit from toLocalIterator chunks — a full
+    collect() of the file frame (the round-5 driver-buffer ceiling) must
+    never happen on this path."""
+    src = str(tmp_path / "src")
+    t = DeltaTable.create(
+        spark, src, df=spark.range(100).toDF("k").repartition(5)
+    )
+
+    df_cls = type(spark.range(1))
+
+    def forbid_collect(self):
+        raise AssertionError("clone must stream, not collect()")
+
+    monkeypatch.setattr(df_cls, "collect", forbid_collect)
+    dest = str(tmp_path / "dest")
+    c = t.shallow_clone(dest)
+    monkeypatch.undo()
+    assert sorted(r.k for r in c.to_df().collect()) == list(range(100))
