@@ -178,6 +178,19 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> DeltaTable:
         t = DeltaTable.create(spark, path, schema=schema, partition_by=["ship_year"])
         t.append(_chunk(src, 4, 0))
         t.append(_chunk(src, 4, 1))
+    elif kind == "iceberg":  # icebergCompatV2 (UniForm): cm + CoW delete
+        t = DeltaTable.create(
+            spark,
+            path,
+            df=_chunk(src, 4, 0),
+            partition_by=["l_returnflag"],
+            properties={
+                "delta.enableIcebergCompatV2": "true",
+                "delta.columnMapping.mode": "name",
+            },
+        )
+        t.append(_chunk(src, 4, 1))
+        t.delete("l_quantity > 48")  # DVs are forbidden; CoW keeps compat
     elif kind == "repl":  # create two chunks, replaceWhere the q>40 band
         t = DeltaTable.create(spark, path, df=_chunk(src, 4, 0))
         t.overwrite_where(
@@ -889,6 +902,27 @@ register(
     UNION ALL
     SELECT 'clone', {_COLS_SQL} FROM lineitem
     WHERE l_orderkey % 4 <= 1 AND l_quantity > 35
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# d29 icebergCompatV2 (UniForm) table: enablement validation + column-
+# mapped write with parquet field ids + CoW delete (DVs forbidden), read
+# back through the kernel path (reference table_features/mod.rs:430-438
+# requirement list; tests/integration/features/iceberg_compat.rs)
+
+
+def d29_delta_iceberg_compat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fixture(spark, sf_dir, "iceberg")
+    return t.to_df(predicate="l_quantity <= 45")
+
+
+register(
+    "d29_delta_iceberg_compat_scan",
+    d29_delta_iceberg_compat_scan,
+    f"""
+    SELECT {_COLS_SQL} FROM lineitem
+    WHERE l_orderkey % 4 <= 1 AND NOT (l_quantity > 48) AND l_quantity <= 45
     """,
 )
 

@@ -268,6 +268,18 @@ def delete_with_dvs(table, predicate) -> int:
     """DV-based delete: no data rewrite — write roaring bitmaps and swap
     the ``add`` entries to carry DV descriptors."""
     snap = table.snapshot()
+    from delta_kernel_rs_spark.functions.iceberg_compat import (
+        IcebergCompatError,
+        enabled_versions,
+    )
+
+    if enabled_versions(snap.metadata.configuration):
+        # icebergCompatV2 forbids DVs (reference mod.rs:430-438) — use
+        # the copy-on-write delete on UniForm tables
+        raise IcebergCompatError(
+            "deletion vectors are forbidden on icebergCompat tables; "
+            "use the copy-on-write delete"
+        )
     scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))
     df, files = _candidate_df_with_lineage(scan)
     if df is None:

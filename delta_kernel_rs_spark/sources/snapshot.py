@@ -84,6 +84,11 @@ class Protocol:
             "clustering",
             "variantType",
             "variantType-preview",
+            # writer-only UniForm compat; V1/V3 intentionally absent so
+            # tables carrying them are refused for writes (reference
+            # supports exactly one icebergCompat version and refuses the
+            # rest — table_features/mod.rs:407-482)
+            "icebergCompatV2",
         }
     )
 

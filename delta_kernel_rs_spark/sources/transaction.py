@@ -570,12 +570,22 @@ class Transaction:
         }
 
     def _protocol_action(self) -> dict:
+        from delta_kernel_rs_spark.functions.iceberg_compat import (
+            validate_iceberg_compat,
+        )
+
         min_r, min_w = 1, 2
         writer_features: set[str] = set()
+        iceberg_v = validate_iceberg_compat(
+            self.configuration, self.schema, self._cm_mode()
+        )
         if self._cm_mode() != "none":
             # Column mapping needs reader 2 / writer 5 (legacy table
             # properties protocol; reference column_mapping.rs gating).
             min_r, min_w = 2, 5
+        if iceberg_v:
+            min_w = 7
+            writer_features.add("icebergCompatV2")
         if self._row_tracking_enabled():
             min_w = 7  # table-features protocol: list writer features
             writer_features |= {"rowTracking", "domainMetadata"}
@@ -807,6 +817,19 @@ class Transaction:
             raise AppendOnlyError(
                 f"table {self.table_path} is append-only (delta.appendOnly); "
                 "deletes/updates are not permitted"
+            )
+        # iceberg-compat invariants re-validate on EVERY commit (reference
+        # validate_iceberg_compat_if_needed runs per transaction): a DV
+        # delete or schema change must not break the UniForm promise.
+        if self.read_snapshot is not None:
+            from delta_kernel_rs_spark.functions.iceberg_compat import (
+                validate_iceberg_compat,
+            )
+
+            validate_iceberg_compat(
+                self.configuration,
+                self.schema,
+                self._cm_mode(),
             )
         self._enforce_constraints()
         adds = self._stage_files()
