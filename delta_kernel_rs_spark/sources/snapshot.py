@@ -116,6 +116,18 @@ class Protocol:
                 - self.SUPPORTED_READER_FEATURES
                 - extra
             )
+            if unsupported & {"variantShredding", "variantShredding-preview"}:
+                # Named refusal (not the generic unknown-feature error):
+                # shredded variants store typed subcolumns beside the
+                # binary value/metadata pair; reading them means
+                # re-assembling the variant from the shredding scheme
+                # (reference table_features/mod.rs:630-646) — refusing is
+                # the safe posture until that reassembly exists (PLANS.md).
+                raise InvalidLogError(
+                    "table uses variant shredding (variantShredding), which "
+                    "this engine cannot reassemble yet; refusing to read "
+                    "rather than return partial variant values"
+                )
             if unsupported:
                 raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
 

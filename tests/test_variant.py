@@ -85,3 +85,40 @@ def test_variant_table_write_scan(spark, tmp_path):
         )
     )
     assert t.to_df().count() == 25
+
+
+def test_variant_shredding_table_is_refused_with_named_error(spark, tmp_path):
+    """A variantShredding table must be refused with a message naming the
+    feature (not the generic unknown-feature error) — the safe posture
+    until shredded-variant reassembly exists (PLANS.md)."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.snapshot import InvalidLogError
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark, path, schema=T.StructType([T.StructField("k", T.LongType())])
+    )
+    t.append(spark.range(3).toDF("k"))
+    log = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    lines = open(log).read().splitlines()
+    out = []
+    for line in lines:
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["variantType", "variantShredding"],
+                "writerFeatures": ["variantType", "variantShredding"],
+            }
+        out.append(json.dumps(a))
+    open(log, "w").write("\n".join(out) + "\n")
+
+    with pytest.raises(InvalidLogError, match="variant shredding"):
+        DeltaTable(spark, path).snapshot().scan().to_df()
