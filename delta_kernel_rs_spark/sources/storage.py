@@ -66,8 +66,24 @@ class LocalStorage:
         return out
 
     def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
-        """Listing of files with name >= start_name (reference list_from)."""
-        return [f for f in self.list_dir(directory) if f.path.rsplit("/", 1)[-1] >= start_name]
+        """Files with name >= start_name (reference StorageHandler.list_from,
+        kernel/src/lib.rs:610-654). POSIX has no server-side start key, but
+        names below it are skipped BEFORE any stat or entry construction —
+        on a million-entry log dir with a checkpoint hint, memory and stat
+        calls are bounded by the matching tail, not the full listing."""
+        directory = _strip_scheme(directory)
+        try:
+            entries = os.scandir(directory)
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            if e.name < start_name or not e.is_file():
+                continue
+            st = e.stat()
+            out.append(FileEntry(e.path, st.st_size, int(st.st_mtime * 1000)))
+        out.sort(key=lambda f: f.path)
+        return out
 
     def list_recursive(self, directory: str) -> list[FileEntry]:
         directory = _strip_scheme(directory)
@@ -178,7 +194,33 @@ class HadoopStorage:
         return out
 
     def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
-        return [f for f in self.list_dir(directory) if f.path.rsplit("/", 1)[-1] >= start_name]
+        """Files with name >= start_name via listStatusIterator: statuses
+        stream from the NameNode/object store in pages and names below the
+        start key are dropped before FileEntry construction, so client
+        memory is bounded by the matching tail. (A genuinely server-side
+        startAfter needs the raw object-store API — S3 ListObjectsV2 —
+        which the Hadoop FileSystem abstraction does not expose; this is
+        the closest portable shape.)"""
+        jdir = self._jpath(directory)
+        if not self._fs.exists(jdir):
+            return []
+        out: list[FileEntry] = []
+        it = self._fs.listStatusIterator(jdir)
+        while it.hasNext():
+            status = it.next()
+            if not status.isFile():
+                continue
+            if status.getPath().getName() < start_name:
+                continue
+            out.append(
+                FileEntry(
+                    status.getPath().toString(),
+                    status.getLen(),
+                    status.getModificationTime(),
+                )
+            )
+        out.sort(key=lambda f: f.path)
+        return out
 
     def list_recursive(self, directory: str) -> list[FileEntry]:
         jdir = self._jpath(directory)
@@ -325,11 +367,27 @@ class ArrowStorage:
         return out
 
     def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
-        return [
-            f
-            for f in self.list_dir(directory)
-            if f.path.rsplit("/", 1)[-1] >= start_name
+        """KNOWN LIMITATION: pyarrow's FileSelector exposes no start key
+        and no streaming iterator, so this handler lists the directory
+        then drops names below the start key — entry construction is
+        still skipped for them, but the underlying RPC fetches the full
+        page set. Use the Hadoop handler for huge logs; this one serves
+        SparkSession-free contexts (executors, Python data sources)."""
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(self._rel(directory), allow_not_found=True)
+        out = [
+            FileEntry(
+                self._full(info.path),
+                info.size or 0,
+                int(info.mtime.timestamp() * 1000) if info.mtime else 0,
+            )
+            for info in self._fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+            and info.path.rsplit("/", 1)[-1] >= start_name
         ]
+        out.sort(key=lambda f: f.path)
+        return out
 
     def list_recursive(self, directory: str) -> list[FileEntry]:
         import pyarrow.fs as pafs

@@ -1,0 +1,66 @@
+"""Start-key listing (reference StorageHandler.list_from,
+kernel/src/lib.rs:610-654): names below the start key must be skipped
+BEFORE FileEntry construction, so a log directory where 90% of names
+sort before the key costs only the matching tail in entries/stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_kernel_rs_spark.sources import storage as storage_mod
+from delta_kernel_rs_spark.sources.storage import (
+    ArrowStorage,
+    HadoopStorage,
+    LocalStorage,
+)
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "_delta_log"
+    d.mkdir()
+    for v in range(100):
+        (d / f"{v:020d}.json").write_text("{}\n")
+    return str(d)
+
+
+def _counting_entries(monkeypatch):
+    made = []
+    real = storage_mod.FileEntry
+
+    def counting(*args, **kwargs):
+        e = real(*args, **kwargs)
+        made.append(e)
+        return e
+
+    monkeypatch.setattr(storage_mod, "FileEntry", counting)
+    return made
+
+
+START = f"{90:020d}.json"  # 90% of names sort before this
+
+
+def test_local_list_from_constructs_only_tail(monkeypatch, log_dir):
+    made = _counting_entries(monkeypatch)
+    out = LocalStorage().list_from(log_dir, START)
+    assert len(out) == 10
+    assert [f.path.rsplit("/", 1)[-1] for f in out] == [
+        f"{v:020d}.json" for v in range(90, 100)
+    ]
+    assert len(made) == 10  # no entry built for the 90 below the key
+
+
+def test_hadoop_list_from_constructs_only_tail(spark, monkeypatch, log_dir):
+    made = _counting_entries(monkeypatch)
+    st = HadoopStorage(spark, f"file://{log_dir}")
+    out = st.list_from(f"file://{log_dir}", START)
+    assert len(out) == 10
+    assert len(made) == 10
+
+
+def test_arrow_list_from_filters_before_construction(monkeypatch, log_dir):
+    made = _counting_entries(monkeypatch)
+    st = ArrowStorage(log_dir)
+    out = st.list_from(log_dir, START)
+    assert len(out) == 10
+    assert len(made) == 10
