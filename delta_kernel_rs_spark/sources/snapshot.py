@@ -56,6 +56,13 @@ class Protocol:
             "inCommitTimestamp",
             "variantType",
             "variantType-preview",
+            # Shredded variants: Spark 4.1 reads the shredded parquet
+            # layout natively (spark.sql.variant.allowReadingShredded,
+            # default true), so the kernel path reassembles typed_value
+            # subcolumns for free (reference table_features/mod.rs:630-646
+            # reads them too).
+            "variantShredding",
+            "variantShredding-preview",
         }
     )
 
@@ -89,6 +96,8 @@ class Protocol:
             # supports exactly one icebergCompat version and refuses the
             # rest — table_features/mod.rs:407-482)
             "icebergCompatV2",
+            "variantShredding",
+            "variantShredding-preview",
         }
     )
 
@@ -116,18 +125,6 @@ class Protocol:
                 - self.SUPPORTED_READER_FEATURES
                 - extra
             )
-            if unsupported & {"variantShredding", "variantShredding-preview"}:
-                # Named refusal (not the generic unknown-feature error):
-                # shredded variants store typed subcolumns beside the
-                # binary value/metadata pair; reading them means
-                # re-assembling the variant from the shredding scheme
-                # (reference table_features/mod.rs:630-646) — refusing is
-                # the safe posture until that reassembly exists (PLANS.md).
-                raise InvalidLogError(
-                    "table uses variant shredding (variantShredding), which "
-                    "this engine cannot reassemble yet; refusing to read "
-                    "rather than return partial variant values"
-                )
             if unsupported:
                 raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
 

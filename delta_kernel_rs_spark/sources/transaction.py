@@ -605,6 +605,22 @@ class Transaction:
             min_r, min_w = 3, 7
             reader_features.add("variantType")
             writer_features.add("variantType")
+        if (
+            str(self.configuration.get("delta.enableVariantShredding", ""))
+            .strip()
+            .lower()
+            == "true"
+        ):
+            # Shredded-variant files (reader-writer feature; reference
+            # table_features/mod.rs:630-646). Requires a variant column.
+            if self.schema is None or not _schema_has_variant(self.schema):
+                raise ValueError(
+                    "delta.enableVariantShredding=true requires a VARIANT "
+                    "column in the schema"
+                )
+            min_r, min_w = 3, 7
+            reader_features.add("variantShredding")
+            writer_features.add("variantShredding")
         if min_w >= 7 and self._cm_mode() != "none":
             writer_features.add("columnMapping")
         if min_r >= 3 and self._cm_mode() != "none":

@@ -86,39 +86,62 @@ def test_variant_table_write_scan(spark, tmp_path):
     )
     assert t.to_df().count() == 25
 
-
-def test_variant_shredding_table_is_refused_with_named_error(spark, tmp_path):
-    """A variantShredding table must be refused with a message naming the
-    feature (not the generic unknown-feature error) — the safe posture
-    until shredded-variant reassembly exists (PLANS.md)."""
-    import json
-    import os
-
-    import pytest
+def test_variant_shredding_roundtrip(spark, tmp_path):
+    """variantShredding end-to-end: an engine-written table with
+    delta.enableVariantShredding lists the feature; genuinely shredded
+    parquet (forced via Spark's test conf) reads back through the kernel
+    path with full variant values (Spark 4.1 reassembles typed_value
+    subcolumns natively — spark.sql.variant.allowReadingShredded)."""
     from pyspark.sql import types as T
 
-    from delta_kernel_rs_spark.sources.snapshot import InvalidLogError
     from delta_kernel_rs_spark.sources.table import DeltaTable
 
     path = str(tmp_path / "tbl")
-    t = DeltaTable.create(
-        spark, path, schema=T.StructType([T.StructField("k", T.LongType())])
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.VariantType())]
     )
-    t.append(spark.range(3).toDF("k"))
-    log = os.path.join(path, "_delta_log", "00000000000000000000.json")
-    lines = open(log).read().splitlines()
-    out = []
-    for line in lines:
-        a = json.loads(line)
-        if "protocol" in a:
-            a["protocol"] = {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["variantType", "variantShredding"],
-                "writerFeatures": ["variantType", "variantShredding"],
-            }
-        out.append(json.dumps(a))
-    open(log, "w").write("\n".join(out) + "\n")
+    t = DeltaTable.create(
+        spark,
+        path,
+        schema=schema,
+        properties={"delta.enableVariantShredding": "true"},
+    )
+    proto = t.snapshot().protocol
+    assert "variantShredding" in (proto.reader_features or [])
+    assert "variantShredding" in (proto.writer_features or [])
 
-    with pytest.raises(InvalidLogError, match="variant shredding"):
-        DeltaTable(spark, path).snapshot().scan().to_df()
+    df = spark.sql(
+        "SELECT id, parse_json(concat('{\"a\": ', id, ', \"b\": \"x\"}')) AS v "
+        "FROM range(10)"
+    )
+    spark.conf.set("spark.sql.variant.forceShreddingSchemaForTest", "a int, b string")
+    try:
+        t.append(df.coalesce(1))
+    finally:
+        spark.conf.unset("spark.sql.variant.forceShreddingSchemaForTest")
+
+    got = sorted(
+        (r.id, str(r.v)) for r in t.to_df().selectExpr("id", "v").collect()
+    )
+    assert got == [(i, '{"a":%d,"b":"x"}' % i) for i in range(10)]
+    # typed access through the variant path works on the shredded file
+    a_vals = sorted(
+        r.a
+        for r in t.to_df().selectExpr("variant_get(v, '$.a', 'int') AS a").collect()
+    )
+    assert a_vals == list(range(10))
+
+
+def test_variant_shredding_requires_variant_column(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    with pytest.raises(ValueError, match="VARIANT"):
+        DeltaTable.create(
+            spark,
+            str(tmp_path / "tbl"),
+            schema=T.StructType([T.StructField("k", T.LongType())]),
+            properties={"delta.enableVariantShredding": "true"},
+        )
