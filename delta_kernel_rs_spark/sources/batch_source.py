@@ -74,6 +74,19 @@ from delta_kernel_rs_spark.sources.storage import storage_for_uri
 
 DEFAULT_TARGET_BYTES = 128 << 20
 
+#: The facade reads parquet with pyarrow, which cannot decode VARIANT
+#: pages (plain or shredded) the way the JVM reader can — narrow the
+#: read gate so variant-bearing tables fail fast at planning with a
+#: feature error instead of a mid-scan decode error.
+from delta_kernel_rs_spark.sources.snapshot import Protocol as _Protocol  # noqa: E402
+
+_PYARROW_READER_FEATURES = _Protocol.SUPPORTED_READER_FEATURES - {
+    "variantType",
+    "variantType-preview",
+    "variantShredding",
+    "variantShredding-preview",
+}
+
 
 def register_batch_source(spark) -> None:
     spark.dataSource.register(DeltaKernelDataSource)
@@ -183,7 +196,7 @@ class DeltaKernelDataSource(DataSource):
     def schema(self) -> T.StructType:
         storage, seg = self._segment()
         meta, proto = snapshot_metadata(storage, seg)
-        protocol_of(proto).ensure_read_supported()
+        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
         full = parse_schema_string(meta["schemaString"])
         return T.StructType(_select_fields(full, _opts(self.options).get("columns")))
 
@@ -381,7 +394,7 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
         meta, proto = snapshot_metadata(storage, self._seg)
         # same gate as Snapshot.create: never silently misread a table whose
         # protocol demands reader behavior this engine lacks
-        protocol_of(proto).ensure_read_supported()
+        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._predicate = _parse_predicate_opt(
@@ -470,7 +483,7 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
         storage = storage_for_uri(self._path)
         seg = build_log_segment(storage, self._path)
         meta, proto = snapshot_metadata(storage, seg)
-        protocol_of(proto).ensure_read_supported()
+        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         # optional row filter, evaluated exactly like the batch facade's

@@ -38,7 +38,11 @@ from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
 #: persisted live-adds frames, one per (session, table, version); small
 #: LRU — evictees are unpersisted (see Scan.cached_add_actions_df).
 _LIVE_ADDS_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_LIVE_ADDS_CACHE_MAX = 8
+# Adds frames are metadata-sized and persist MEMORY_AND_DISK (spill, not
+# OOM, on million-file tables); an 8-entry cache thrashes on workloads
+# that touch tens of tables per session — every query paid the persist
+# without ever reusing it.
+_LIVE_ADDS_CACHE_MAX = 64
 
 
 def dv_unique_id(dv_col: Column) -> Column:

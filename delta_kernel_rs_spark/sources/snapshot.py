@@ -114,17 +114,19 @@ class Protocol:
         feats = set(self.reader_features or []) | set(self.writer_features or [])
         return bool(feats & self.CATALOG_FEATURES)
 
-    def ensure_read_supported(self, extra: frozenset = frozenset()) -> None:
+    def ensure_read_supported(
+        self, extra: frozenset = frozenset(), supported: frozenset | None = None
+    ) -> None:
+        """``supported`` narrows the feature set for restricted readers —
+        e.g. the pyarrow-based facade, which cannot decode parquet VARIANT
+        pages the way the JVM reader can."""
+        sup = self.SUPPORTED_READER_FEATURES if supported is None else supported
         if self.min_reader_version > 3:
             raise InvalidLogError(
                 f"unsupported minReaderVersion {self.min_reader_version}"
             )
         if self.min_reader_version == 3:
-            unsupported = (
-                set(self.reader_features or [])
-                - self.SUPPORTED_READER_FEATURES
-                - extra
-            )
+            unsupported = set(self.reader_features or []) - sup - extra
             if unsupported:
                 raise InvalidLogError(f"unsupported reader features: {sorted(unsupported)}")
 

@@ -48,6 +48,11 @@ def register_cdf_source(spark) -> None:
     spark.dataSource.register(DeltaCdfDataSource)
 
 
+from delta_kernel_rs_spark.sources.batch_source import (  # noqa: E402
+    _PYARROW_READER_FEATURES,
+)
+
+
 def _log_dir(path: str) -> str:
     return f"{path.rstrip('/')}/_delta_log"
 
@@ -61,7 +66,7 @@ def _latest_metadata(storage, path: str) -> dict:
 
     seg = build_log_segment(storage, path)
     meta, proto = snapshot_metadata(storage, seg)
-    protocol_of(proto).ensure_read_supported()
+    protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
     return meta
 
 
