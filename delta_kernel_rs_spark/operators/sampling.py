@@ -97,3 +97,45 @@ def weighted_mixture_sample(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, chars)
         < F.coalesce(mapping[F.col(group_col)], F.lit("0" * chars))
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    token_col: Column | str,
+    key_col: str,
+    budget_tokens: int,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Fill a global token budget across groups at configured weights.
+
+    The planning step of assembling a training mix: each group gets a
+    quota of ``floor(budget * weight / sum(weights))`` tokens, then
+    documents are admitted in md5(key) order (the reproducible shuffle)
+    until the RUNNING token total would exceed the quota — i.e. the
+    selected set is the maximal md5-prefix of the group whose token sum
+    fits. Adds ``cum_tokens`` (the running total including the row) and
+    ``quota_tokens``.
+
+    Scale: one window shuffle partitioned by group. The running sum is
+    inherently sequential WITHIN a group (that is the semantics), but
+    groups fill in parallel — the same shape as any per-group cumsum; no
+    driver state, no RNG, and identical selection on any cluster layout.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quotas = {g: int(budget_tokens * w / total_w) for g, w in weights.items()}
+    qmap = F.create_map(
+        *[F.lit(x) for g in sorted(quotas) for x in (g, quotas[g])]
+    )
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("quota_tokens", qmap[F.col(group_col)].cast("long"))
+        .filter(F.col("quota_tokens").isNotNull())
+        .withColumn("cum_tokens", F.sum(tok.cast("long")).over(w))
+        .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+    )

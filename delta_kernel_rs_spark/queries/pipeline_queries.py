@@ -1035,6 +1035,61 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# p29 token-budget mixture fill (training-mix assembly planning)
+
+
+def p29_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 60k-token budget at en:3 de:1 fr:1 weights: per-language
+    quotas, then documents admitted in md5 order until the running
+    regex-token total would exceed the quota (operators/sampling.py
+    token_budget_fill). The selected set is a pure function of (corpus,
+    budget, weights) — re-runs and cluster layouts cannot change it."""
+    from delta_kernel_rs_spark.operators.sampling import token_budget_fill
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    out = token_budget_fill(
+        docs.withColumn("n_tokens", n_tokens),
+        "lang",
+        "n_tokens",
+        "doc_id",
+        budget_tokens=60_000,
+        weights={"en": 3.0, "de": 1.0, "fr": 1.0},
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_tokens",
+        "quota_tokens",
+    )
+
+
+register(
+    "p29_token_budget_fill",
+    p29_token_budget_fill,
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             CASE lang WHEN 'en' THEN 36000 WHEN 'de' THEN 12000
+                       WHEN 'fr' THEN 12000 END AS quota_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens, quota_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t WHERE quota_tokens IS NOT NULL)
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(quota_tokens AS BIGINT) AS quota_tokens
+    FROM c WHERE cum_tokens <= quota_tokens
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # p28 winnowing passage fingerprints (copied-passage dedup pairs)
 
 

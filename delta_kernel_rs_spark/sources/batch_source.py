@@ -733,7 +733,15 @@ class _DeltaKernelWriterBase:
     def _sink_writer_features() -> frozenset:
         from delta_kernel_rs_spark.sources.snapshot import Protocol
 
-        return Protocol.SUPPORTED_WRITER_FEATURES - {"identityColumns", "rowTracking"}
+        return Protocol.SUPPORTED_WRITER_FEATURES - {
+            "identityColumns",
+            "rowTracking",
+            # the sink writes data files itself and does not materialize
+            # partition values into them, nor shred variants
+            "materializePartitionColumns",
+            "variantShredding",
+            "variantShredding-preview",
+        }
 
     def __init__(self, schema: T.StructType, options: dict):
         opts = _opts(options)

@@ -98,6 +98,7 @@ class Protocol:
             "icebergCompatV2",
             "variantShredding",
             "variantShredding-preview",
+            "materializePartitionColumns",
         }
     )
 

@@ -428,6 +428,20 @@ class Transaction:
                 f"example row: {bad[0]}"
             )
 
+    def _materialize_partition_columns(self) -> bool:
+        """Active when the protocol lists materializePartitionColumns
+        (AlwaysIfSupported in the reference — table_features/mod.rs:1126)
+        or the create enables it via the delta.feature key."""
+        feat = "materializePartitionColumns"
+        if self.read_snapshot is not None and feat in (
+            self.read_snapshot.protocol.writer_features or []
+        ):
+            return True
+        return (
+            str(self.configuration.get(f"delta.feature.{feat}", "")).strip().lower()
+            == "supported"
+        )
+
     # -- physical write --------------------------------------------------
     def _stage_files(self) -> list[dict]:
         """Write the staged DataFrame and return fully-built add actions.
@@ -469,12 +483,29 @@ class Transaction:
             # is met by the footer stats collection below).
             exprs = [F.col(c) for c in cluster_cols]
             staged = staged.repartitionByRange(*exprs).sortWithinPartitions(*exprs)
-        out_df = staged.select(*[_phys_col(f) for f in self.schema.fields])
         phys_parts = [phys_of[p] for p in self.partition_columns]
+        materialize = phys_parts and self._materialize_partition_columns()
+        out_cols = [_phys_col(f) for f in self.schema.fields]
+        if materialize:
+            # materializePartitionColumns (reference table_features/
+            # mod.rs:1126, AlwaysIfSupported): partition values must ALSO
+            # live in the data files. Spark's partitionBy drops its
+            # columns from the parquet, so partition on prefixed shadow
+            # columns and keep the real (physical-named) columns as data;
+            # the shadow prefix is stripped from the directory names
+            # during the staging move below.
+            shadow = {phys_of[p]: f"__hive__{phys_of[p]}" for p in self.partition_columns}
+            out_cols += [
+                F.col("`" + p.replace("`", "``") + "`").alias(shadow[phys_of[p]])
+                for p in self.partition_columns
+            ]
+        out_df = staged.select(*out_cols)
         staging = f"{self.table_path}/.staging-{uuid.uuid4().hex}"
         writer = out_df.write.mode("overwrite")
         if phys_parts:
-            writer = writer.partitionBy(*phys_parts)
+            writer = writer.partitionBy(
+                *[shadow[p] for p in phys_parts] if materialize else phys_parts
+            )
         writer.parquet(staging)
 
         staged = [
@@ -489,6 +520,14 @@ class Transaction:
         moves: list[tuple[str, str, str, int, int]] = []
         for entry in staged:
             rel = entry.path[len(staging.rstrip("/")) + 1 :]
+            if materialize:
+                # strip the shadow prefix so directories/partitionValues
+                # carry the real physical names (component-anchored: a
+                # literal "__hive__" inside a partition VALUE survives)
+                rel = "/".join(
+                    seg[len("__hive__"):] if seg.startswith("__hive__") else seg
+                    for seg in rel.split("/")
+                )
             final_abs = f"{self.table_path}/{rel}"
             self.storage.rename(entry.path, final_abs)
             moves.append(

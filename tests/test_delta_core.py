@@ -383,3 +383,49 @@ def test_describe_detail(spark, tmp_path):
     assert d.numFiles == len(files)
     assert d.sizeInBytes == sum(f.size for f in files) > 0
     assert d.properties["delta.appendOnly"] == "false"
+
+
+def test_materialize_partition_columns(spark, tmp_path):
+    """materializePartitionColumns: partition values land in the DATA
+    files too (reference table_features/mod.rs:1126, AlwaysIfSupported),
+    while directories/partitionValues/reads keep the standard shapes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=df,
+        partition_by=["p"],
+        properties={"delta.feature.materializePartitionColumns": "supported"},
+    )
+    assert "materializePartitionColumns" in (
+        t.snapshot().protocol.writer_features or []
+    )
+    files = t.snapshot().scan().files()
+    assert files and all("p=" in f.path and "__hive__" not in f.path for f in files)
+    # the partition column is physically present in every data file
+    for f in files:
+        assert "p" in pq.read_schema(f.path).names
+    # appends on the existing table honor the protocol feature too
+    t.append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), F.lit("9").alias("p")
+        )
+    )
+    new = [f for f in t.snapshot().scan().files() if "p=9" in f.path]
+    assert new and all("p" in pq.read_schema(f.path).names for f in new)
+    # reads inject partition values from the log as usual
+    got = sorted((r.k, r.p) for r in t.to_df().collect())
+    assert got == [(i, str(i % 3)) for i in range(20)] + [
+        (i, "9") for i in range(20, 25)
+    ]
+    # pruned scan still works
+    sub = t.snapshot().scan(predicate="p = '1'").to_df()
+    assert sorted(r.k for r in sub.collect()) == [i for i in range(20) if i % 3 == 1]

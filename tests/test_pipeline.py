@@ -196,9 +196,15 @@ def test_pipeline_queries_registered():
 
     names = set(queries.queries())
     oracles = set(queries.oracle_sql())
-    expected = {f"p{i:02d}" for i in range(1, 13)}
+    # round-6 consolidation: p06/p08/p10/p19/p21/p25/p27 merged into
+    # multi-arm entries (see SURVEY.md §8 mapping) — every remaining
+    # prefix must be present and the registry must fit the driver's
+    # 50-entry correctness window
+    merged_away = {"p06", "p08", "p10", "p19", "p21", "p25", "p27"}
+    expected = {f"p{i:02d}" for i in range(1, 29)} - merged_away
     got_prefixes = {n[:3] for n in names if n.startswith("p")}
     assert expected <= got_prefixes
+    assert len(names) <= 50
     # every pipeline query is oracle-checked (no weak rows)
     assert {n for n in names if n.startswith("p")} <= oracles
 
@@ -479,3 +485,34 @@ def test_weighted_mixture_sample(spark):
 
     with _pytest.raises(ValueError, match="rate"):
         mixture_thresholds({"x": 1.5})
+
+
+def test_token_budget_fill_semantics(spark):
+    """Per-group quotas at the configured weights; admission in md5 order
+    stops before the running total exceeds the quota; unweighted groups
+    drop entirely."""
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.operators.sampling import token_budget_fill
+
+    rows = [(i, ["a", "b"][i % 2], 10) for i in range(100)] + [
+        (200 + i, "zz", 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_tokens INT")
+    out = token_budget_fill(
+        df, "lang", "n_tokens", "doc_id", budget_tokens=300, weights={"a": 2, "b": 1}
+    )
+    got = out.groupBy("lang").agg(
+        F.count("*").alias("n"), F.max("cum_tokens").alias("toks")
+    )
+    by_lang = {r.lang: (r.n, r.toks) for r in got.collect()}
+    # quotas: a=200, b=100 tokens at 10 tokens/doc
+    assert by_lang == {"a": (20, 200), "b": (10, 100)}
+    # determinism: same selection on a different layout
+    again = token_budget_fill(
+        df.repartition(13), "lang", "n_tokens", "doc_id",
+        budget_tokens=300, weights={"a": 2, "b": 1},
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
