@@ -273,11 +273,11 @@ def delete_with_dvs(table, predicate) -> int:
         enabled_versions,
     )
 
-    if enabled_versions(snap.metadata.configuration):
+    if 2 in enabled_versions(snap.metadata.configuration):
         # icebergCompatV2 forbids DVs (reference mod.rs:430-438) — use
-        # the copy-on-write delete on UniForm tables
+        # the copy-on-write delete; V3 permits them per its RFC
         raise IcebergCompatError(
-            "deletion vectors are forbidden on icebergCompat tables; "
+            "deletion vectors are forbidden on icebergCompatV2 tables; "
             "use the copy-on-write delete"
         )
     scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))

@@ -91,11 +91,12 @@ class Protocol:
             "clustering",
             "variantType",
             "variantType-preview",
-            # writer-only UniForm compat; V1/V3 intentionally absent so
-            # tables carrying them are refused for writes (reference
-            # supports exactly one icebergCompat version and refuses the
-            # rest — table_features/mod.rs:407-482)
+            # writer-only UniForm compat; V1 intentionally absent so
+            # tables carrying it are refused for writes (mirroring the
+            # reference's requirement matrices —
+            # table_features/mod.rs:407-482)
             "icebergCompatV2",
+            "icebergCompatV3",
             "variantShredding",
             "variantShredding-preview",
             "materializePartitionColumns",

@@ -624,7 +624,7 @@ class Transaction:
             min_r, min_w = 2, 5
         if iceberg_v:
             min_w = 7
-            writer_features.add("icebergCompatV2")
+            writer_features.add(f"icebergCompatV{iceberg_v}")
         if self._row_tracking_enabled():
             min_w = 7  # table-features protocol: list writer features
             writer_features |= {"rowTracking", "domainMetadata"}

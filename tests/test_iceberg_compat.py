@@ -47,12 +47,16 @@ def test_v2_requires_column_mapping():
         )
 
 
-def test_v1_and_v3_are_refused():
-    for key in ("delta.enableIcebergCompatV1", "delta.enableIcebergCompatV3"):
-        with pytest.raises(IcebergCompatError, match="not supported"):
-            validate_iceberg_compat(
-                {key: "true", "delta.columnMapping.mode": "name"}, _schema(), "name"
-            )
+def test_v1_is_refused():
+    with pytest.raises(IcebergCompatError, match="not supported"):
+        validate_iceberg_compat(
+            {
+                "delta.enableIcebergCompatV1": "true",
+                "delta.columnMapping.mode": "name",
+            },
+            _schema(),
+            "name",
+        )
 
 
 def test_versions_mutually_exclusive():
@@ -138,14 +142,14 @@ def test_v2_refuses_dv_delete(spark, tmp_path):
     assert sorted(r.k for r in t.to_df().collect()) == [1, 3, 5, 7, 9]
 
 
-def test_v1_v3_feature_carrying_tables_are_write_refused(spark, tmp_path):
-    """A table whose protocol lists icebergCompatV1/V3 (written by another
+def test_v1_feature_carrying_tables_are_write_refused(spark, tmp_path):
+    """A table whose protocol lists icebergCompatV1 (written by another
     engine) is read-allowed but write-refused — writer-only features this
     engine cannot enforce must block writes, not corrupt the promise."""
     import json
     import os
 
-    for feat in ("icebergCompatV1", "icebergCompatV3"):
+    for feat in ("icebergCompatV1",):
         path = str(tmp_path / feat)
         t = DeltaTable.create(
             spark, path, schema=T.StructType([T.StructField("k", T.LongType())])
@@ -168,3 +172,62 @@ def test_v1_v3_feature_carrying_tables_are_write_refused(spark, tmp_path):
         assert sorted(r.k for r in snap.scan().to_df().collect()) == [0, 1, 2]
         with pytest.raises(Exception, match="unsupported writer features"):
             snap.protocol.ensure_write_supported()
+
+
+V3 = {
+    "delta.enableIcebergCompatV3": "true",
+    "delta.columnMapping.mode": "name",
+    "delta.enableRowTracking": "true",
+}
+
+
+def test_v3_requires_row_tracking():
+    with pytest.raises(IcebergCompatError, match="row tracking"):
+        validate_iceberg_compat(
+            {
+                "delta.enableIcebergCompatV3": "true",
+                "delta.columnMapping.mode": "name",
+            },
+            _schema(),
+            "name",
+        )
+
+
+def test_v3_allows_variant_and_rejects_legacy_nested_ids():
+    schema = T.StructType([T.StructField("v", T.VariantType())])
+    assert validate_iceberg_compat(dict(V3), schema, "name") == 3
+    legacy = T.StructType(
+        [
+            T.StructField(
+                "nested",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "x", T.LongType(), True,
+                            {"parquet.field.nested.ids": {"a": 1}},
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    with pytest.raises(IcebergCompatError, match="nested.ids"):
+        validate_iceberg_compat(dict(V3), legacy, "name")
+
+
+def test_v3_create_write_dv_delete_roundtrip(spark, tmp_path):
+    """V3 end-to-end: feature listed, rows written under column mapping +
+    row tracking, and (unlike V2) a DV delete is PERMITTED."""
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        schema=T.StructType([T.StructField("k", T.LongType())]),
+        properties=dict(V3),
+    )
+    assert "icebergCompatV3" in (t.snapshot().protocol.writer_features or [])
+    t.append(spark.range(10).toDF("k"))
+    delete_with_dvs(t, "k % 2 = 0")
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 3, 5, 7, 9]
