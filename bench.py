@@ -58,12 +58,15 @@ def main() -> None:
 
     out = {
         "metric": "total_query_wall_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal per-query values keep the whole line inside the
+        # driver's 2000-char record window (r5's 4-decimal line lost its
+        # head to truncation)
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf if sf is not None else sf_dir,
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

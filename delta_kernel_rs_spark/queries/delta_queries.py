@@ -640,9 +640,12 @@ def d07_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         net_changes,
     )
 
-    rows = d07_delta_cdf_rowlevel(spark, sf_dir)
     cdf_t = _fixture(spark, sf_dir, "cdf")
-    net = net_changes(cdf_t.changes(0), key_columns=COLS).select(
+    # one changes() call feeds both arms — the commit-metadata prepass
+    # (two commit-sized collects) runs once, not per arm
+    ch = cdf_t.changes(0)
+    rows = ch.select(*COLS, "_change_type", "_commit_version")
+    net = net_changes(ch, key_columns=COLS).select(
         *COLS,
         F.lit(None).cast("string").alias("_change_type"),
         F.lit(None).cast("long").alias("_commit_version"),
