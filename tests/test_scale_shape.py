@@ -228,3 +228,77 @@ def test_to_df_never_materializes_scan_files(spark, tmp_path, monkeypatch):
     assert all(r.p == str(r.k % 4) for r in rows)
     # row ids still dense/unique via the distributed row-const join
     assert len({r.row_id for r in rows}) == len(rows)
+
+
+def test_metadata_scale_20k_files(spark, tmp_path):
+    """Metadata-scale smoke (the reference ships a 300k-add-files fixture;
+    kernel/tests/data): a synthetic 20k-add log — multi-commit + partition
+    values + stats JSON, no real data files — must replay distributed,
+    checkpoint, serve stats-pruned planning through scan_files_df, and
+    to_df planning must stay path-strings-only on the driver."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources import scan as scan_mod
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    path = str(tmp_path / "big")
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("p", T.StringType())]
+    )
+    t = DeltaTable.create(spark, path, schema=schema, partition_by=["p"])
+
+    n_files, per_commit = 20_000, 10_000
+    log = os.path.join(path, "_delta_log")
+    fid = 0
+    for commit in range(1, 1 + n_files // per_commit):
+        lines = [json.dumps({"commitInfo": {"operation": "WRITE"}})]
+        for _ in range(per_commit):
+            lo = fid * 100
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": f"p={fid % 50}/part-{fid:07d}.parquet",
+                            "partitionValues": {"p": str(fid % 50)},
+                            "size": 1024,
+                            "modificationTime": 1700000000000,
+                            "dataChange": True,
+                            "stats": json.dumps(
+                                {
+                                    "numRecords": 100,
+                                    "minValues": {"x": lo},
+                                    "maxValues": {"x": lo + 99},
+                                    "nullCount": {"x": 0},
+                                }
+                            ),
+                        }
+                    }
+                )
+            )
+            fid += 1
+        with open(os.path.join(log, f"{commit:020d}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    t0 = time.time()
+    snap = t.snapshot()
+    sfdf = snap.scan().scan_files_df()
+    assert sfdf.count() == n_files
+    replay_s = time.time() - t0
+
+    # stats + partition pruning both serve planning at this scale
+    pruned = snap.scan(
+        predicate="x >= 1990000 AND p = '42'"
+    ).scan_files_df()
+    kept = pruned.count()
+    assert 0 < kept <= n_files // 50
+    # checkpoint the 20k-add log and replay from it
+    t.checkpoint()
+    snap2 = t.snapshot()
+    assert snap2.scan().scan_files_df().count() == n_files
+    # replay + both plans + checkpoint well under a minute on metadata
+    # alone — the distributed-shape guard, not a microbenchmark
+    assert replay_s < 60, replay_s
