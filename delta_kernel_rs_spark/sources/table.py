@@ -589,6 +589,128 @@ class DeltaTable:
         self.maybe_write_crc(version)
         return version
 
+    def set_properties(self, properties: "dict[str, str]") -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge properties into the table
+        configuration with the side effects each one owes —
+
+        * the protocol upgrades to whatever the new configuration
+          requires, MERGED with the existing protocol (never clobbering
+          features other writers enabled — same rule as the DV-delete
+          upgrade);
+        * a new ``delta.constraints.*`` CHECK is validated against the
+          EXISTING rows first (one limit-1 violation scan, like
+          delta-spark's ADD CONSTRAINT);
+        * enabling in-commit timestamps mid-table records the standard
+          enablement version/timestamp properties so other readers can
+          split the pre/post-ICT history regions;
+        * ``delta.columnMapping.mode`` changes are refused (existing
+          files were written under the current naming).
+        """
+        from pyspark.sql import functions as F
+
+        from delta_kernel_rs_spark.sources.transaction import (
+            ConstraintViolationError,
+            Transaction,
+            required_protocol,
+        )
+
+        snap = self.snapshot()
+        cur = dict(snap.metadata.configuration)
+        props = {k: str(v) for k, v in properties.items()}
+        if (
+            props.get("delta.columnMapping.mode", cur.get("delta.columnMapping.mode", "none"))
+            != cur.get("delta.columnMapping.mode", "none")
+        ):
+            raise ValueError(
+                "changing delta.columnMapping.mode on an existing table is "
+                "not supported: its files were written under the current "
+                "physical naming"
+            )
+        new_conf = dict(cur)
+        new_conf.update(props)
+
+        # ADD CONSTRAINT semantics: existing rows must already satisfy it
+        added = [
+            (k[len("delta.constraints."):], v)
+            for k, v in props.items()
+            if k.startswith("delta.constraints.") and cur.get(k) != v
+        ]
+        if added:
+            df = self.to_df()
+            for name, expr in added:
+                bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1).collect()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"cannot add constraint {name!r} ({expr}): existing "
+                        f"row violates it: {bad[0]}"
+                    )
+
+        ict_on = props.get("delta.enableInCommitTimestamps", "").lower() == "true"
+        ict_was = cur.get("delta.enableInCommitTimestamps", "false").lower() == "true"
+        if ict_on and not ict_was:
+            import time as _time
+
+            new_conf["delta.inCommitTimestampEnablementVersion"] = str(
+                snap.version + 1
+            )
+            new_conf["delta.inCommitTimestampEnablementTimestamp"] = str(
+                int(_time.time() * 1000)
+            )
+
+        txn = Transaction(
+            self.spark,
+            self.path,
+            operation="SET TBLPROPERTIES",
+            read_snapshot=snap,
+            configuration=new_conf,
+        )
+        txn.with_updated_metadata()
+        min_r, min_w, rf, wf = required_protocol(
+            snap.schema, new_conf, cluster_by=snap.clustering_columns() or None
+        )
+        p = snap.protocol
+        need_r = max(min_r, p.min_reader_version)
+        need_w = max(min_w, p.min_writer_version)
+        merged_rf = set(p.reader_features or []) | rf
+        merged_wf = set(p.writer_features or []) | wf
+        if (
+            (need_r, need_w) != (p.min_reader_version, p.min_writer_version)
+            or merged_rf != set(p.reader_features or [])
+            or merged_wf != set(p.writer_features or [])
+        ):
+            proto: dict = {"minReaderVersion": need_r, "minWriterVersion": need_w}
+            if need_r >= 3:
+                proto["readerFeatures"] = sorted(merged_rf)
+            if need_w >= 7:
+                proto["writerFeatures"] = sorted(merged_wf)
+            txn.add_actions([{"protocol": proto}])
+        v = txn.commit()
+        self.maybe_write_crc(v)
+        return v
+
+    def unset_properties(self, keys: "list[str]") -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES (IF EXISTS semantics). The
+        protocol is never downgraded — Delta protocols only ratchet up."""
+        from delta_kernel_rs_spark.sources.transaction import Transaction
+
+        snap = self.snapshot()
+        new_conf = {
+            k: v
+            for k, v in snap.metadata.configuration.items()
+            if k not in set(keys)
+        }
+        txn = Transaction(
+            self.spark,
+            self.path,
+            operation="UNSET TBLPROPERTIES",
+            read_snapshot=snap,
+            configuration=new_conf,
+        )
+        txn.with_updated_metadata()
+        v = txn.commit()
+        self.maybe_write_crc(v)
+        return v
+
     def add_column(self, name: str, dtype: T.DataType) -> int:
         snap = self.snapshot()
         fields = list(snap.schema.fields) + [T.StructField(name, dtype, True)]

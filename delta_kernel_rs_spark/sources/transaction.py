@@ -117,6 +117,153 @@ def constraint_predicates(configuration: dict, schema) -> list[tuple[str, str]]:
     return out
 
 
+def _schema_has_ntz(dt: T.DataType) -> bool:
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
+    return False
+
+
+def required_protocol(
+    schema: T.StructType | None,
+    configuration: dict,
+    cluster_by: list | None = None,
+) -> tuple[int, int, set, set]:
+    """(minReader, minWriter, readerFeatures, writerFeatures) REQUIRED by
+    a table's schema + configuration.
+
+    The legacy writer-version ladder and the table-features protocol per
+    PROTOCOL.md (reference feature matrices kernel/src/table_features/
+    mod.rs): constraints ⇒ w3, CDF/generated columns ⇒ w4, column
+    mapping ⇒ r2/w5, identity ⇒ w6; any table FEATURE forces r3/w7 with
+    every active feature listed explicitly (legacy ones included — the
+    spec requires complete lists once lists exist). Shared by CREATE and
+    by ALTER-style property updates, which merge this with the existing
+    protocol.
+    """
+    from delta_kernel_rs_spark.functions.iceberg_compat import (
+        validate_iceberg_compat,
+    )
+    from delta_kernel_rs_spark.sources.snapshot import Protocol
+
+    conf = configuration or {}
+
+    def on(key: str) -> bool:
+        return str(conf.get(key, "")).strip().lower() == "true"
+
+    cm = conf.get("delta.columnMapping.mode", "none")
+    iceberg_v = validate_iceberg_compat(conf, schema, cm)
+
+    fields = list(schema.fields) if schema is not None else []
+
+    def meta_has(key: str) -> bool:
+        return any(key in (f.metadata or {}) for f in fields)
+
+    has_invariants = meta_has("delta.invariants")
+    has_generated = meta_has(Transaction.GENERATION_EXPRESSION_KEY)
+    has_identity = meta_has(Transaction.IDENTITY_START_KEY)
+    has_defaults = meta_has(Transaction.CURRENT_DEFAULT_KEY)
+    has_constraints = any(k.startswith("delta.constraints.") for k in conf)
+    has_variant = schema is not None and _schema_has_variant(schema)
+    has_ntz = schema is not None and _schema_has_ntz(schema)
+
+    min_r, min_w = 1, 2
+    if has_constraints:
+        min_w = max(min_w, 3)
+    if on("delta.enableChangeDataFeed") or has_generated:
+        min_w = max(min_w, 4)
+    if cm != "none":
+        min_r, min_w = max(min_r, 2), max(min_w, 5)
+    if has_identity:
+        min_w = max(min_w, 6)
+
+    rf: set = set()
+    wf: set = set()
+
+    def feat(name: str, reader: bool = False) -> None:
+        nonlocal min_r, min_w
+        min_w = 7
+        wf.add(name)
+        if reader:
+            min_r = 3
+            rf.add(name)
+
+    if on("delta.enableRowTracking"):
+        feat("rowTracking")
+        feat("domainMetadata")
+    if on("delta.enableInCommitTimestamps"):
+        feat("inCommitTimestamp")
+    if cluster_by:
+        # reference table_features/mod.rs:1125 — feature "clustering";
+        # clustering.rs stores the domain
+        feat("clustering")
+        feat("domainMetadata")
+    if has_variant:
+        # reader-writer feature (kernel/src/schema/mod.rs:2298-2301)
+        feat("variantType", reader=True)
+    if on("delta.enableVariantShredding"):
+        if not has_variant:
+            raise ValueError(
+                "delta.enableVariantShredding=true requires a VARIANT "
+                "column in the schema"
+            )
+        feat("variantShredding", reader=True)
+    if on("delta.enableDeletionVectors"):
+        feat("deletionVectors", reader=True)
+    if has_ntz:
+        feat("timestampNtz", reader=True)
+    if has_defaults:
+        feat("allowColumnDefaults")
+    if iceberg_v:
+        feat(f"icebergCompatV{iceberg_v}")
+    # explicit opt-in via the standard enablement property
+    # ``delta.feature.<name> = supported`` (how e.g. catalogManaged is
+    # enabled; reference table_features feature enablement)
+    for key, val in conf.items():
+        if not key.startswith("delta.feature."):
+            continue
+        if str(val).strip().lower() != "supported":
+            raise ValueError(f"{key}: only 'supported' is accepted")
+        name = key[len("delta.feature.") :]
+        known = (
+            Protocol.SUPPORTED_WRITER_FEATURES
+            | Protocol.SUPPORTED_READER_FEATURES
+            | Protocol.CATALOG_FEATURES
+        )
+        if name not in known:
+            raise ValueError(f"unknown table feature: {name}")
+        feat(
+            name,
+            reader=name
+            in (Protocol.SUPPORTED_READER_FEATURES | Protocol.CATALOG_FEATURES),
+        )
+
+    if min_w >= 7:
+        # complete feature lists: every ACTIVE legacy feature must appear
+        if on("delta.appendOnly"):
+            wf.add("appendOnly")
+        if has_invariants:
+            wf.add("invariants")
+        if has_constraints:
+            wf.add("checkConstraints")
+        if on("delta.enableChangeDataFeed"):
+            wf.add("changeDataFeed")
+        if has_generated:
+            wf.add("generatedColumns")
+        if has_identity:
+            wf.add("identityColumns")
+        if cm != "none":
+            wf.add("columnMapping")
+            if min_r >= 3:
+                rf.add("columnMapping")
+    return min_r, min_w, rf, wf
+
+
 class Transaction:
     """One optimistic-concurrency commit against a table."""
 
@@ -609,98 +756,14 @@ class Transaction:
         }
 
     def _protocol_action(self) -> dict:
-        from delta_kernel_rs_spark.functions.iceberg_compat import (
-            validate_iceberg_compat,
+        min_r, min_w, rf, wf = required_protocol(
+            self.schema, self.configuration, cluster_by=self._cluster_by
         )
-
-        min_r, min_w = 1, 2
-        writer_features: set[str] = set()
-        iceberg_v = validate_iceberg_compat(
-            self.configuration, self.schema, self._cm_mode()
-        )
-        if self._cm_mode() != "none":
-            # Column mapping needs reader 2 / writer 5 (legacy table
-            # properties protocol; reference column_mapping.rs gating).
-            min_r, min_w = 2, 5
-        if iceberg_v:
-            min_w = 7
-            writer_features.add(f"icebergCompatV{iceberg_v}")
-        if self._row_tracking_enabled():
-            min_w = 7  # table-features protocol: list writer features
-            writer_features |= {"rowTracking", "domainMetadata"}
-        if self._ict_enabled():
-            min_w = 7
-            writer_features.add("inCommitTimestamp")
-        if self._cluster_by:
-            # Clustered table: writer feature + domain metadata carrier
-            # (reference table_features/mod.rs:1125 — feature string
-            # "clustering"; clustering.rs stores the domain).
-            min_w = 7
-            writer_features |= {"clustering", "domainMetadata"}
-        reader_features: set[str] = set()
-        if self.schema is not None and _schema_has_variant(self.schema):
-            # Variant is a reader-writer table feature (reader 3 / writer 7;
-            # kernel/src/schema/mod.rs:2298-2301, table_features gating).
-            min_r, min_w = 3, 7
-            reader_features.add("variantType")
-            writer_features.add("variantType")
-        if (
-            str(self.configuration.get("delta.enableVariantShredding", ""))
-            .strip()
-            .lower()
-            == "true"
-        ):
-            # Shredded-variant files (reader-writer feature; reference
-            # table_features/mod.rs:630-646). Requires a variant column.
-            if self.schema is None or not _schema_has_variant(self.schema):
-                raise ValueError(
-                    "delta.enableVariantShredding=true requires a VARIANT "
-                    "column in the schema"
-                )
-            min_r, min_w = 3, 7
-            reader_features.add("variantShredding")
-            writer_features.add("variantShredding")
-        if min_w >= 7 and self._cm_mode() != "none":
-            writer_features.add("columnMapping")
-        if min_r >= 3 and self._cm_mode() != "none":
-            reader_features.add("columnMapping")
-        # explicit opt-in via the standard enablement property
-        # ``delta.feature.<name> = supported`` (how e.g. catalogManaged is
-        # enabled at create; reference table_features feature enablement)
-        for key, val in self.configuration.items():
-            if not key.startswith("delta.feature."):
-                continue
-            if str(val).strip().lower() != "supported":
-                raise ValueError(f"{key}: only 'supported' is accepted")
-            feat = key[len("delta.feature.") :]
-            from delta_kernel_rs_spark.sources.snapshot import Protocol
-
-            known = (
-                Protocol.SUPPORTED_WRITER_FEATURES
-                | Protocol.SUPPORTED_READER_FEATURES
-                | Protocol.CATALOG_FEATURES
-            )
-            if feat not in known:
-                raise ValueError(f"unknown table feature: {feat}")
-            min_w = 7
-            writer_features.add(feat)
-            if feat in Protocol.SUPPORTED_READER_FEATURES | Protocol.CATALOG_FEATURES:
-                min_r = 3
-                reader_features.add(feat)
-        # the feature loop may have raised the protocol to r3/w7 AFTER the
-        # earlier columnMapping backfill checks ran at r2/w5 — at the
-        # table-features protocol every ACTIVE feature must be listed, so
-        # re-apply the backfill (Delta spec: legacy features become
-        # explicit once feature lists exist)
-        if min_w >= 7 and self._cm_mode() != "none":
-            writer_features.add("columnMapping")
-        if min_r >= 3 and self._cm_mode() != "none":
-            reader_features.add("columnMapping")
         proto: dict = {"minReaderVersion": min_r, "minWriterVersion": min_w}
         if min_r >= 3:
-            proto["readerFeatures"] = sorted(reader_features)
+            proto["readerFeatures"] = sorted(rf)
         if min_w >= 7:
-            proto["writerFeatures"] = sorted(writer_features)
+            proto["writerFeatures"] = sorted(wf)
         return {"protocol": proto}
 
     def _ict_enabled(self) -> bool:
