@@ -759,6 +759,25 @@ class DeltaTable:
     ) -> int:
         from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
 
+        if v2:
+            # The spec gates V2 checkpoints behind the v2Checkpoint
+            # reader-writer feature (a reader ignorant of them must be
+            # stopped by the protocol, not by a parse failure). Ratchet
+            # the protocol first when needed.
+            snap = self.snapshot()
+            if "v2Checkpoint" not in (snap.protocol.reader_features or []):
+                if version is not None:
+                    raise ValueError(
+                        "cannot write a V2 checkpoint for a pinned version: "
+                        "the table's protocol lacks the v2Checkpoint "
+                        "feature; enable it first via set_properties"
+                    )
+                self.set_properties(
+                    {
+                        "delta.feature.v2Checkpoint": "supported",
+                        "delta.checkpointPolicy": "v2",
+                    }
+                )
         return write_checkpoint(
             self.spark, self.path, version=version, v2=v2, parts=parts
         )

@@ -210,8 +210,9 @@ def test_cleanup_v2_keeps_referenced_sidecars(spark, tmp_path):
     assert len(after) == 1
     assert any("_sidecars" in p for p in deleted)
     assert t.to_df().count() == 30
-    # time travel inside the retained range still works
-    assert t.snapshot().version == 2
+    # time travel inside the retained range still works (the first v2
+    # checkpoint inserts one protocol-ratchet commit, hence version 3)
+    assert t.snapshot().version == 3
 
 
 def test_cleanup_old_time_travel_gone(spark, tmp_path):
