@@ -791,7 +791,13 @@ class DeltaTable:
         )
         last = snap.log_segment.checkpoint_version or 0
         if version - last >= interval:
-            self.checkpoint(version=version)
+            # honor the table's checkpoint policy: once v2Checkpoint is
+            # enabled, automatic checkpoints write the V2 format too
+            v2 = (
+                snap.metadata.configuration.get("delta.checkpointPolicy", "")
+                == "v2"
+            )
+            self.checkpoint(version=version, v2=v2)
 
     def write_crc(self, version: int | None = None) -> bool:
         """Write the ``{version}.crc`` table-state summary (full compute)."""

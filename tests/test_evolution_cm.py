@@ -195,3 +195,51 @@ def test_v2_checkpoint_roundtrip(spark, tmp_path):
     # in _full_replay) without losing file actions
     t.checkpoint()
     assert {r.k for r in t.to_df().collect()} == set(range(10, 60))
+
+
+def test_auto_checkpoints_follow_v2_policy(spark, tmp_path):
+    """Once delta.checkpointPolicy=v2 is set (by the first explicit V2
+    checkpoint), interval-triggered automatic checkpoints write V2 too."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=_ints(spark, 0, 5),
+        properties={"delta.checkpointInterval": "100"},  # no auto ckpt yet
+    )
+    t.append(_ints(spark, 5, 10))
+    t.checkpoint(v2=True)  # ratchets protocol + sets the policy
+    t.set_properties({"delta.checkpointInterval": "2"})
+    t.append(_ints(spark, 10, 15))
+    t.append(_ints(spark, 15, 20))  # crosses the interval → auto ckpt
+    log = tmp_path / "tbl" / "_delta_log"
+    import glob as _glob
+    import os as _os
+
+    tops = sorted(_glob.glob(_os.path.join(str(log), "*.checkpoint.*.parquet")))
+    assert tops, "no auto checkpoint written"
+    # V2 naming: {version}.checkpoint.{uuid}.parquet (not .checkpoint.parquet)
+    assert all(".checkpoint.parquet" not in p for p in tops)
+    assert t.to_df().count() == 20
+
+
+def test_timestamp_ntz_table_declares_feature(spark, tmp_path):
+    """An NTZ-bearing schema must list the timestampNtz reader-writer
+    feature (reference table_features timestamp_ntz.rs)."""
+    import datetime
+
+    path = str(tmp_path / "tbl")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    t = DeltaTable.create(spark, path, schema=schema)
+    proto = t.snapshot().protocol
+    assert "timestampNtz" in (proto.reader_features or [])
+    assert "timestampNtz" in (proto.writer_features or [])
+    rows = [(1, datetime.datetime(2024, 3, 1, 12, 0)), (2, datetime.datetime(2024, 3, 2, 6, 30))]
+    t.append(spark.createDataFrame(rows, schema))
+    got = sorted((r.k, r.ts) for r in t.to_df().collect())
+    assert got == rows
