@@ -716,6 +716,46 @@ class DeltaTable:
         fields = list(snap.schema.fields) + [T.StructField(name, dtype, True)]
         return self.alter_schema(T.StructType(fields))
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
+        (the physical parquet name and field id stay put; only the
+        logical name changes). Refused without column mapping, where the
+        logical name IS the storage name."""
+        snap = self.snapshot()
+        if snap.metadata.column_mapping_mode == "none":
+            raise ValueError(
+                "RENAME COLUMN requires column mapping "
+                "(delta.columnMapping.mode name/id)"
+            )
+        if any(f.name == new for f in snap.schema.fields):
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in snap.schema.fields
+        ]
+        if fields == list(snap.schema.fields):
+            raise ValueError(f"no such column: {old!r}")
+        return self.alter_schema(T.StructType(fields))
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only under column mapping
+        (existing files keep the physical column; readers stop projecting
+        it). Refused without column mapping."""
+        snap = self.snapshot()
+        if snap.metadata.column_mapping_mode == "none":
+            raise ValueError(
+                "DROP COLUMN requires column mapping "
+                "(delta.columnMapping.mode name/id)"
+            )
+        if name in snap.metadata.partition_columns:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        fields = [f for f in snap.schema.fields if f.name != name]
+        if len(fields) == len(snap.schema.fields):
+            raise ValueError(f"no such column: {name!r}")
+        if not fields:
+            raise ValueError("cannot drop the last column")
+        return self.alter_schema(T.StructType(fields))
+
     def widen_column(self, name: str, dtype: T.DataType) -> int:
         snap = self.snapshot()
         fields = [

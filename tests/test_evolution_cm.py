@@ -243,3 +243,38 @@ def test_timestamp_ntz_table_declares_feature(spark, tmp_path):
     t.append(spark.createDataFrame(rows, schema))
     got = sorted((r.k, r.ts) for r in t.to_df().collect())
     assert got == rows
+
+
+def test_rename_and_drop_column_under_cm(spark, tmp_path):
+    """RENAME/DROP COLUMN: metadata-only under column mapping — data files
+    untouched, reads remap through the stable physical names."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(6).select(
+        F.col("id").alias("a"), (F.col("id") * 10).alias("b")
+    )
+    t = DeltaTable.create(
+        spark, path, df=df, properties={"delta.columnMapping.mode": "name"}
+    )
+    files_before = {f.path for f in t.snapshot().scan().files()}
+
+    t.rename_column("a", "a2")
+    got = sorted((r.a2, r.b) for r in t.to_df().collect())
+    assert got == [(i, i * 10) for i in range(6)]
+    # appends after the rename land under the SAME physical name
+    t.append(
+        spark.createDataFrame([(100, 1000)], "a2 LONG, b LONG")
+    )
+    assert (100, 1000) in {(r.a2, r.b) for r in t.to_df().collect()}
+
+    t.drop_column("b")
+    assert t.to_df().columns == ["a2"]
+    assert sorted(r.a2 for r in t.to_df().collect()) == [0, 1, 2, 3, 4, 5, 100]
+    # the original data files were never rewritten
+    assert files_before <= {f.path for f in t.snapshot().scan().files()}
+
+    with _pytest.raises(ValueError, match="column mapping"):
+        DeltaTable.create(
+            spark, str(tmp_path / "plain"), df=spark.range(3).toDF("x")
+        ).rename_column("x", "y")
