@@ -80,3 +80,96 @@ def binary_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
+
+
+def resize_image(payload: bytes, width: int, height: int, mode: str = "stub") -> bytes:
+    """Resize an image payload to (width, height).
+
+    ``mode="real"`` is the integration point for an actual codec; the
+    deterministic stub emits a fake thumbnail — an 8-byte header
+    (dimensions) + a byte-stride sample of the source payload — so size
+    bounds, determinism, and the Spark plumbing are all testable.
+    """
+    if mode != "stub":
+        raise NotImplementedError(
+            "real image resizing requires an image codec library; "
+            "only the deterministic stub is available in this environment"
+        )
+    header = width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    budget = max(1, width * height // 64)
+    stride = max(1, len(payload) // budget)
+    return header + payload[::stride][:budget]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched thumbnail pass: (id, thumb BINARY, thumb_bytes).
+
+    Map-only — at 100 TB this is the canonical embarrassingly-parallel
+    media transform: one Python crossing per Arrow batch, output size
+    bounded by (width*height/64 + 8) per row regardless of input size.
+    """
+    schema = f"{id_col} long, thumb binary, thumb_bytes long"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf[payload_col].map(
+                lambda b: resize_image(bytes(b), width, height)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Uniform frame sampling from an opaque video payload: one output row
+    per (id, frame_idx) with the frame's byte slice and offset.
+
+    The stub treats the payload as ``n_frames`` equal-length segments
+    (a real decoder would seek keyframes); the FAN-OUT plumbing is the
+    real thing — mapInPandas emitting multiple rows per input row, the
+    shape any frame-extraction pipeline needs (never collect, never
+    per-row Python UDFs).
+    """
+    schema = f"{id_col} long, frame_idx int, frame_offset long, frame binary"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(blob)
+                seg = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    off = i * seg
+                    if off >= len(data):
+                        break
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    offs.append(off)
+                    frames.append(data[off : off + seg])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema)

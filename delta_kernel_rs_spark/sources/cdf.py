@@ -134,6 +134,7 @@ def table_changes(
     # in-plan — no per-commit arms, no driver-side body parse.
     raw = (
         spark.read.schema(CDF_ACTIONS_SCHEMA)
+        .option("mode", "FAILFAST")
         .json(commit_paths)
         .withColumn(
             "version",

@@ -52,7 +52,7 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
     if seg.commit_files:
         from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
 
-        raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).json([c.path for c in seg.commit_files])
+        raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).option("mode", "FAILFAST").json([c.path for c in seg.commit_files])
         arms.append(
             raw.withColumn(
                 "log_filename",
@@ -281,7 +281,7 @@ def write_checkpoint(
     def driver_df(rows: list[str]) -> DataFrame:
         raw = spark.createDataFrame([(r,) for r in rows], "value STRING")
         return _pad_to_actions_schema(
-            spark.read.schema(ACTIONS_SCHEMA).json(raw.rdd.map(lambda r: r[0]))
+            spark.read.schema(ACTIONS_SCHEMA).option("mode", "FAILFAST").json(raw.rdd.map(lambda r: r[0]))
         )
 
     if not v2 and parts and parts > 1:

@@ -66,7 +66,7 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
     version_map = spark.createDataFrame(
         [(c.filename, c.version) for c in commits], "log_filename STRING, version LONG"
     )
-    raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).json([c.path for c in commits])
+    raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).option("mode", "FAILFAST").json([c.path for c in commits])
     keyed = (
         raw.withColumn(
             "log_filename", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)

@@ -212,7 +212,7 @@ class Scan:
         spark = self.spark
         commit_arm = None
         if seg.commit_files:
-            raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).json(
+            raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).option("mode", "FAILFAST").json(
                 [c.path for c in seg.commit_files]
             )
             commit_arm = (

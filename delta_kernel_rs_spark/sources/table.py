@@ -874,7 +874,7 @@ class DeltaTable:
         seg = self.snapshot().log_segment
         arms = []
         if seg.commit_files:
-            raw = self.spark.read.schema(SCAN_ACTIONS_SCHEMA).json(
+            raw = self.spark.read.schema(SCAN_ACTIONS_SCHEMA).option("mode", "FAILFAST").json(
                 [c.path for c in seg.commit_files]
             )
             arms.append(raw)

@@ -516,3 +516,44 @@ def test_token_budget_fill_semantics(spark):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in out.collect()
     )
+
+
+def test_resize_images_plumbing(spark, docs):
+    from delta_kernel_rs_spark.operators.multimodal import (
+        resize_image,
+        resize_images,
+        with_binary_payload,
+    )
+
+    out = resize_images(with_binary_payload(docs), 64, 48).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {0, 1, 2, 3, 4}
+    # bounded output regardless of input size: 8-byte header + budget
+    assert all(r.thumb_bytes <= 8 + 64 * 48 // 64 for r in out)
+    # deterministic: same payload -> identical thumb (docs 0 and 1 are dups)
+    assert bytes(by_id[0].thumb) == bytes(by_id[1].thumb)
+    t = bytes(by_id[0].thumb)
+    assert int.from_bytes(t[:4], "big") == 64
+    assert int.from_bytes(t[4:8], "big") == 48
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 2, 2, mode="real")
+
+
+def test_sample_frames_fanout(spark, docs):
+    from delta_kernel_rs_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    out = sample_frames(with_binary_payload(docs), n_frames=4).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == {0, 1, 2, 3, 4}
+    text0 = docs.filter("doc_id = 0").first().text.encode()
+    frames0 = sorted(per_doc[0], key=lambda r: r.frame_idx)
+    assert [f.frame_idx for f in frames0] == [0, 1, 2, 3]
+    # frames tile the payload at uniform offsets
+    seg = max(1, len(text0) // 4)
+    assert all(f.frame_offset == i * seg for i, f in enumerate(frames0))
+    assert bytes(frames0[0].frame) == text0[:seg]
