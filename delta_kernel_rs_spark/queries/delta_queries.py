@@ -1,4 +1,9 @@
-"""Oracle-checked Delta-kernel-path queries (d01–d27).
+"""Oracle-checked Delta-kernel-path queries (d-family).
+
+Round-6 consolidation: same-family queries are merged into multi-arm
+entries (UNION with an ``arm`` tag) so every family sits inside the
+driver's 50-entry correctness gate — the old-id → new-key mapping is in
+SURVEY.md §8.
 
 Round-1 verdict: the engine's own scan/write/DV/CDF code had zero coverage
 in the driver's hard correctness gate. These queries close that hole,

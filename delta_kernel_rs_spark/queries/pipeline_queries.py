@@ -1,4 +1,6 @@
-"""Oracle-checked LLM-data-pipeline queries (p01–p26).
+"""Oracle-checked LLM-data-pipeline queries (p-family; round-6
+consolidation merged same-family entries into multi-arm queries — the
+old-id → new-key mapping is in SURVEY.md §8).
 
 Each query runs a pipeline operator from ``delta_kernel_rs_spark.operators``
 over the driver's `documents` / `embeddings` fixture tables and has a
