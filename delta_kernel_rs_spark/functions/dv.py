@@ -394,6 +394,54 @@ def deleted_rows_from_desc_df(desc_df, table_path: str):
     return desc_df.mapInPandas(explode, "dv_file_path STRING, dv_row_index LONG")
 
 
+def dv_blobs_from_hits_df(hits_df, table_path: str):
+    """Executor-side DV bitmap construction: one serialized roaring
+    treemap per file.
+
+    ``hits_df`` columns: ``__file_path``, ``__row_index`` (the newly
+    deleted rows) joined with the file's CURRENT DV descriptor fields
+    ``old_st``/``old_p``/``old_off`` (nulls when the file has no DV).
+    Groups by file; each executor task merges the existing DV's indexes,
+    serializes the treemap (reference DV writer kernel/src/actions/
+    deletion_vector_writer.rs), and emits ONE (file_path, blob,
+    cardinality) row. The driver collects only the compressed blobs —
+    never row-index lists, whose size is O(deleted rows) and unbounded
+    for a broad predicate on a 100 TB table.
+    """
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.fs as pafs
+
+        path = pdf["__file_path"].iloc[0]
+        idx = {int(i) for i in pdf["__row_index"]}
+        st = pdf["old_st"].iloc[0]
+        if st is not None and not (isinstance(st, float) and pd.isna(st)):
+            if st == "i":
+                idx.update(decode_treemap(z85_decode(pdf["old_p"].iloc[0])))
+            else:
+                abs_path = dv_absolute_path(
+                    table_path,
+                    {"storageType": st, "pathOrInlineDv": pdf["old_p"].iloc[0]},
+                )
+                fs, rel = pafs.FileSystem.from_uri(
+                    abs_path if "://" in abs_path else f"file://{abs_path}"
+                )
+                with fs.open_input_stream(rel) as fh:
+                    blob = fh.read()
+                off = pdf["old_off"].iloc[0]
+                off = None if (off is None or pd.isna(off)) else int(off)
+                idx.update(decode_treemap(extract_dv_blob(blob, off)))
+        data = encode_treemap(sorted(idx))
+        return pd.DataFrame(
+            {"file_path": [path], "blob": [data], "cardinality": [len(idx)]}
+        )
+
+    return hits_df.groupBy("__file_path").applyInPandas(
+        build, "file_path STRING, blob BINARY, cardinality LONG"
+    )
+
+
 def deleted_rows_df(spark, files, table_path: str):
     """List-fed twin of :func:`deleted_rows_from_desc_df` for callers that
     already hold a bounded ScanFile list (delete rewrite, cached scans)."""

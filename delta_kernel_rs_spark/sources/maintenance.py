@@ -6,19 +6,27 @@ Both are pure file-layout rewrites: every remove+add carries
 change (our cdf.py classification filters on ``dataChange == true``,
 matching the reference table_changes/log_replay.rs). The rewrite reads
 ONLY the selected files through the same targeted-scan machinery DELETE
-uses (`_candidate_df_with_lineage`), applying current DVs so hidden rows
-are never resurrected.
+uses (`_candidate_frames`), applying current DVs so hidden rows are
+never resurrected.
 
-Scale shape: selection is a driver pass over file *metadata* only; the
-data rewrite is one distributed job whose output partition count is sized
-from the selected bytes, so a 100 TB table compacts partition-by-partition
-without ever shuffling untouched files.
+Scale shape: selection is IN-PLAN over the scan-files frame (no driver
+file list); the driver holds path strings for the read, the removes
+stream into bounded commit chunks, and the data rewrite is one
+distributed job whose output partition count is sized from the selected
+bytes, so a 100 TB table compacts partition-by-partition without ever
+shuffling untouched files.
 """
 
 from __future__ import annotations
 
-from delta_kernel_rs_spark.sources.delete import _candidate_df_with_lineage, _rel_path
-from delta_kernel_rs_spark.sources.transaction import Transaction, _now_ms
+from delta_kernel_rs_spark.sources.delete import (
+    _FILE_META_COLS,
+    _FileMeta,
+    _candidate_frames,
+    _rel_path,
+    _scan_meta_df,
+)
+from delta_kernel_rs_spark.sources.transaction import _now_ms, begin
 
 DEFAULT_TARGET_FILE_SIZE = 256 << 20
 
@@ -84,16 +92,33 @@ def _zorder_key(df, cols: list[str], bits: int = 8):
 def _rewrite_files(
     table,
     snap,
-    files,
+    sel_sfdf,
     operation: str,
     target_bytes: int,
     zorder_by: list[str] | None = None,
 ) -> int:
-    """Rewrite ``files`` into ~target-sized files; dataChange=false."""
+    """Rewrite the files selected by ``sel_sfdf`` (a scan-files-shaped
+    frame) into ~target-sized files; dataChange=false.
+
+    Planning is distributed: the driver collects only (path, has-DV bit)
+    pairs for the read plus one size aggregate; the removes STREAM from
+    the selection frame into bounded NDJSON commit chunks — never an
+    O(selected files) driver action list (a full-table ZORDER selects
+    every file)."""
+    from pyspark.sql import functions as F
+
     scan = snap.scan()
-    df, _ = _candidate_df_with_lineage(scan, files=files)
+    head = [
+        (r.file_path, r.has_dv)
+        for r in sel_sfdf.select(
+            "file_path", F.col("deletion_vector").isNotNull().alias("has_dv")
+        ).collect()
+    ]
+    if not head:
+        return snap.version
+    df, _, _ = _candidate_frames(scan, head=head)
     kept = df.select(*[f.name for f in snap.schema.fields])
-    total = sum(f.size or 0 for f in files)
+    total = (sel_sfdf.agg(F.sum("size").alias("s")).collect()[0].s) or 0
     n_out = max(1, (total + target_bytes - 1) // target_bytes)
     pcols = snap.metadata.partition_columns
     if zorder_by:
@@ -115,24 +140,28 @@ def _rewrite_files(
         kept = kept.repartition(int(n_out), *[F.col(p) for p in pcols])
     else:
         kept = kept.repartition(int(n_out))
-    removes = [
-        {
-            "remove": {
-                "path": _rel_path(table.path, f.path),
-                "deletionTimestamp": _now_ms(),
-                "dataChange": False,
-                "extendedFileMetadata": True,
-                "partitionValues": f.partition_values,
-                "size": f.size,
-                "deletionVector": f.dv,
+    meta_df = sel_sfdf.select(*_FILE_META_COLS)
+    ts = _now_ms()
+
+    def _removes():
+        for r in meta_df.toLocalIterator():
+            m = _FileMeta(r)
+            yield {
+                "remove": {
+                    "path": _rel_path(table.path, m.path),
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                    "extendedFileMetadata": True,
+                    "partitionValues": m.partition_values,
+                    "size": m.size,
+                    "deletionVector": m.dv,
+                }
             }
-        }
-        for f in files
-    ]
-    txn = Transaction(table.spark, table.path, operation=operation, read_snapshot=snap)
+
+    txn = begin(table, operation, snap)
     txn.data_change = False
     txn.write_data(kept)
-    txn.add_actions(removes)
+    txn.add_actions_stream(_removes)
     return txn.commit()
 
 
@@ -183,22 +212,34 @@ def optimize(
         in_parts = [c for c in zorder_by if c in snap.metadata.partition_columns]
         if in_parts:
             raise ValueError(f"zorder_by columns are partition columns: {in_parts}")
-        files = snap.scan().files()
-        if not files:
-            return snap.version
         return _rewrite_files(
-            table, snap, files, "OPTIMIZE", target_file_size, zorder_by=zorder_by
+            table,
+            snap,
+            _scan_meta_df(snap.scan()),
+            "OPTIMIZE",
+            target_file_size,
+            zorder_by=zorder_by,
         )
     threshold = small_file_threshold if small_file_threshold is not None else target_file_size // 2
-    files = snap.scan().files()
-    by_part: dict[tuple, list] = {}
-    for f in files:
-        if (f.size or 0) < threshold or f.dv:
-            key = tuple(sorted((f.partition_values or {}).items()))
-            by_part.setdefault(key, []).append(f)
-    selected = [f for group in by_part.values() if len(group) >= 2 for f in group]
-    if not selected:
-        return snap.version
+    # In-plan selection (no driver file list): small-or-DV files, kept
+    # only where their partition holds 2+ of them. The map column can't
+    # key a window directly — canonicalize to sorted-entry JSON.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sfdf = _scan_meta_df(snap.scan())
+    pkey = F.to_json(
+        F.array_sort(F.map_entries(F.coalesce(F.col("partition_values"), F.expr("map()"))))
+    )
+    selected = (
+        sfdf.filter(
+            (F.coalesce(F.col("size"), F.lit(0)) < F.lit(threshold))
+            | F.col("deletion_vector").isNotNull()
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(pkey)))
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
     return _rewrite_files(table, snap, selected, "OPTIMIZE", target_file_size)
 
 
@@ -208,16 +249,18 @@ def purge_deletion_vectors(
     """Materialize deletion vectors: rewrite every file whose DV hides at
     least ``min_cardinality`` rows into a clean file with no DV
     (REORG TABLE ... APPLY (PURGE)). Returns the committed version."""
+    from pyspark.sql import functions as F
+
     snap = table.snapshot()
     _check_supported(snap)
-    files = [
-        f
-        for f in snap.scan().files()
-        if f.dv and (f.dv.get("cardinality") or 0) >= min_cardinality
-    ]
-    if not files:
-        return snap.version
-    return _rewrite_files(table, snap, files, "PURGE", target_file_size)
+    selected = _scan_meta_df(snap.scan()).filter(
+        F.col("deletion_vector").isNotNull()
+        & (
+            F.coalesce(F.col("deletion_vector.cardinality"), F.lit(0))
+            >= F.lit(min_cardinality)
+        )
+    )
+    return _rewrite_files(table, snap, selected, "PURGE", target_file_size)
 
 
 #: delta.logRetentionDuration default (delta protocol: 30 days).

@@ -36,11 +36,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from delta_kernel_rs_spark.sources.delete import (
-    _candidate_df_with_lineage,
+    _candidate_frames,
+    _collect_file_meta,
     _rel_path,
     _write_cdc_files,
 )
-from delta_kernel_rs_spark.sources.transaction import Transaction, _now_ms
+from delta_kernel_rs_spark.sources.transaction import _now_ms, begin
 
 
 class MergeError(Exception):
@@ -151,7 +152,7 @@ def merge(
         return F.lit(None)
 
     scan = snap.scan()
-    df, files = _candidate_df_with_lineage(scan)
+    df, head, _ = _candidate_frames(scan)
 
     def joined_over(target: DataFrame) -> DataFrame:
         tdf = target.select(
@@ -201,8 +202,9 @@ def merge(
     if matched_paths:
         # Phase 2: targeted re-read of ONLY the matched files (a
         # __file_path filter over the full scan cannot prune files).
-        touched, _ = _candidate_df_with_lineage(
-            scan, files=[f for f in files if f.path in matched_paths]
+        by_path = dict(head)
+        touched, _, matched_sfdf = _candidate_frames(
+            scan, head=[(p, by_path[p]) for p in sorted(matched_paths)]
         )
         tj = joined_over(touched)
         upd = [updated_value(c).cast(types[c]).alias(c) for c in cols]
@@ -230,13 +232,11 @@ def merge(
             if inserts is not None:
                 cdc_actions += _write_cdc_files(table, inserts, snap, "insert")
 
-        file_info = {f.path: f for f in files}
-        for p in sorted(matched_paths):
-            info = file_info[p]
+        for info in _collect_file_meta(matched_sfdf):
             removes.append(
                 {
                     "remove": {
-                        "path": _rel_path(table.path, p),
+                        "path": _rel_path(table.path, info.path),
                         "deletionTimestamp": _now_ms(),
                         "dataChange": True,
                         "extendedFileMetadata": True,
@@ -255,7 +255,7 @@ def merge(
     # One staging write; zero-row part files are dropped at stage time and
     # an actionless transaction skips the commit — a no-op merge issues a
     # single Spark job and bumps no version.
-    txn = Transaction(table.spark, table.path, operation="MERGE", read_snapshot=snap)
+    txn = begin(table, "MERGE", snap)
     txn.write_data(out)
     txn.add_actions(removes + cdc_actions)
     version = txn.commit()

@@ -26,10 +26,26 @@ DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
 class DeltaTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, committer=None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.storage = storage_for(spark, path)
+        #: optional catalog committer (sources/committer.py /
+        #: catalog_rest.py). When set, every snapshot loads with the
+        #: catalog's log tail + ratified tip and every transaction —
+        #: including the DML/maintenance helpers — commits through it, so
+        #: catalog-managed tables get the full DeltaTable API (reference:
+        #: all table ops route through the Committer trait,
+        #: kernel/src/committer/mod.rs).
+        self.committer = committer
+
+    def _route(self, txn):
+        """Attach the table's catalog committer (if any) to a transaction —
+        every write path funnels here so catalog-managed tables never
+        bypass ratification."""
+        if self.committer is not None:
+            txn.with_committer(self.committer)
+        return txn
 
     # -- lifecycle -------------------------------------------------------
     @staticmethod
@@ -110,6 +126,14 @@ class DeltaTable:
             from delta_kernel_rs_spark.sources.history import version_at_timestamp
 
             version = version_at_timestamp(self.spark, self.path, timestamp_ms)
+        if self.committer is not None and self.committer.is_catalog_committer():
+            return Snapshot.create(
+                self.spark,
+                self.path,
+                version=version,
+                log_tail=self.committer.log_tail() or None,
+                max_catalog_version=self.committer.max_catalog_version(),
+            )
         return Snapshot.create(self.spark, self.path, version=version)
 
     def to_df(
@@ -255,9 +279,9 @@ class DeltaTable:
                 txn = self._evolution_txn(snap, merged, "WRITE")
                 table_schema = txn.schema  # post-cm-assignment field set
         if txn is None:
-            txn = Transaction(
+            txn = self._route(Transaction(
                 self.spark, self.path, operation="WRITE", read_snapshot=snap
-            )
+            ))
         if [f.name for f in df.schema.fields] != [f.name for f in table_schema.fields]:
             # Reorder/prune to the table schema, keeping only columns the
             # DataFrame has — absent generated/identity/default columns are
@@ -304,7 +328,11 @@ class DeltaTable:
             return None
         snap = self.snapshot()
         return (
-            Transaction(self.spark, self.path, operation="WRITE", read_snapshot=snap)
+            self._route(
+                Transaction(
+                    self.spark, self.path, operation="WRITE", read_snapshot=snap
+                )
+            )
             .write_data(df)
             .with_transaction_id(app_id, txn_version)
             .commit()
@@ -519,7 +547,7 @@ class DeltaTable:
                 f"cannot restore to version {tgt.version}: {len(missing_on_disk)} "
                 f"data file(s) were vacuumed (e.g. {missing_on_disk[0]!r})"
             )
-        txn = Transaction(
+        txn = self._route(Transaction(
             self.spark,
             self.path,
             operation="RESTORE",
@@ -527,7 +555,7 @@ class DeltaTable:
             schema=tgt.schema,
             configuration=dict(tgt.metadata.configuration),
             partition_columns=list(tgt.metadata.partition_columns),
-        )
+        ))
         txn.add_actions(actions)
         if (
             tgt.metadata.schema_string != cur.metadata.schema_string
@@ -568,7 +596,7 @@ class DeltaTable:
             )
             new_schema, max_id = assign_column_mapping(new_schema, start_id=start)
             config["delta.columnMapping.maxColumnId"] = str(max_id)
-        txn = Transaction(
+        txn = self._route(Transaction(
             self.spark,
             self.path,
             operation=operation,
@@ -576,7 +604,7 @@ class DeltaTable:
             schema=new_schema,
             partition_columns=snap.metadata.partition_columns,
             configuration=config,
-        )
+        ))
         return txn.with_updated_metadata()
 
     def alter_schema(self, new_schema: T.StructType) -> int:
@@ -657,13 +685,13 @@ class DeltaTable:
                 int(_time.time() * 1000)
             )
 
-        txn = Transaction(
+        txn = self._route(Transaction(
             self.spark,
             self.path,
             operation="SET TBLPROPERTIES",
             read_snapshot=snap,
             configuration=new_conf,
-        )
+        ))
         txn.with_updated_metadata()
         min_r, min_w, rf, wf = required_protocol(
             snap.schema, new_conf, cluster_by=snap.clustering_columns() or None
@@ -699,13 +727,13 @@ class DeltaTable:
             for k, v in snap.metadata.configuration.items()
             if k not in set(keys)
         }
-        txn = Transaction(
+        txn = self._route(Transaction(
             self.spark,
             self.path,
             operation="UNSET TBLPROPERTIES",
             read_snapshot=snap,
             configuration=new_conf,
-        )
+        ))
         txn.with_updated_metadata()
         v = txn.commit()
         self.maybe_write_crc(v)
@@ -892,6 +920,9 @@ class DeltaTable:
                 out[abs_p] = ts
 
         for arm in arms:
+            # Streamed, not collected: the aggregate is O(removed files)
+            # rows — toLocalIterator keeps the driver buffer to one
+            # partition batch while the dict holds only (path, ts) pairs.
             rows = (
                 arm.filter(F.col("remove").isNotNull())
                 .groupBy(
@@ -899,7 +930,7 @@ class DeltaTable:
                     F.col("remove.deletionVector").alias("dv"),
                 )
                 .agg(F.max("remove.deletionTimestamp").alias("ts"))
-                .collect()
+                .toLocalIterator()
             )
             for r in rows:
                 rel = urllib.parse.unquote(r.p)
@@ -937,11 +968,20 @@ class DeltaTable:
             retention_ms = _tombstone_retention_ms(snap)
         cutoff = _now_ms() - retention_ms
 
+        # Live-file enumeration streams from the replay frame (no
+        # ScanFile materialization, no stats column) — driver state is
+        # the protected path-string set only.
         protected: set[str] = set()
-        for f in snap.scan().files():
-            protected.add(f.path)
-            if f.dv:
-                dv_path = dv_absolute_path(self.path, f.dv)
+        live_iter = (
+            snap.scan()
+            .scan_files_df()
+            .select("file_path", "deletion_vector")
+            .toLocalIterator()
+        )
+        for f in live_iter:
+            protected.add(f.file_path)
+            if f.deletion_vector and f.deletion_vector.storageType:
+                dv_path = dv_absolute_path(self.path, f.deletion_vector.asDict())
                 if dv_path:
                     protected.add(dv_path)
         deletion_ts = self._tombstone_deletion_timestamps()

@@ -32,13 +32,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from delta_kernel_rs_spark.sources.delete import (
-    _candidate_df_with_lineage,
+    _FILE_META_COLS,
+    _candidate_frames,
+    _collect_file_meta,
     _pred_to_column,
     _rel_path,
+    _scan_meta_df,
     _typed_predicate,
     _write_cdc_files,
 )
-from delta_kernel_rs_spark.sources.transaction import Transaction, _now_ms
+from delta_kernel_rs_spark.sources.transaction import (
+    AppendOnlyError,
+    _now_ms,
+    begin,
+)
 
 
 class UpdateError(Exception):
@@ -82,7 +89,7 @@ def update_where(
         raise UpdateError("UPDATE needs at least one assignment")
 
     scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))
-    df, files = _candidate_df_with_lineage(scan)
+    df, head, _ = _candidate_frames(scan)
     if df is None:
         return snap.version  # stats prove nothing can match
     pred_col = _pred_to_column(predicate)
@@ -98,8 +105,9 @@ def update_where(
     if not matched_paths:
         return snap.version
 
-    touched, _ = _candidate_df_with_lineage(
-        scan, files=[f for f in files if f.path in matched_paths]
+    by_path = dict(head)
+    touched, _, matched_sfdf = _candidate_frames(
+        scan, head=[(p, by_path[p]) for p in sorted(matched_paths)]
     )
 
     def new_val(c: str) -> Column:
@@ -127,10 +135,9 @@ def update_where(
             "update_postimage",
         )
 
-    file_info = {f.path: f for f in files}
-    removes = [_remove_action(table, file_info[p]) for p in sorted(matched_paths)]
+    removes = [_remove_action(table, m) for m in _collect_file_meta(matched_sfdf)]
 
-    txn = Transaction(table.spark, table.path, operation="UPDATE", read_snapshot=snap)
+    txn = begin(table, "UPDATE", snap)
     txn.write_data(rewritten)
     txn.add_actions(removes + cdc_actions)
     version = txn.commit()
@@ -147,13 +154,26 @@ def overwrite(table, df: DataFrame) -> int:
     are written.
     """
     snap = table.snapshot()
-    files = snap.scan().files()
-    removes = [_remove_action(table, f) for f in files]
-    txn = Transaction(
-        table.spark, table.path, operation="OVERWRITE", read_snapshot=snap
-    )
+    if snap.metadata.configuration.get("delta.appendOnly", "false").lower() == "true":
+        raise AppendOnlyError(
+            f"table {table.path} is append-only (delta.appendOnly); "
+            "overwrite is not permitted"
+        )
+    # One remove per live file is protocol-inherent in an overwrite commit;
+    # the removes STREAM from the replay frame into bounded NDJSON chunks
+    # (the clone/convert pattern) — the driver never buffers an O(files)
+    # action list.
+    sfdf = _scan_meta_df(snap.scan()).select(*_FILE_META_COLS)
+
+    def _removes():
+        from delta_kernel_rs_spark.sources.delete import _FileMeta
+
+        for r in sfdf.toLocalIterator():
+            yield _remove_action(table, _FileMeta(r))
+
+    txn = begin(table, "OVERWRITE", snap)
     txn.write_data(df)
-    txn.add_actions(removes)
+    txn.add_actions_stream(_removes)
     version = txn.commit()
     if version != snap.version:
         table.maybe_write_crc(version)
@@ -183,11 +203,11 @@ def overwrite_where(table, df: DataFrame, predicate) -> int:
         )
 
     scan = snap.scan(predicate=_typed_predicate(predicate, snap.schema))
-    cand, files = _candidate_df_with_lineage(scan)
+    cand, head, _ = _candidate_frames(scan)
 
-    matched_paths: set[str] = set()
     kept: DataFrame | None = None
     cdc_actions: list[dict] = []
+    removes: list[dict] = []
     if cand is not None:
         hit = pred_col.eqNullSafe(F.lit(True))
         matched_paths = {
@@ -198,8 +218,9 @@ def overwrite_where(table, df: DataFrame, predicate) -> int:
             .collect()
         }
         if matched_paths:
-            touched, _ = _candidate_df_with_lineage(
-                scan, files=[f for f in files if f.path in matched_paths]
+            by_path = dict(head)
+            touched, _, matched_sfdf = _candidate_frames(
+                scan, head=[(p, by_path[p]) for p in sorted(matched_paths)]
             )
             kept = touched.filter(~hit).select(*cols)
             if snap.metadata.cdf_enabled:
@@ -211,14 +232,13 @@ def overwrite_where(table, df: DataFrame, predicate) -> int:
                 cdc_actions += _write_cdc_files(
                     table, df.select(*cols), snap, "insert"
                 )
+            removes = [
+                _remove_action(table, m) for m in _collect_file_meta(matched_sfdf)
+            ]
 
     out = df.select(*cols) if kept is None else kept.unionByName(df.select(*cols))
-    file_info = {f.path: f for f in files or []}
-    removes = [_remove_action(table, file_info[p]) for p in sorted(matched_paths)]
 
-    txn = Transaction(
-        table.spark, table.path, operation="OVERWRITE", read_snapshot=snap
-    )
+    txn = begin(table, "OVERWRITE", snap)
     txn.write_data(out)
     txn.add_actions(removes + cdc_actions)
     version = txn.commit()

@@ -236,3 +236,215 @@ def test_feature_enablement_lists_active_legacy_features(spark, tmp_path):
     assert "columnMapping" in (snap.protocol.reader_features or [])
     assert snap.protocol.min_reader_version == 3
     assert snap.protocol.min_writer_version == 7
+
+
+# ---------------------------------------------------------------------------
+# REST contract double (sources/catalog_rest.py): the same committer seam,
+# exercised through the HTTP-shaped wire contract — request/response bodies
+# per unity-catalog-delta-client-api/src/models.rs, paths per
+# unity-catalog-delta-rest-client/src/clients/uc_client.rs, committer flow
+# per delta-kernel-unity-catalog/src/committer.rs.
+# ---------------------------------------------------------------------------
+
+from delta_kernel_rs_spark.sources.catalog_rest import (  # noqa: E402
+    MAX_UNPUBLISHED_COMMITS,
+    CatalogHttpError,
+    RestCatalogCommitter,
+    UCCatalogServer,
+    UCRestClient,
+    WireCommit,
+    add_commit,
+    assert_table_uuid,
+    set_latest_backfilled_version,
+)
+
+
+def _rest_table(spark, path, df):
+    """Catalog-managed table enrolled with a REST catalog server double."""
+    t = DeltaTable.create(spark, path, df=df, properties=CM_PROPS)
+    server = UCCatalogServer()
+    uid = server.register_table("main", "ds", "tbl", t.path, published_tip=0)
+    client = UCRestClient(server.handle)
+    committer = RestCatalogCommitter(client, "main", "ds", "tbl", uid)
+    return t, server, client, committer
+
+
+def test_rest_commit_ratifies_and_tail_loads(spark, tmp_path):
+    """Full loop over the wire: staged write -> add-commit POST ->
+    load_table-driven log tail -> snapshot sees the staged commit."""
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(5).toDF("x")
+    )
+    v1 = _append_via(spark, t, cat, spark.range(5, 10).toDF("x"))
+    assert v1 == 1
+    # staged only — nothing published
+    log = os.path.join(t.path, "_delta_log")
+    assert not os.path.exists(os.path.join(log, "00000000000000000001.json"))
+    # the tail comes from GET load_table's inline commits, newest-first on
+    # the wire, ascending in the LogTailEntry list
+    resp = client.load_table("main", "ds", "tbl")
+    assert [c["version"] for c in resp["commits"]] == [1]
+    assert resp["latest-table-version"] == 1
+    snap = _cm_snapshot(spark, t, cat)
+    assert snap.version == 1
+    assert snap.scan().to_df().count() == 10
+
+
+def test_rest_version_conflict_retries_via_tail(spark, tmp_path):
+    """Two writers race version 1; the 409 surfaces as CommitConflict and
+    the transaction rebases against the getCommits-driven tail."""
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+    )
+    snap = _cm_snapshot(spark, t, cat)
+    t1 = (
+        Transaction(spark, t.path, operation="WRITE", read_snapshot=snap)
+        .write_data(spark.range(10, 12).toDF("x"))
+        .with_committer(cat)
+    )
+    t2 = (
+        Transaction(spark, t.path, operation="WRITE", read_snapshot=snap)
+        .write_data(spark.range(12, 14).toDF("x"))
+        .with_committer(cat)
+    )
+    assert t1.commit() == 1
+    assert t2.commit() == 2  # blind append rebased to the next version
+    snap = _cm_snapshot(spark, t, cat)
+    assert snap.version == 2
+    assert snap.scan().to_df().count() == 6
+
+
+def test_rest_publish_then_backfill_prunes_catalog_commits(spark, tmp_path):
+    """publish = atomic copy (already-exists ok); the catalog learns the
+    published tip on the NEXT commit (committer.rs:204-215) and prunes its
+    unpublished list (in_memory.rs:59-61,69-73)."""
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+    )
+    _append_via(spark, t, cat, spark.range(2, 4).toDF("x"))
+    _append_via(spark, t, cat, spark.range(4, 6).toDF("x"))
+    published = cat.publish(t.storage, t.path)
+    assert [p.rsplit("/", 1)[-1] for p in published] == [
+        "00000000000000000001.json",
+        "00000000000000000002.json",
+    ]
+    # the catalog still lists 1..2 (it has not heard about the publish)
+    assert [c["version"] for c in client.load_table("main", "ds", "tbl")["commits"]] == [2, 1]
+    # next commit piggybacks set-latest-backfilled-version=2 -> pruned to [3]
+    _append_via(spark, t, cat, spark.range(6, 8).toDF("x"))
+    assert [c["version"] for c in client.load_table("main", "ds", "tbl")["commits"]] == [3]
+    snap = _cm_snapshot(spark, t, cat)
+    assert snap.version == 3
+    assert snap.scan().to_df().count() == 8
+    # publish is idempotent under put-if-absent races
+    again = cat.publish(t.storage, t.path)
+    assert [p.rsplit("/", 1)[-1] for p in again] == ["00000000000000000003.json"]
+
+
+def test_rest_wire_validation(spark, tmp_path):
+    """Server-side contract rules: singleton updates, required add-commit,
+    uuid assertion, contiguous versions, unpublished-commit backpressure."""
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+    )
+    wc = WireCommit(1, 0, "00000000000000000001.x.json", 10, 0)
+    # duplicate add-commit: rejected client-side AND server-side (models.rs:114)
+    with pytest.raises(CatalogHttpError, match="more than one add-commit"):
+        client.update_table(
+            "main", "ds", "tbl",
+            requirements=[], updates=[add_commit(wc), add_commit(wc)],
+        )
+    import json as _json
+
+    status, _ = server.handle(
+        "POST", "delta/v1/catalogs/main/schemas/ds/tables/tbl", None,
+        _json.dumps(
+            {"requirements": [], "updates": [add_commit(wc), add_commit(wc)]}
+        ).encode(),
+    )
+    assert status == 400
+    # add-commit is required (in_memory.rs:43-45)
+    with pytest.raises(CatalogHttpError, match="add-commit update is required"):
+        client.update_table(
+            "main", "ds", "tbl",
+            requirements=[], updates=[set_latest_backfilled_version(0)],
+        )
+    # stale table uuid (dropped+recreated table): 409
+    with pytest.raises(CommitConflict, match="uuid mismatch"):
+        client.update_table(
+            "main", "ds", "tbl",
+            requirements=[assert_table_uuid("not-the-uuid")],
+            updates=[add_commit(wc)],
+        )
+    # version gap: 409 (in_memory.rs:47-53)
+    with pytest.raises(CommitConflict, match="expected commit version 1"):
+        client.update_table(
+            "main", "ds", "tbl", requirements=[],
+            updates=[add_commit(WireCommit(4, 0, "f", 1, 0))],
+        )
+    # unknown table: 404
+    with pytest.raises(CatalogHttpError, match="not found"):
+        client.load_table("main", "ds", "nope")
+    # backpressure at MAX_UNPUBLISHED_COMMITS ratified-but-unpublished
+    for v in range(1, MAX_UNPUBLISHED_COMMITS + 1):
+        client.update_table(
+            "main", "ds", "tbl", requirements=[],
+            updates=[add_commit(WireCommit(v, 0, f"{v:020d}.u.json", 1, 0))],
+        )
+    with pytest.raises(CatalogHttpError, match="max unpublished"):
+        client.update_table(
+            "main", "ds", "tbl", requirements=[],
+            updates=[
+                add_commit(
+                    WireCommit(
+                        MAX_UNPUBLISHED_COMMITS + 1, 0, "f.json", 1, 0
+                    )
+                )
+            ],
+        )
+
+
+def test_rest_config_and_create_flow(spark, tmp_path):
+    """Session handshake + staging-table/create-table registration
+    (uc_client.rs:108-196): reserve a staging table, commit v0 directly to
+    the published path (committer.rs:134-150), then promote it."""
+    server = UCCatalogServer()
+    client = UCRestClient(server.handle)
+    cfg = client.get_config("main", ["1.1"])
+    assert cfg["protocol-version"] == "1.0"
+    assert any("staging-tables" in e for e in cfg["endpoints"])
+
+    staged = client.create_staging_table("main", "ds", "newtbl")
+    uid = staged["table-id"]
+    assert staged["table-type"] == "MANAGED"
+    # the engine creates the delta table at its own location (v0 direct)
+    path = str(tmp_path / "newtbl")
+    t = DeltaTable.create(spark, path, df=spark.range(3).toDF("x"), properties=CM_PROPS)
+    resp = client.create_table("main", "ds", "newtbl", uid, location=t.path)
+    assert resp["metadata"]["table-uuid"] == uid
+    assert resp["metadata"]["location"] == t.path
+    # re-registering is a conflict
+    with pytest.raises(CatalogHttpError, match="already registered"):
+        client.create_table("main", "ds", "newtbl", uid)
+    # the registered table now takes REST commits
+    cat = RestCatalogCommitter(client, "main", "ds", "newtbl", uid)
+    assert _append_via(spark, t, cat, spark.range(3, 6).toDF("x")) == 1
+    snap = _cm_snapshot(spark, t, cat)
+    assert snap.scan().to_df().count() == 6
+
+
+def test_rest_dml_rides_the_contract(spark, tmp_path):
+    """A DV delete on a catalog-managed table commits through the REST
+    seam end-to-end (staged + ratified, visible only via the tail)."""
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(100).toDF("x")
+    )
+    # attaching the committer routes the table's snapshot loads AND every
+    # DML transaction through the catalog (DeltaTable._route)
+    t.committer = cat
+    v = delete_with_dvs(t, "x >= 90")
+    assert v == 1
+    snap = _cm_snapshot(spark, t, cat)
+    assert snap.scan().to_df().count() == 90

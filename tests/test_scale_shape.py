@@ -180,13 +180,13 @@ def test_upsert_rewrite_reads_only_matched_files(spark, tmp_path, monkeypatch):
     assert len(files) == 4
 
     subsets: list[int | None] = []
-    orig = delete_mod._candidate_df_with_lineage
+    orig = delete_mod._candidate_frames
 
-    def spy(scan, files=None):
-        subsets.append(None if files is None else len(files))
-        return orig(scan, files=files)
+    def spy(scan, head=None):
+        subsets.append(None if head is None else len(head))
+        return orig(scan, head=head)
 
-    monkeypatch.setattr(merge_mod, "_candidate_df_with_lineage", spy)
+    monkeypatch.setattr(merge_mod, "_candidate_frames", spy)
     src = spark.createDataFrame([(350, 9999)], "k LONG, v LONG")  # one file hit
     t.upsert(src, keys=["k"])
     # first call: full candidate scan (key matching); second: 1 matched file
@@ -302,3 +302,104 @@ def test_metadata_scale_20k_files(spark, tmp_path):
     # replay + both plans + checkpoint well under a minute on metadata
     # alone — the distributed-shape guard, not a microbenchmark
     assert replay_s < 60, replay_s
+
+
+def test_dml_paths_never_materialize_scan_files(spark, tmp_path, monkeypatch):
+    """Every DML/maintenance path plans from scan_files_df() the way
+    to_df() does (round-6 verdict, next #1-#4): Scan.files() — the
+    O(files) driver ScanFile materialization — must never run under
+    delete / DV-delete / update / merge / replaceWhere / overwrite /
+    OPTIMIZE / PURGE / vacuum / lineage CDF."""
+    from delta_kernel_rs_spark.sources import scan as scan_mod
+    from delta_kernel_rs_spark.sources.cdf import changes_by_row_tracking
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.append(
+        spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        )
+    )
+    rt_path = str(tmp_path / "rt")
+    rt = DeltaTable.create(
+        spark,
+        rt_path,
+        df=spark.range(100).select(F.col("id").alias("k")),
+        properties={"delta.enableRowTracking": "true"},
+    )
+    rt_v0 = rt.snapshot().version
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    delete_with_dvs(rt, "k >= 90")  # DV delete preserves row-id lineage
+
+    def forbid(self):
+        raise AssertionError("Scan.files() called on a DML/maintenance path")
+
+    monkeypatch.setattr(scan_mod.Scan, "files", forbid)
+
+    delete_with_dvs(t, "k % 17 = 0")
+    t.delete("k >= 390")
+    t.update("k < 5", {"k": "k + 1000"})
+    t.upsert(
+        spark.createDataFrame(
+            [(350, "2"), (5000, "1")], "k LONG, p STRING"
+        ),
+        keys=["k"],
+    )
+    t.overwrite_where(
+        spark.createDataFrame([(7000, "1")], "k LONG, p STRING"), "p = '1'"
+    )
+    t.purge_deletion_vectors()
+    t.optimize(small_file_threshold=1 << 30)
+    t.vacuum(retention_ms=0)
+    lineage = changes_by_row_tracking(spark, rt_path, rt_v0)
+    assert {r._change_type for r in lineage.collect()} == {"delete"}
+    t.overwrite(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+        )
+    )
+    monkeypatch.undo()
+    assert t.to_df().count() == 50
+
+
+def test_dv_delete_collects_only_blobs_and_matched_meta(spark, tmp_path, monkeypatch):
+    """dv_delete_where driver collects are bounded (round-6 verdict,
+    What's wrong #1-#2): no collected frame ever carries ``__row_index``
+    (bitmaps serialize executor-side via applyInPandas) and any frame
+    carrying ``stats`` collects at most O(matched files) rows."""
+    from pyspark.sql import DataFrame
+
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 400, partitions=4))
+
+    collected: list[tuple[tuple, int]] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append((tuple(self.columns), len(rows)))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    delete_with_dvs(t, "k < 100")  # hits a subset of the 4 files
+    monkeypatch.undo()
+
+    matched = sum(
+        1 for f in t.snapshot().scan().files() if f.dv and f.dv.get("cardinality")
+    )
+    assert matched >= 1
+    for cols, n in collected:
+        assert "__row_index" not in cols, "row-index frame collected to driver"
+        if "stats" in cols:
+            assert n <= matched, f"stats collected for {n} files (matched={matched})"
+    assert t.to_df().count() == 300
