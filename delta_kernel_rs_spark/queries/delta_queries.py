@@ -647,7 +647,10 @@ def d07_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf_t = _fixture(spark, sf_dir, "cdf")
     # one changes() call feeds both arms — the commit-metadata prepass
-    # (two commit-sized collects) runs once, not per arm
+    # (two commit-sized collects) runs once, not per arm. (Persisting the
+    # change frame was tried and measured SLOWER: materializing the wide
+    # frame costs more than the shared execution saves, and the cache
+    # defeats per-arm column pruning — PLANS.md round 7.)
     ch = cdf_t.changes(0)
     rows = ch.select(*COLS, "_change_type", "_commit_version")
     net = net_changes(ch, key_columns=COLS).select(

@@ -31,7 +31,12 @@ from delta_kernel_rs_spark.operators.dedup import (
     neardup_pairs_minhash,
     simhash,
 )
-from delta_kernel_rs_spark.operators.multimodal import binary_meta, with_binary_payload
+from delta_kernel_rs_spark.operators.multimodal import (
+    binary_meta,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
 from delta_kernel_rs_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_blocked,
@@ -482,21 +487,79 @@ register(
 
 
 def p11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary payload + Arrow-batched metadata extraction."""
+    """Multimodal fan-out, all three stages oracle-checked (round-6
+    verdict, next #6): Arrow-batched metadata extraction, bounded-output
+    thumbnail resize, and one-row-per-frame sampling — the stubs are
+    deterministic byte arithmetic, so the DuckDB twin reconstructs the
+    exact thumbnail/frame bytes with substring-on-hex math."""
     df = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return binary_meta(df)
+    meta = binary_meta(df).select(
+        F.lit("meta").alias("arm"),
+        "doc_id",
+        F.lit(0).cast("long").alias("idx"),
+        F.col("n_bytes").alias("bytes_out"),
+        F.col("header").alias("sig"),
+        F.col("fake_width").alias("w"),
+        F.col("fake_height").alias("h"),
+    )
+    # 64x48 stub thumbnail: 8-byte dim header + stride-sampled payload,
+    # output bounded at 56 bytes/row regardless of input size
+    thumbs = resize_images(df, 64, 48).select(
+        F.lit("resize").alias("arm"),
+        "doc_id",
+        F.lit(0).cast("long").alias("idx"),
+        F.col("thumb_bytes").alias("bytes_out"),
+        # first two SAMPLED bytes (positions 0 and stride of the source)
+        F.lower(F.hex(F.substring(F.col("thumb"), 9, 2))).alias("sig"),
+        F.lit(64).cast("long").alias("w"),
+        F.lit(48).cast("long").alias("h"),
+    )
+    # 4-frame uniform sampling: one output row per (doc, frame)
+    frames = sample_frames(df, 4).select(
+        F.lit("frames").alias("arm"),
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("idx"),
+        F.length("frame").cast("long").alias("bytes_out"),
+        F.lower(F.hex(F.substring(F.col("frame"), 1, 4))).alias("sig"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    return meta.unionByName(thumbs).unionByName(frames)
 
 
 register(
     "p11_multimodal_meta",
     p11_multimodal_meta,
     """
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           lower(substr(hex(encode(text)), 1, 8)) AS header,
-           octet_length(encode(text)) % 640 AS fake_width,
-           (octet_length(encode(text)) * 7) % 480 AS fake_height
-    FROM documents
+    WITH src AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             lower(hex(encode(text))) AS hx
+      FROM documents),
+    rz AS (
+      SELECT doc_id, n, hx, greatest(1, n // 48) AS stride FROM src),
+    fr AS (
+      SELECT doc_id, n, hx, greatest(1, n // 4) AS seg, unnest(range(4)) AS i
+      FROM src)
+    SELECT 'meta' AS arm, doc_id, CAST(0 AS BIGINT) AS idx,
+           CAST(n AS BIGINT) AS bytes_out,
+           substr(hx, 1, 8) AS sig,
+           CAST(n % 640 AS BIGINT) AS w,
+           CAST((n * 7) % 480 AS BIGINT) AS h
+    FROM src
+    UNION ALL
+    SELECT 'resize', doc_id, CAST(0 AS BIGINT),
+           CAST(8 + least(48, (n + stride - 1) // stride) AS BIGINT),
+           substr(hx, 1, 2) ||
+             CASE WHEN n > stride THEN substr(hx, stride*2 + 1, 2) ELSE '' END,
+           CAST(64 AS BIGINT), CAST(48 AS BIGINT)
+    FROM rz
+    UNION ALL
+    SELECT 'frames', doc_id, CAST(i AS BIGINT),
+           CAST(least(seg, n - i*seg) AS BIGINT),
+           substr(hx, i*seg*2 + 1, least(4, least(seg, n - i*seg))*2),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM fr WHERE i*seg < n
     """,
 )
 

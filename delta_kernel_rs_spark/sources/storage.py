@@ -367,15 +367,51 @@ class ArrowStorage:
         return out
 
     def list_from(self, directory: str, start_name: str) -> list[FileEntry]:
-        """KNOWN LIMITATION: pyarrow's FileSelector exposes no start key
-        and no streaming iterator, so this handler lists the directory
-        then drops names below the start key — entry construction is
-        still skipped for them, but the underlying RPC fetches the full
-        page set. Use the Hadoop handler for huge logs; this one serves
-        SparkSession-free contexts (executors, Python data sources)."""
+        """Start-key listing (reference kernel/src/lib.rs:610-654).
+
+        Local filesystems bypass pyarrow entirely: ``os.scandir`` yields
+        names without stat, so names below the key are dropped on the
+        name alone and only the matching tail is ever stat'ed — the same
+        skip-before-stat bound as :class:`LocalStorage`.
+
+        REMOTE LIMITATION (documented rejection of the prefix-band
+        workaround, PLANS.md round 7): pyarrow's ``FileSelector`` selects
+        whole directories only — it has no start key, no name-prefix
+        filter, and no paging handle, and ``get_file_info(paths)`` needs
+        exact names, which checkpoint/compaction artifacts
+        (``{v}.checkpoint.{uuid}.parquet``, ``{v}.{v'}.compacted.json``)
+        make unguessable. So remote filesystems list the full page set
+        and filter; entry construction is still skipped below the key.
+        Use the Hadoop handler (streaming ``listStatusIterator``) for
+        huge remote logs — this handler serves SparkSession-free
+        contexts (executors, Python data sources)."""
         import pyarrow.fs as pafs
 
-        sel = pafs.FileSelector(self._rel(directory), allow_not_found=True)
+        rel = self._rel(directory)
+        if isinstance(self._fs, pafs.LocalFileSystem):
+            import os
+
+            out = []
+            try:
+                with os.scandir(rel) as it:
+                    for e in it:
+                        if e.name < start_name:
+                            continue  # dropped before any stat
+                        if not e.is_file():
+                            continue
+                        st = e.stat()
+                        out.append(
+                            FileEntry(
+                                self._full(f"{rel.rstrip('/')}/{e.name}"),
+                                st.st_size,
+                                int(st.st_mtime * 1000),
+                            )
+                        )
+            except FileNotFoundError:
+                return []
+            out.sort(key=lambda f: f.path)
+            return out
+        sel = pafs.FileSelector(rel, allow_not_found=True)
         out = [
             FileEntry(
                 self._full(info.path),

@@ -64,3 +64,26 @@ def test_arrow_list_from_filters_before_construction(monkeypatch, log_dir):
     out = st.list_from(log_dir, START)
     assert len(out) == 10
     assert len(made) == 10
+
+
+def test_arrow_local_list_from_never_pages_the_directory(monkeypatch, log_dir):
+    """On a local filesystem the Arrow handler must not fall back to
+    pyarrow's whole-directory FileSelector at all: scandir skips names
+    below the key before ANY stat, so the page-set bound holds too
+    (round-6 verdict, next #8 — the remote rejection is documented in
+    the docstring + PLANS.md)."""
+    import pyarrow.fs as pafs
+
+    st = ArrowStorage(log_dir)
+
+    def no_selector(*a, **k):
+        raise AssertionError("FileSelector built — full page set fetched")
+
+    monkeypatch.setattr(pafs, "FileSelector", no_selector)
+    made = _counting_entries(monkeypatch)
+    out = st.list_from(log_dir, START)
+    assert len(out) == 10
+    assert len(made) == 10
+    assert [f.path.rsplit("/", 1)[-1] for f in out] == [
+        f"{v:020d}.json" for v in range(90, 100)
+    ]
