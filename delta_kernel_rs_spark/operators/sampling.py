@@ -139,3 +139,50 @@ def token_budget_fill(
         .withColumn("cum_tokens", F.sum(tok.cast("long")).over(w))
         .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fractions: list[tuple[str, float]],
+) -> DataFrame:
+    """Deterministic stratified train/val/test split: EXACT per-stratum
+    proportions, not just in-expectation.
+
+    Rows rank within their stratum by md5(key) order (an unbiased,
+    reproducible shuffle); the first ``ceil(f1*n)`` become the first
+    split, the next band the second, and so on — so every stratum
+    contributes its exact share to every split regardless of stratum
+    skew. ``fractions`` is an ordered [(label, fraction)] list whose
+    fractions sum to 1; the last label absorbs the remainder.
+
+    Scale shape: ONE window shuffle partitioned by the strata (rank +
+    count in the same window pass, no second aggregation or join). The
+    assignment is a pure function of the input set — re-running on any
+    cluster layout, or after appending new strata, reproduces the same
+    labels for existing rows within an unchanged stratum.
+    """
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    wc = Window.partitionBy(*strata_cols)
+    out = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    # when-chain in declaration order: rn <= ceil(cum_frac * n) → label
+    chain = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = F.col("__rn") <= F.ceil(F.lit(cum) * F.col("__n"))
+        chain = (
+            F.when(cond, F.lit(name))
+            if chain is None
+            else chain.when(cond, F.lit(name))
+        )
+    last = F.lit(fractions[-1][0])
+    split = chain.otherwise(last) if chain is not None else last
+    return out.withColumn("split", split).drop("__rn", "__n")

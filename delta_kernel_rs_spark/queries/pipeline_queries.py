@@ -718,37 +718,49 @@ register(
 
 
 def p15_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic curation sampling, two arms (merged p15+p27):
+    """Deterministic curation sampling, three arms (merged p15+p27+split):
     strat — ~50% md5-hash sample then at most 40 docs per language in md5
             order (cap-per-group reservoir; one window shuffle)
     mix   — per-language mixture rates (all zh, 90% en, half de/fr, a
             quarter es) as md5-prefix thresholds: map-only, no RNG,
-            stable under any cluster layout and corpus growth."""
+            stable under any cluster layout and corpus growth
+    split — stratified train/val/test assignment (90/5/5 EXACT per
+            source stratum, md5-ranked; one window shuffle)."""
     from delta_kernel_rs_spark.operators.sampling import (
         cap_per_group,
         deterministic_sample,
+        stratified_split,
         weighted_mixture_sample,
     )
 
     df = load_table(spark, sf_dir, "documents")
+    nx = F.lit(None).cast("string").alias("extra")
     sampled = deterministic_sample(df, "doc_id", "8")  # md5 hex < '8' → ~50%
     strat = cap_per_group(sampled, ["lang"], "doc_id", 40).select(
-        F.lit("strat").alias("arm"), "doc_id", "lang", "source"
+        F.lit("strat").alias("arm"), "doc_id", "lang", "source", nx
     )
     mix = weighted_mixture_sample(
         df,
         "lang",
         {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 1.0},
         "doc_id",
-    ).select(F.lit("mix").alias("arm"), "doc_id", "lang", "source")
-    return strat.unionByName(mix)
+    ).select(F.lit("mix").alias("arm"), "doc_id", "lang", "source", nx)
+    split = stratified_split(
+        df, ["source"], "doc_id",
+        [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    ).select(
+        F.lit("split").alias("arm"), "doc_id", "lang", "source",
+        F.col("split").alias("extra"),
+    )
+    return strat.unionByName(mix).unionByName(split)
 
 
 register(
     "p15_sampling_mixture",
     p15_sampling_mixture,
     """
-    SELECT 'strat' AS arm, doc_id, lang, source FROM (
+    SELECT 'strat' AS arm, doc_id, lang, source,
+           CAST(NULL AS VARCHAR) AS extra FROM (
       SELECT doc_id, lang, source,
              ROW_NUMBER() OVER (
                PARTITION BY lang
@@ -757,11 +769,24 @@ register(
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
     WHERE rn <= 40
     UNION ALL
-    SELECT 'mix', doc_id, lang, source FROM documents
+    SELECT 'mix', doc_id, lang, source, CAST(NULL AS VARCHAR) FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
           CASE lang WHEN 'en' THEN 'e666' WHEN 'de' THEN '8000'
                     WHEN 'fr' THEN '8000' WHEN 'es' THEN '4000'
                     WHEN 'zh' THEN 'g' ELSE '0000' END
+    UNION ALL
+    SELECT 'split', doc_id, lang, source,
+           CASE WHEN rn <= CEIL(CAST(0.9 AS DOUBLE) * n) THEN 'train'
+                WHEN rn <= CEIL((CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE)) * n)
+                  THEN 'val'
+                ELSE 'test' END
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
     """,
 )
 

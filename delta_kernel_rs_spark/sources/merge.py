@@ -66,6 +66,8 @@ def merge(
     when_not_matched_insert: dict[str, str] | str | None = None,
     when_not_matched_insert_condition: str | None = None,
     matched_precedence: tuple[str, ...] = ("update", "delete"),
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Multi-clause MERGE; returns the committed version.
 
@@ -84,6 +86,15 @@ def merge(
     through unchanged.
     """
     snap = table.snapshot()
+    if txn_app_id is not None:
+        # exactly-once gate for streaming foreachBatch replays (reference
+        # set-transaction actions, kernel/src/actions/set_transaction.rs):
+        # a batch whose (appId, version) was already committed is a no-op.
+        if txn_version is None:
+            raise MergeError("txn_app_id requires txn_version")
+        latest = table.latest_txn_version(txn_app_id)
+        if latest is not None and latest >= txn_version:
+            return snap.version
     cols = [f.name for f in snap.schema.fields]
     types = {f.name: f.dataType for f in snap.schema.fields}
 
@@ -256,6 +267,8 @@ def merge(
     # an actionless transaction skips the commit — a no-op merge issues a
     # single Spark job and bumps no version.
     txn = begin(table, "MERGE", snap)
+    if txn_app_id is not None:
+        txn.with_transaction_id(txn_app_id, txn_version)
     txn.write_data(out)
     txn.add_actions(removes + cdc_actions)
     version = txn.commit()
@@ -264,7 +277,13 @@ def merge(
     return version
 
 
-def upsert(table, source_df: DataFrame, keys: list[str]) -> int:
+def upsert(
+    table,
+    source_df: DataFrame,
+    keys: list[str],
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int:
     """Merge ``source_df`` into the table by ``keys``; returns the version.
 
     The classic update-or-insert: ``WHEN MATCHED THEN UPDATE SET * WHEN NOT
@@ -280,4 +299,6 @@ def upsert(table, source_df: DataFrame, keys: list[str]) -> int:
         on=keys,
         when_matched_update="*",
         when_not_matched_insert="*",
+        txn_app_id=txn_app_id,
+        txn_version=txn_version,
     )

@@ -557,3 +557,38 @@ def test_sample_frames_fanout(spark, docs):
     seg = max(1, len(text0) // 4)
     assert all(f.frame_offset == i * seg for i, f in enumerate(frames0))
     assert bytes(frames0[0].frame) == text0[:seg]
+
+
+def test_stratified_split_exact_proportions(spark):
+    """stratified_split: exact per-stratum 90/5/5 bands in md5 order,
+    deterministic across layouts, labels stable under re-run."""
+    from delta_kernel_rs_spark.operators.sampling import stratified_split
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    out = stratified_split(
+        df, ["g"], "k", [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    )
+    per = {
+        (r.g, r.split): r.c
+        for r in out.groupBy("g", "split").agg(F.count("*").alias("c")).collect()
+    }
+    for g in "0123":
+        # each stratum has 100 rows -> exactly 90/5/5
+        assert per[(g, "train")] == 90
+        assert per[(g, "val")] == 5
+        assert per[(g, "test")] == 5
+    # deterministic: a repartitioned re-run assigns identical labels
+    again = stratified_split(
+        df.repartition(13), ["g"], "k",
+        [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    )
+    a = {(r.k): r.split for r in out.collect()}
+    b = {(r.k): r.split for r in again.collect()}
+    assert a == b
+    # fractions must sum to 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(df, ["g"], "k", [("a", 0.5), ("b", 0.4)])
