@@ -80,23 +80,95 @@ register(
 # plans/ir/nodes.rs:639-672). Here: latest event per user by event_id.
 # ---------------------------------------------------------------------------
 def q02_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user temporal queries, three arms:
+    latest — max_by aggregation (the original q02)
+    asof   — AS-OF JOIN: each click/view attributed to the user's latest
+             purchase at-or-before its timestamp (operators/temporal.py
+             union-tag rewrite: one window shuffle, no join, no per-key
+             blowup; oracle = DuckDB's native ASOF LEFT JOIN)
+    range  — RANGE JOIN: per purchase, clicks in the preceding hour
+             (band-bucketed equi-join, never a per-key cross product)."""
+    from delta_kernel_rs_spark.operators.temporal import asof_join, range_join
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.max_by("event_type", "event_id").alias("last_event_type"),
-        F.max_by("value", "event_id").alias("last_value"),
-        F.max("event_id").alias("last_event_id"),
+    nl = F.lit(None).cast("long")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("etype"),
+        F.max_by("value", "event_id").alias("val"),
+        F.max("event_id").alias("eid"),
+    ).select(
+        F.lit("latest").alias("arm"), "user_id", "etype", "val", "eid",
+        nl.alias("eid2"), nl.alias("usec"),
     )
+
+    probe = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # one build row per (user, ts): ties pre-deduped so the match is
+    # well-defined in every engine
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pid"))
+    )
+    asof = asof_join(probe, build, ["user_id"], "ts", ["pid"]).select(
+        F.lit("asof").alias("arm"),
+        "user_id",
+        F.col("event_type").alias("etype"),
+        F.col("value").alias("val"),
+        F.col("event_id").alias("eid"),
+        F.col("pid_asof").alias("eid2"),
+        (F.unix_micros("ts") - F.unix_micros("asof_time")).alias("usec"),
+    )
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_eid")
+    )
+    paired = range_join(
+        purchases, clicks, ["user_id"], "ts", "ts", 3_600_000_000
+    )
+    rng = paired.groupBy("user_id", "event_id", "value").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    ).select(
+        F.lit("range").alias("arm"), "user_id",
+        F.lit("purchase").alias("etype"), F.col("value").alias("val"),
+        F.col("event_id").alias("eid"), F.col("n_clicks").alias("eid2"),
+        nl.alias("usec"),
+    )
+    return latest.unionByName(asof).unionByName(rng)
 
 
 register(
     "q02_latest_event_per_user",
     q02_latest_event_per_user,
     """
-    SELECT user_id,
-           max_by(event_type, event_id) AS last_event_type,
-           max_by(value, event_id) AS last_value,
-           MAX(event_id) AS last_event_id
+    SELECT 'latest' AS arm, user_id,
+           max_by(event_type, event_id) AS etype,
+           max_by(value, event_id) AS val,
+           MAX(event_id) AS eid,
+           CAST(NULL AS BIGINT) AS eid2,
+           CAST(NULL AS BIGINT) AS usec
     FROM events GROUP BY user_id
+    UNION ALL
+    SELECT 'asof', p.user_id, p.event_type, p.value, p.event_id, b.pid,
+           epoch_us(p.ts) - epoch_us(b.ts)
+    FROM (SELECT * FROM events WHERE event_type IN ('click', 'view')) p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, MAX(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) b
+    ON p.user_id = b.user_id AND p.ts >= b.ts
+    UNION ALL
+    SELECT 'range', p.user_id, 'purchase', p.value, p.event_id,
+           COUNT(*), CAST(NULL AS BIGINT)
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    GROUP BY p.user_id, p.event_id, p.value
     """,
 )
 
