@@ -377,3 +377,90 @@ def ivf_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "centroid_id", "neighbor_id", "rank", "qcos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — the hyperplane-hash ANN family
+
+
+def srp_signs(n_planes: int, dims: int = DIMS) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: sign(p, i) derives from
+    md5(f"{p}:{i}") — reproducible on any engine that can evaluate md5,
+    which is what lets the oracle rebuild the identical planes. (True
+    randomness buys nothing here: any fixed sign matrix is a valid SRP
+    instance, and a deterministic one makes the whole index a pure
+    function of the data.)"""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+            for i in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket_expr(vec_col: str, signs: list[list[int]]) -> Column:
+    """16ish-bit SRP signature: bit p = [dot(vec, plane_p) > 0], summed as
+    a single integer bucket id. Each plane is one codegen'd fold over the
+    array with the sign literals inlined — no Python, no shuffle."""
+    bits = []
+    for p, row in enumerate(signs):
+        arr = ",".join(str(s) for s in row)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}),"
+            f"(x,s) -> CAST(x AS DOUBLE)*s), CAST(0.0 AS DOUBLE),"
+            f"(acc,v) -> acc+v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
+
+
+def srp_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    n_planes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """SRP-LSH ANN: queries probe only their own hyperplane-signature
+    bucket; candidates get exact cosine; per-query top-k.
+
+    Returns (query_id, bucket, neighbor_id, rank, cosine). The bucket
+    join is a plain equi-join on the signature — candidate count is
+    bounded by bucket co-residency (corpus/2^planes expected), never the
+    corpus. More planes = smaller buckets = higher precision / lower
+    recall; the classic SRP trade (Charikar's simhash for cosine space,
+    applied to dense vectors)."""
+    signs = srp_signs(n_planes, dims)
+    bucket = _srp_bucket_expr(vec_col, signs)
+    corpus = _with_norm2(ensure_min_parallelism(df), vec_col, dims).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("e"),
+        F.col("norm2").alias("en2"),
+        bucket.alias("bucket"),
+    )
+    queries = _with_norm2(query_df, vec_col, dims).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q"),
+        F.col("norm2").alias("qn2"),
+        bucket.alias("bucket"),
+    )
+    # bucket appears on both sides — alias the frames for the equi-join
+    scored = corpus.alias("c").join(
+        F.broadcast(queries).alias("qq"),
+        (F.col("c.bucket") == F.col("qq.bucket"))
+        & (F.col("c.neighbor_id") != F.col("qq.query_id")),
+    ).withColumn("cosine", cosine_expr("qq.q", "c.e", "qq.qn2", "c.en2", dims))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("qq.bucket").alias("bucket"), "neighbor_id",
+            "rank", "cosine",
+        )
+    )

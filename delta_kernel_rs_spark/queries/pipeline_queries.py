@@ -246,12 +246,18 @@ _DK_NORM2 = _dk_fold_dot("embedding", "embedding")
 
 
 def p05_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity search, three arms (merged p05+p06+p25):
+    """Similarity search, four arms (merged p05+p06+p25+srp):
     brute — exact top-5 cosine neighbors for query vectors vec_id < 8
     ivf   — IVF ANN: centroids = first 16 vectors, probe own bucket
     ivfq  — IVF probe scored on int8 codes of the normalized vectors
-            (the 4×-compressed fine-scoring path)"""
-    from delta_kernel_rs_spark.operators.similarity import ivf_topk_quantized
+            (the 4×-compressed fine-scoring path)
+    srp   — signed-random-projection LSH (Charikar hyperplane hash):
+            8 deterministic md5-derived planes, equi-join on the
+            signature bucket, exact cosine on candidates"""
+    from delta_kernel_rs_spark.operators.similarity import (
+        ivf_topk_quantized,
+        srp_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     brute = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
@@ -278,7 +284,33 @@ def p05_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.col("qcos").alias("score"),
     )
-    return brute.unionByName(ivf).unionByName(ivfq)
+    srp = srp_topk(emb, emb.filter(F.col("vec_id") < 8), n_planes=8, k=5).select(
+        F.lit("srp").alias("arm"),
+        "query_id",
+        F.col("bucket").alias("centroid_id"),
+        "neighbor_id",
+        "rank",
+        F.col("cosine").alias("score"),
+    )
+    return brute.unionByName(ivf).unionByName(ivfq).unionByName(srp)
+
+
+def _dk_srp_bucket() -> str:
+    """DuckDB expression rebuilding the identical SRP signature: the same
+    md5-derived ±1 planes (operators/similarity.srp_signs), the same
+    index-order fold."""
+    from delta_kernel_rs_spark.operators.similarity import srp_signs
+
+    bits = []
+    for p, row in enumerate(srp_signs(8)):
+        arr = "[" + ",".join(str(s) for s in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]), "
+            f"(acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 register(
@@ -286,6 +318,7 @@ register(
     p05_embedding_topk,
     f"""
     WITH n AS (SELECT vec_id, embedding, {_DK_NORM2} norm2 FROM embeddings),
+    srpb AS (SELECT vec_id, embedding, norm2, {_dk_srp_bucket()} AS bucket FROM n),
     bq AS (SELECT vec_id query_id, embedding qe, norm2 qn2 FROM n WHERE vec_id < 8),
     bp AS (SELECT query_id, n.vec_id neighbor_id,
                   {_dk_fold_dot("qe", "n.embedding")} / sqrt(qn2*norm2) cosine
@@ -350,6 +383,18 @@ register(
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY qcos DESC, neighbor_id) rnk
           FROM qpr)
+    WHERE rnk <= 5
+    UNION ALL
+    SELECT 'srp', query_id, bucket, neighbor_id, CAST(rnk AS INTEGER), cosine
+    FROM (SELECT query_id, bucket, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) rnk
+          FROM (SELECT q.vec_id AS query_id, q.bucket,
+                       c.vec_id AS neighbor_id,
+                       {_dk_fold_dot("q.embedding", "c.embedding")}
+                         / sqrt(q.norm2 * c.norm2) AS cosine
+                FROM srpb q JOIN srpb c USING (bucket)
+                WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
     WHERE rnk <= 5
     """,
 )
