@@ -185,14 +185,14 @@ def test_update_rebases_over_concurrent_append(spark, tmp_path):
     appended rows survive untouched."""
     import threading
 
-    from delta_kernel_rs_spark.sources import update as upd_mod
+    from delta_kernel_rs_spark.sources.transaction import Transaction
 
     path = str(tmp_path / "tbl")
     t = DeltaTable.create(
         spark, path, df=_kv(spark, [(i, "old", float(i)) for i in range(10)])
     )
 
-    orig_write_data = upd_mod.Transaction.write_data
+    orig_write_data = Transaction.write_data
     appended = threading.Event()
 
     def racing_write_data(self, df):
@@ -204,11 +204,11 @@ def test_update_rebases_over_concurrent_append(spark, tmp_path):
             )
         return orig_write_data(self, df)
 
-    upd_mod.Transaction.write_data = racing_write_data
+    Transaction.write_data = racing_write_data
     try:
         t.update("k < 5", {"v": "'upd'"})
     finally:
-        upd_mod.Transaction.write_data = orig_write_data
+        Transaction.write_data = orig_write_data
     got = {r.k: r.v for r in t.to_df().collect()}
     assert got[100] == "new"  # concurrent append survived
     assert all(got[k] == "upd" for k in range(5))
