@@ -99,3 +99,91 @@ def test_range_join_crosses_bucket_boundary(spark):
     )
     out = range_join(left, right, ["k"], "ts", "ts", 60_000_000)  # 1 min band
     assert [r.rid for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the window/band rewrites vs reference implementations
+# (pandas merge_asof; brute-force inequality join) on random inputs.
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.integers(min_value=1, max_value=3),      # key
+    st.integers(min_value=0, max_value=50),     # seconds offset
+    st.integers(min_value=0, max_value=999),    # payload
+)
+
+
+def _mk(spark, rows, val_name):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "k": pd.Series([r[0] for r in rows], dtype="int64"),
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            val_name: pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+    return pdf, spark.createDataFrame(
+        pdf, schema=f"k long, ts timestamp, {val_name} long"
+    )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    probe=st.lists(_row, min_size=1, max_size=12),
+    build=st.lists(_row, min_size=0, max_size=12),
+)
+def test_asof_matches_pandas_merge_asof(spark, probe, build):
+    import pandas as pd
+
+    # one build row per (key, ts): the documented dedup precondition
+    seen, bdd = set(), []
+    for r in build:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            bdd.append(r)
+    p_pdf, p_df = _mk(spark, probe, "pv")
+    b_pdf, b_df = _mk(spark, bdd, "bv")
+
+    got = asof_join(p_df, b_df, ["k"], "ts", ["bv"]).toPandas()
+    exp = pd.merge_asof(
+        p_pdf.sort_values(["ts", "k"], kind="stable").reset_index(drop=True),
+        b_pdf.sort_values(["ts", "k"], kind="stable").reset_index(drop=True),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    )
+    key = lambda df: sorted(
+        (int(r.k), r.ts.value, int(r.pv), None if pd.isna(r.bv) else int(r.bv))
+        for r in df.itertuples()
+    )
+    got = got.rename(columns={"bv_asof": "bv"})
+    assert key(got) == key(exp)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(_row, min_size=1, max_size=10),
+    right=st.lists(_row, min_size=0, max_size=10),
+)
+def test_range_join_matches_bruteforce(spark, left, right):
+    l_pdf, l_df = _mk(spark, left, "lv")
+    r_pdf, r_df = _mk(spark, right, "rv")
+    band_us = 7_000_000  # 7s band
+
+    got = range_join(l_df, r_df, ["k"], "ts", "ts", band_us)
+    got_pairs = sorted(
+        (int(r.lv), int(r.rv)) for r in got.select("lv", "rv").collect()
+    )
+    exp_pairs = sorted(
+        (int(lr.lv), int(rr.rv))
+        for lr in l_pdf.itertuples()
+        for rr in r_pdf.itertuples()
+        if lr.k == rr.k
+        and rr.ts.value // 1000 >= lr.ts.value // 1000 - band_us
+        and rr.ts.value // 1000 < lr.ts.value // 1000
+    )
+    assert got_pairs == exp_pairs
