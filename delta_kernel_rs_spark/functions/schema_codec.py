@@ -187,3 +187,35 @@ def physical_name(field: T.StructField) -> str:
     """
     meta = field.metadata or {}
     return meta.get(COLUMN_MAPPING_PHYSICAL_NAME_KEY, field.name)
+
+
+def physical_data_type(dt: T.DataType) -> T.DataType:
+    """Recursively apply column-mapping physical names INSIDE nested
+    types: struct fields in structs/arrays/maps carry their own
+    ``delta.columnMapping.physicalName`` metadata, and parquet stores
+    them under those names (reference column_mapping.rs — mapping applies
+    to every nested field, not just roots; caught by the golden tables
+    ``table-with-columnmapping-mode-{name,id}``). Fields without the
+    metadata keep their logical name, so engine-written tables (which
+    map at the root only) round-trip unchanged."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    physical_name(f),
+                    physical_data_type(f.dataType),
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(physical_data_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            physical_data_type(dt.keyType),
+            physical_data_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt

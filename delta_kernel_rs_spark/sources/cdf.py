@@ -66,9 +66,13 @@ def _abs_path(table_path: str, rel: str) -> str:
 
 
 def _physical_fields(snapshot) -> list[T.StructField]:
+    from delta_kernel_rs_spark.functions.schema_codec import physical_data_type
+
     pcols = set(snapshot.metadata.partition_columns)
     return [
-        T.StructField(physical_name(f), f.dataType, True, f.metadata)
+        T.StructField(
+            physical_name(f), physical_data_type(f.dataType), True, f.metadata
+        )
         for f in snapshot.schema.fields
         if f.name not in pcols
     ]

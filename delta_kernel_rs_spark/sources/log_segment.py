@@ -125,7 +125,14 @@ def build_log_segment(
     ckpt_version: int | None = None
     ckpt_parts: list[str] = []
     classic = [p for p in parsed if p.kind == LogFileKind.CLASSIC_CHECKPOINT]
-    v2 = [p for p in parsed if p.kind == LogFileKind.V2_CHECKPOINT and p.filename.endswith(".parquet")]
+    v2 = [
+        p
+        for p in parsed
+        if p.kind == LogFileKind.V2_CHECKPOINT
+        # V2 checkpoints come in parquet AND json flavors (protocol
+        # spec; reference log_path.rs) — both carry sidecar pointers
+        and p.filename.endswith((".parquet", ".json"))
+    ]
     multi = [p for p in parsed if p.kind == LogFileKind.MULTIPART_CHECKPOINT]
     candidates: dict[int, list[str]] = {}
     for p in classic:

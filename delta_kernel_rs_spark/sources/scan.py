@@ -61,9 +61,23 @@ def dv_unique_id(dv_col: Column) -> Column:
     )
 
 
-def normalize_file_path(col: Column) -> Column:
-    """Normalize ``file:``-scheme URIs to plain absolute paths for joins."""
+def _strip_scheme(col: Column) -> Column:
     return F.regexp_replace(col, r"^file:/+", "/")
+
+
+def normalize_file_path(col: Column) -> Column:
+    """``_metadata.file_path`` → plain absolute filesystem path.
+
+    Spark reports ``_metadata.file_path`` as a percent-ENCODED ``file:``
+    URI (a directory literally named ``part=a b%3Ac`` surfaces as
+    ``part=a%20b%253Ac``), while log-derived paths are plain filesystem
+    strings — so the URI must be decoded before the join or every
+    special-character path silently loses its partition constants / DV
+    match (caught by the golden tables ``kernel-timestamp-*`` and
+    ``data-reader-escaped-chars``). Literal '+' is protected first:
+    ``F.url_decode`` is FORM decoding ('+' → space)."""
+    decoded = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+    return _strip_scheme(decoded)
 
 
 def resolve_add_path(col: Column, table_path: str) -> Column:
@@ -76,21 +90,68 @@ def resolve_add_path(col: Column, table_path: str) -> Column:
     Shared by the scan, CDF, and incremental replays."""
     rel = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
     return (
-        F.when(rel.contains("://"), normalize_file_path(rel))
+        # already decoded above — only the scheme needs stripping here
+        F.when(rel.contains("://"), _strip_scheme(rel))
         .when(rel.startswith("/"), rel)
         .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), rel))
     )
 
 
+def _conform_struct(src_type: T.DataType, prefix: str, target: T.StructType) -> Column:
+    """Rebuild a struct column to ``target``'s field set: fields the
+    source lacks become typed NULLs, struct-typed fields recurse.
+
+    Checkpoints written by OLDER writers carry narrower action structs
+    (e.g. an ``add`` without ``clusteringProvider`` or ``baseRowId``);
+    the replay unions them with JSON commits parsed at the full canonical
+    schema, so the parquet side must be widened first (caught by the
+    golden table ``dv-partitioned-with-checkpoint``)."""
+    have = (
+        {f.name: f.dataType for f in src_type.fields}
+        if isinstance(src_type, T.StructType)
+        else {}
+    )
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            if isinstance(f.dataType, T.StructType):
+                cols.append(
+                    _conform_struct(
+                        have[f.name], f"{prefix}.{f.name}", f.dataType
+                    ).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f"{prefix}.{f.name}").cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.when(F.col(prefix).isNotNull(), F.struct(*cols))
+
+
 def resolved_checkpoint_df(spark, seg) -> DataFrame:
-    """Checkpoint-parts DataFrame with V2 sidecars resolved.
+    """Checkpoint-parts DataFrame with V2 sidecars resolved and file
+    actions conformed to the canonical action schemas.
 
     V2 checkpoints store file actions in sidecar parquet files (reference
     kernel/src/checkpoint + log_segment/mod.rs:51-83); the top-level file
     then only carries metadata actions — readers must follow the sidecar
     pointers. Shared by the scan and the checkpoint writer's replay.
     """
-    ckpt = spark.read.parquet(*seg.checkpoint_parts)
+    from delta_kernel_rs_spark.sources.actions import (
+        ACTIONS_SCHEMA,
+        ADD_TYPE,
+        REMOVE_TYPE,
+    )
+
+    if all(p.endswith(".json") for p in seg.checkpoint_parts):
+        # JSON-flavored V2 checkpoint: NDJSON action lines at the full
+        # schema; file actions still live in the parquet sidecars below
+        ckpt = (
+            spark.read.schema(ACTIONS_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(list(seg.checkpoint_parts))
+        )
+    else:
+        ckpt = spark.read.parquet(*seg.checkpoint_parts)
     if "sidecar" in ckpt.columns:
         sidecars = [
             r.path
@@ -104,6 +165,16 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
                 for p in sidecars
             ]
             ckpt = spark.read.parquet(*sidecar_paths)
+    by_name = {f.name: f.dataType for f in ckpt.schema.fields}
+    for col_name, target in (("add", ADD_TYPE), ("remove", REMOVE_TYPE)):
+        if col_name in by_name and (
+            not isinstance(by_name[col_name], T.StructType)
+            or {f.name for f in by_name[col_name].fields}
+            != {f.name for f in target.fields}
+        ):
+            ckpt = ckpt.withColumn(
+                col_name, _conform_struct(by_name[col_name], col_name, target)
+            )
     return ckpt
 
 
@@ -399,6 +470,8 @@ class Scan:
     def _physical_read_schema(self) -> T.StructType:
         """Read schema with column-mapping physical names, partition
         columns excluded (they live in the log, not in parquet)."""
+        from delta_kernel_rs_spark.functions.schema_codec import physical_data_type
+
         schema = self.snapshot.schema
         pcols = set(self.snapshot.metadata.partition_columns)
         fields = []
@@ -406,7 +479,9 @@ class Scan:
             if f.name in pcols:
                 continue
             fields.append(
-                T.StructField(physical_name(f), f.dataType, True, f.metadata)
+                T.StructField(
+                    physical_name(f), physical_data_type(f.dataType), True, f.metadata
+                )
             )
         return T.StructType(fields)
 

@@ -200,13 +200,21 @@ def _checkpoint_pm(checkpoint_parts: list[str]) -> tuple[dict | None, dict | Non
     metadata, protocol = None, None
     for path in checkpoint_parts:
         local = path[len("file://") :] if path.startswith("file://") else path
-        pf = pq.ParquetFile(local)
-        names = {c.split(".", 1)[0] for c in pf.schema_arrow.names}
-        cols = [c for c in ("metaData", "protocol") if c in names]
-        if not cols:
-            continue
-        table = pf.read(columns=cols)
-        data = table.to_pylist()
+        if local.endswith(".json"):
+            # JSON-flavored V2 checkpoint: P&M are NDJSON lines in the
+            # top-level file (sidecars carry only file actions)
+            import json as _json
+
+            with open(local, "r", encoding="utf-8") as fh:
+                data = [_json.loads(line) for line in fh if line.strip()]
+        else:
+            pf = pq.ParquetFile(local)
+            names = {c.split(".", 1)[0] for c in pf.schema_arrow.names}
+            cols = [c for c in ("metaData", "protocol") if c in names]
+            if not cols:
+                continue
+            table = pf.read(columns=cols)
+            data = table.to_pylist()
         for row in data:
             md = row.get("metaData")
             if metadata is None and md and md.get("id"):
@@ -394,7 +402,14 @@ class Snapshot:
             if best is not None:
                 return None if best.get("removed") else best.get("configuration")
         if self.log_segment.checkpoint_parts:
-            ckpt = self.spark.read.parquet(*self.log_segment.checkpoint_parts)
+            # TOP-LEVEL parts only: domainMetadata never moves to sidecars
+            parts = list(self.log_segment.checkpoint_parts)
+            if all(pp.endswith(".json") for pp in parts):
+                from delta_kernel_rs_spark.sources.actions import ACTIONS_SCHEMA
+
+                ckpt = self.spark.read.schema(ACTIONS_SCHEMA).json(parts)
+            else:
+                ckpt = self.spark.read.parquet(*parts)
             if "domainMetadata" in ckpt.columns:
                 rows = (
                     ckpt.filter(F.col("domainMetadata.domain") == domain)
