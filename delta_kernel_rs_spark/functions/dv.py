@@ -36,15 +36,33 @@ _Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
 
 
 def z85_encode(data: bytes) -> str:
-    if len(data) % 4:
-        raise ValueError("z85 requires length % 4 == 0")
+    """Z85 with the unaligned-tail extension real Delta DVs use.
+
+    Core Z85 is 4-bytes → 5-chars big-endian. Inline DVs are NOT always
+    4-aligned (a 34-byte serialized bitmap is common); the scheme used by
+    the reference's z85 dependency (crate ``z85`` v3, Cargo.lock) encodes
+    an ``r``-byte tail (r in 1..3) as ``(4-r)`` literal ``#`` pad markers
+    followed by ``r+1`` base-85 digits of the tail value — total still 5
+    chars. Unambiguous: an aligned group can never START with ``#``
+    (84·85⁴ > 2³²). Verified against reference-written tables
+    (kernel/tests/data/cdf-table-with-dv: tail ``##093`` = bytes 03 00).
+    """
+    r = len(data) % 4
     out = []
-    for i in range(0, len(data), 4):
+    for i in range(0, len(data) - r, 4):
         n = int.from_bytes(data[i : i + 4], "big")
         chunk = []
         for _ in range(5):
             chunk.append(_Z85_CHARS[n % 85])
             n //= 85
+        out.extend(reversed(chunk))
+    if r:
+        n = int.from_bytes(data[-r:], "big")
+        chunk = []
+        for _ in range(r + 1):
+            chunk.append(_Z85_CHARS[n % 85])
+            n //= 85
+        out.append("#" * (4 - r))
         out.extend(reversed(chunk))
     return "".join(out)
 
@@ -54,9 +72,23 @@ def z85_decode(text: str) -> bytes:
         raise ValueError("z85 requires length % 5 == 0")
     out = bytearray()
     for i in range(0, len(text), 5):
+        grp = text[i : i + 5]
+        if grp[0] == "#":
+            if i + 5 != len(text):
+                raise ValueError("z85 pad markers only valid in the final group")
+            pad = len(grp) - len(grp.lstrip("#"))
+            if pad > 3:
+                raise ValueError(f"invalid z85 tail {grp!r}")
+            n = 0
+            for ch in grp[pad:]:
+                n = n * 85 + _Z85_INDEX[ch]
+            out += n.to_bytes(4 - pad, "big")
+            break
         n = 0
-        for ch in text[i : i + 5]:
+        for ch in grp:
             n = n * 85 + _Z85_INDEX[ch]
+        if n >= 1 << 32:
+            raise ValueError(f"z85 group overflows u32: {grp!r}")
         out += n.to_bytes(4, "big")
     return bytes(out)
 

@@ -189,6 +189,14 @@ def physical_name(field: T.StructField) -> str:
     return meta.get(COLUMN_MAPPING_PHYSICAL_NAME_KEY, field.name)
 
 
+def quoted(name: str) -> str:
+    """Backtick-quote a column name for ``F.col`` — names with literal
+    dots or backticks (legal in Delta; e.g. the reference's
+    cdf-table-backtick-column-names fixture) would otherwise parse as
+    nested-field paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def physical_data_type(dt: T.DataType) -> T.DataType:
     """Recursively apply column-mapping physical names INSIDE nested
     types: struct fields in structs/arrays/maps carry their own

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.functions.dv import dv_diff_from_df
 from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
-from delta_kernel_rs_spark.functions.schema_codec import physical_name
+from delta_kernel_rs_spark.functions.schema_codec import physical_name, quoted
 from delta_kernel_rs_spark.sources.actions import CDF_ACTIONS_SCHEMA
 from delta_kernel_rs_spark.sources.scan import normalize_file_path, resolve_add_path
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
@@ -297,7 +297,7 @@ def table_changes(
                 raw_pv = F.col("__pv").getItem(physical_name(f))
                 cols.append(parse_partition_column(raw_pv, f.dataType).alias(f.name))
             else:
-                cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
+                cols.append(F.col(quoted(physical_name(f))).cast(f.dataType).alias(f.name))
         cols.append(change_type.alias(CHANGE_TYPE_COL))
         cols.append(F.col("__v").alias(COMMIT_VERSION_COL))
         cols.append(F.timestamp_millis(F.col("__ts")).alias(COMMIT_TIMESTAMP_COL))

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.functions.partition_codec import parse_partition_column
-from delta_kernel_rs_spark.functions.schema_codec import physical_name
+from delta_kernel_rs_spark.functions.schema_codec import physical_name, quoted
 from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
 
 
@@ -599,7 +599,7 @@ class Scan:
                 raw = F.col("__pv").getItem(physical_name(f))
                 out_cols.append(parse_partition_column(raw, f.dataType).alias(f.name))
             else:
-                out_cols.append(F.col(physical_name(f)).cast(f.dataType).alias(f.name))
+                out_cols.append(F.col(quoted(physical_name(f))).cast(f.dataType).alias(f.name))
         if self.with_row_ids:
             # Stable row id = baseRowId + row_index; commit version from the
             # add's defaultRowCommitVersion (reference row_tracking.rs +
