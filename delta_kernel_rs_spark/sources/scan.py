@@ -151,7 +151,13 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
             .json(list(seg.checkpoint_parts))
         )
     else:
-        ckpt = spark.read.parquet(*seg.checkpoint_parts)
+        # multipart checkpoints may hold ONE action per part (reference
+        # parquet_row_group_skipping fixture: 5 parts, disjoint columns) —
+        # merge the part schemas or the add column can vanish entirely
+        reader = spark.read
+        if len(seg.checkpoint_parts) > 1:
+            reader = reader.option("mergeSchema", "true")
+        ckpt = reader.parquet(*seg.checkpoint_parts)
     if "sidecar" in ckpt.columns:
         sidecars = [
             r.path
@@ -467,6 +473,74 @@ class Scan:
     # ------------------------------------------------------------------
     # Physical → logical
     # ------------------------------------------------------------------
+    def _needs_widening_read(self) -> bool:
+        """True when the table's feature set allows per-file type
+        upcasts Spark's parquet readers cannot perform directly
+        (e.g. byte → decimal(4,1))."""
+        proto = self.snapshot.protocol
+        feats = set(proto.writer_features or []) | set(proto.reader_features or [])
+        return bool(feats & {"typeWidening", "typeWidening-preview"})
+
+    def _read_with_widening(self, spark, paths, phys_schema) -> DataFrame:
+        """typeWidening read path: files written before a widen keep their
+        NARROW physical types, and neither Spark parquet reader converts
+        every legal widen (byte→decimal fails both). So read per schema
+        EPOCH: executor tasks fingerprint each footer's arrow schema
+        (mapInPandas — never a driver footer loop), the driver reads ONE
+        sample footer per distinct fingerprint (O(schema epochs), bounded
+        by the table's evolution history, not its file count), and each
+        epoch is read with its own physical schema then CAST to the
+        logical one — unionByName keeps the plan a single scan per epoch.
+        """
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        def fingerprint(batches):
+            import pandas as pd
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                fps = [
+                    str(_pq.ParquetFile(p).schema_arrow)
+                    for p in pdf["path"]
+                ]
+                yield pd.DataFrame({"path": pdf["path"], "fp": fps})
+
+        pf = spark.createDataFrame(
+            [(p,) for p in paths], "path string"
+        ).repartition(max(1, min(len(paths) // 64, 256)))
+        rows = pf.mapInPandas(fingerprint, "path string, fp string").collect()
+        groups: dict[str, list[str]] = {}
+        for r in rows:
+            groups.setdefault(r.fp, []).append(r.path)
+
+        target = {f.name: f for f in phys_schema.fields}
+        arms = []
+        for fp, group_paths in sorted(groups.items()):
+            file_schema = from_arrow_schema(
+                pq.ParquetFile(group_paths[0]).schema_arrow
+            )
+            file_types = {f.name: f.dataType for f in file_schema.fields}
+            read_fields = [
+                T.StructField(
+                    f.name, file_types.get(f.name, f.dataType), True, f.metadata
+                )
+                for f in phys_schema.fields
+            ]
+            arm = spark.read.schema(T.StructType(read_fields)).parquet(*group_paths)
+            arm = arm.select(
+                *[
+                    F.col(quoted(f.name)).cast(target[f.name].dataType).alias(f.name)
+                    for f in phys_schema.fields
+                ],
+                F.col("_metadata").alias("_metadata"),
+            )
+            arms.append(arm)
+        out = arms[0]
+        for arm in arms[1:]:
+            out = out.unionByName(arm)
+        return out
+
     def _physical_read_schema(self) -> T.StructType:
         """Read schema with column-mapping physical names, partition
         columns excluded (they live in the log, not in parquet)."""
@@ -533,8 +607,10 @@ class Scan:
             return F.broadcast(frame) if len(paths) <= 100_000 else frame
 
         phys_schema = self._physical_read_schema()
-        reader = spark.read.schema(phys_schema)
-        df = reader.parquet(*paths)
+        if self._needs_widening_read():
+            df = self._read_with_widening(spark, paths, phys_schema)
+        else:
+            df = spark.read.schema(phys_schema).parquet(*paths)
 
         if pcols or needs_dv or self.with_row_ids:
             df = df.withColumn(

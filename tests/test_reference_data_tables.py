@@ -1,0 +1,125 @@
+"""The rest of the reference's real test tables (kernel/tests/data),
+read with this engine.
+
+Pinned expectations transcribed from the reference's own unit tests
+(cited per case); everything else is a full-scan smoke over the real
+table — checkpointed txn actions, compacted log files, widened types,
+five-part checkpoints, materialized partition columns, and a 300k-file
+metadata-scale log all have to load and plan without error.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+
+import pytest
+
+from delta_kernel_rs_spark.sources.snapshot import Snapshot
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+DATA_DIR = "/root/reference/kernel/tests/data"
+EXTRACT_ROOT = "/tmp/dkrs_ref_data"
+
+
+def _table(name: str) -> str:
+    plain = os.path.join(DATA_DIR, name)
+    if os.path.isdir(plain):
+        return plain
+    os.makedirs(EXTRACT_ROOT, exist_ok=True)
+    dest = os.path.join(EXTRACT_ROOT, name)
+    if not os.path.isdir(dest):
+        subprocess.run(
+            ["tar", "--use-compress-program=unzstd", "-xf",
+             os.path.join(DATA_DIR, f"{name}.tar.zst")],
+            cwd=EXTRACT_ROOT, check=True,
+        )
+        for dirpath, _dirs, files in os.walk(dest):
+            for f in files:
+                if f.startswith(".") and f.endswith(".crc"):
+                    os.unlink(os.path.join(dirpath, f))
+    return dest
+
+
+def test_dv_small_visible_rows(spark):
+    """features/dv.rs:62-63 — 8 rows with the DV applied, 10 without."""
+    with_dv = Snapshot.create(spark, _table("table-with-dv-small"))
+    assert with_dv.scan().to_df().count() == 8
+    without = Snapshot.create(spark, _table("table-without-dv-small"))
+    assert without.scan().to_df().count() == 10
+
+
+def test_app_txn_tables(spark):
+    """actions/set_transaction.rs:125-157 — two app ids, my-app2 at
+    version 2, resolved both from plain commits and through a
+    checkpoint; basic_partitioned has none."""
+    for name in ("app-txn-no-checkpoint", "app-txn-checkpoint"):
+        t = DeltaTable(spark, _table(name))
+        assert t.latest_txn_version("my-app") is not None, name
+        assert t.latest_txn_version("my-app2") == 2, name
+        assert t.latest_txn_version("nonexistent") is None, name
+    t = DeltaTable(spark, _table("basic_partitioned"))
+    assert t.latest_txn_version("test") is None
+
+
+def test_parquet_row_group_skipping_txns(spark):
+    """set_transaction.rs:159-174 — five-part checkpoint, one action per
+    part, two app ids resolved through it."""
+    t = DeltaTable(spark, _table("parquet_row_group_skipping"))
+    snap = t.snapshot()
+    assert len(snap.log_segment.checkpoint_parts) == 5
+    assert t.latest_txn_version("3ae45b72-24e1-865a-a211-34987ae02f2a") is not None
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "basic_partitioned",
+        "mixed-nulls",
+        "type-widening",
+        "parquet_row_group_skipping",
+        "parsed-stats",
+        "partition_cm/name",
+        "partition_cm/id",
+        "partition_cm/none",
+        "partitioned_with_materialize_feature",
+        "stats-writing-all-types/delta",
+        "table-with-cdf",
+        "timestamp-truncation-stats",
+        "external-table-different-nullability",
+        "data-reader-timestamp_ntz",
+        "compacted-log-files-table",
+        "timestamp-partitioned-table",
+    ],
+)
+def test_reference_table_full_scan(spark, name):
+    """Load + full materialized scan of each real table — schema resolves,
+    files read, DVs/partition constants attach, no exceptions."""
+    snap = Snapshot.create(spark, _table(name))
+    df = snap.scan().to_df()
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) >= 1
+
+
+def test_compacted_log_files_replay(spark):
+    """compacted-log-files-table carries {v}.{v'}.compacted.json files;
+    the snapshot must still resolve the same state as the plain commits."""
+    snap = Snapshot.create(spark, _table("compacted-log-files-table"))
+    assert snap.version >= 1
+    assert snap.scan().scan_files_df().count() >= 1
+
+
+def test_metadata_scale_300k_files(spark):
+    """300k adds over 100 partition columns: replay + live-file count
+    stay distributed and finish quickly — REAL metadata at the scale the
+    100 TB posture claims (a driver-side replay would blow past this
+    bound by an order of magnitude)."""
+    path = _table("300k-add-files-100-col-partitioned")
+    t0 = time.perf_counter()
+    snap = Snapshot.create(spark, path)
+    n = snap.scan().scan_files_df().count()
+    elapsed = time.perf_counter() - t0
+    assert n >= 100_000, n
+    assert elapsed < 300, f"metadata replay took {elapsed:.0f}s"
