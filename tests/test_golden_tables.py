@@ -217,3 +217,23 @@ def test_golden_negative(spark, name):
         snap = Snapshot.create(spark, _table_dir(root))
         # some corruption only surfaces at scan/replay time
         snap.scan().to_df().collect()
+
+
+def test_golden_delete_re_add_same_file(spark):
+    """Replay semantics the reference SKIPS ("test not yet implemented",
+    golden_tables.rs): add foo + bar, remove foo, re-add foo in a later
+    transaction. The expected state is documented in the skip comment —
+    two live files, and the surviving `foo` is the RE-ADD (modification
+    time 1700000000000), not the original. Newest-wins max_by dedup must
+    resolve the add-remove-add chain to the final add."""
+    root = _extract("delete-re-add-same-file-different-transactions")
+    snap = Snapshot.create(spark, _table_dir(root))
+    files = (
+        snap.scan()
+        .scan_files_df()
+        .select("file_path", "modification_time")
+        .collect()
+    )
+    names = {f.file_path.rsplit("/", 1)[-1]: f.modification_time for f in files}
+    assert set(names) == {"foo", "bar"}
+    assert names["foo"] == 1700000000000
