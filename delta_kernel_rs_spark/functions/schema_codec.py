@@ -149,32 +149,68 @@ def assign_column_mapping(
 
     Used at CREATE TABLE time when ``delta.columnMapping.mode`` is ``name``
     or ``id`` (reference kernel/src/table_features/column_mapping.rs):
-    every field gets a stable ``col-<uuid>`` physical (parquet) name, a
-    ``delta.columnMapping.id`` and matching ``parquet.field.id``. Returns
-    (annotated schema, max assigned column id).
+    every field — INCLUDING nested struct fields inside structs, arrays,
+    and maps, per the Delta column-mapping spec — gets a stable
+    ``col-<uuid>`` physical (parquet) name, a ``delta.columnMapping.id``
+    and matching ``parquet.field.id``. Returns (annotated schema, max
+    assigned column id).
     """
     import uuid as _uuid
 
     next_id = start_id
-    fields = []
-    for f in schema.fields:
-        meta = dict(f.metadata or {})
-        if COLUMN_MAPPING_PHYSICAL_NAME_KEY not in meta:
-            next_id += 1
-            meta[COLUMN_MAPPING_ID_KEY] = next_id
-            meta[COLUMN_MAPPING_PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
-            meta[PARQUET_FIELD_ID_KEY] = meta[COLUMN_MAPPING_ID_KEY]
-        else:
-            next_id = max(next_id, int(meta.get(COLUMN_MAPPING_ID_KEY, 0)))
-        fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
-    return T.StructType(fields), next_id
+
+    def walk_type(dt: T.DataType) -> T.DataType:
+        nonlocal next_id
+        if isinstance(dt, T.StructType):
+            out = []
+            for f in dt.fields:
+                meta = dict(f.metadata or {})
+                if COLUMN_MAPPING_PHYSICAL_NAME_KEY not in meta:
+                    next_id += 1
+                    meta[COLUMN_MAPPING_ID_KEY] = next_id
+                    meta[COLUMN_MAPPING_PHYSICAL_NAME_KEY] = f"col-{_uuid.uuid4()}"
+                    meta[PARQUET_FIELD_ID_KEY] = meta[COLUMN_MAPPING_ID_KEY]
+                else:
+                    next_id = max(next_id, int(meta.get(COLUMN_MAPPING_ID_KEY, 0)))
+                out.append(
+                    T.StructField(f.name, walk_type(f.dataType), f.nullable, meta)
+                )
+            return T.StructType(out)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                walk_type(dt.keyType), walk_type(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    annotated = walk_type(schema)
+    return annotated, next_id
 
 
 def max_column_id(schema: T.StructType) -> int:
-    return max(
-        (int((f.metadata or {}).get(COLUMN_MAPPING_ID_KEY, 0)) for f in schema.fields),
-        default=0,
-    )
+    """Highest assigned column-mapping id anywhere in the schema,
+    nested struct fields included."""
+
+    def walk(dt: T.DataType) -> int:
+        if isinstance(dt, T.StructType):
+            return max(
+                (
+                    max(
+                        int((f.metadata or {}).get(COLUMN_MAPPING_ID_KEY, 0)),
+                        walk(f.dataType),
+                    )
+                    for f in dt.fields
+                ),
+                default=0,
+            )
+        if isinstance(dt, T.ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return max(walk(dt.keyType), walk(dt.valueType))
+        return 0
+
+    return walk(schema)
 
 
 def physical_name(field: T.StructField) -> str:

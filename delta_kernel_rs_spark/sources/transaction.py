@@ -603,6 +603,7 @@ class Transaction:
 
         from delta_kernel_rs_spark.functions.schema_codec import (
             PARQUET_FIELD_ID_KEY,
+            physical_data_type,
             physical_name,
         )
 
@@ -612,6 +613,13 @@ class Transaction:
             # Backtick-quoted: names with dots must resolve as one column,
             # not a nested-field path.
             src = F.col("`" + f.name.replace("`", "``") + "`")
+            # NESTED struct fields carry physical names too (Delta cm spec;
+            # read path expects them) — a positional struct cast renames
+            # every nested level in one expression; no-op when the types
+            # already match (non-cm tables, leaf columns).
+            pdt = physical_data_type(f.dataType)
+            if pdt != f.dataType:
+                src = src.cast(pdt)
             fid = (f.metadata or {}).get(PARQUET_FIELD_ID_KEY)
             if fid is not None:
                 # carry the parquet field id into the written file metadata

@@ -278,3 +278,44 @@ def test_rename_and_drop_column_under_cm(spark, tmp_path):
         DeltaTable.create(
             spark, str(tmp_path / "plain"), df=spark.range(3).toDF("x")
         ).rename_column("x", "y")
+
+
+def test_nested_struct_column_mapping_roundtrip(spark, tmp_path):
+    """Delta cm spec: NESTED struct fields get ids + physical names too.
+    The parquet files must carry physical nested names (external readers
+    resolve by them) and our read must map them back losslessly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.functions.schema_codec import max_column_id
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, {"a": 10, "inner": {"b": "x"}}, [{"c": 1.5}])],
+        "id long, s struct<a:long, inner:struct<b:string>>, arr array<struct<c:double>>",
+    )
+    t = DeltaTable.create(
+        spark, path, df=df, properties={"delta.columnMapping.mode": "name"}
+    )
+    snap = t.snapshot()
+    # ids assigned at every nesting level: id, s, s.a, s.inner, s.inner.b,
+    # arr, arr.element.c = 7
+    assert max_column_id(snap.schema) == 7
+    assert int(snap.metadata.configuration["delta.columnMapping.maxColumnId"]) == 7
+
+    # the written parquet uses physical names at EVERY level
+    pf = pq.ParquetFile(glob.glob(f"{path}/*.parquet")[0])
+    names = " ".join(str(pf.schema_arrow).splitlines())
+    assert "inner" not in names and "arr" not in names, names
+    assert names.count("col-") >= 6
+
+    # read maps back to logical names, values intact
+    row = t.to_df().select("id", "s", "arr").collect()[0]
+    assert row.s.a == 10 and row.s.inner.b == "x"
+    assert row.arr[0].c == 1.5
+
+    # a second append + a predicate over the nested field still work
+    t.append(df.withColumn("id", F.lit(2)))
+    assert t.to_df(predicate="id = 2").collect()[0].s.inner.b == "x"
