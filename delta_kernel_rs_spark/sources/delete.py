@@ -168,9 +168,16 @@ def _candidate_frames(scan, head=None):
         sfdf = _narrow(sfdf, spark, [p for p, _ in head])
     if not head:
         return None, head, sfdf
-    df = spark.read.schema(scan._physical_read_schema()).parquet(
-        *[p for p, _ in head]
-    )
+    if scan._needs_widening_read():
+        # typeWidening tables: pre-widen files keep narrow physical types
+        # — reuse the scan's per-schema-epoch read (scan.py)
+        df = scan._read_with_widening(
+            spark, [p for p, _ in head], scan._physical_read_schema()
+        )
+    else:
+        df = spark.read.schema(scan._physical_read_schema()).parquet(
+            *[p for p, _ in head]
+        )
     df = df.withColumn("__file_path", normalize_file_path(F.col("_metadata.file_path")))
     df = df.withColumn("__row_index", F.col("_metadata.row_index"))
     if any(has_dv for _, has_dv in head):
@@ -194,6 +201,7 @@ def _candidate_frames(scan, head=None):
             "left_anti",
         )
     from delta_kernel_rs_spark.functions.schema_codec import physical_name as _pn
+    from delta_kernel_rs_spark.functions.schema_codec import quoted as _q
 
     pcols = snapshot.metadata.partition_columns
     if pcols:
@@ -218,7 +226,9 @@ def _candidate_frames(scan, head=None):
     # Present logical column names to the predicate/caller (data columns
     # were read under their physical parquet names).
     proj = [
-        F.col(_pn(f)).alias(f.name) if f.name not in set(pcols) else F.col(f.name)
+        F.col(_q(_pn(f))).cast(f.dataType).alias(f.name)
+        if f.name not in set(pcols)
+        else F.col(_q(f.name))
         for f in snapshot.schema.fields
     ]
     df = df.select(*proj, "__file_path", "__row_index")

@@ -123,3 +123,19 @@ def test_metadata_scale_300k_files(spark):
     elapsed = time.perf_counter() - t0
     assert n >= 100_000, n
     assert elapsed < 300, f"metadata replay took {elapsed:.0f}s"
+
+
+def test_type_widening_dml(spark, tmp_path):
+    """DML over a typeWidening table: the candidate read must take the
+    same per-epoch path the scan does (pre-widen files keep narrow
+    physical types). Copy the reference table and delete through it."""
+    import shutil
+
+    src = _table("type-widening")
+    dst = str(tmp_path / "tw")
+    shutil.copytree(src, dst)
+    t = DeltaTable(spark, dst)
+    before = t.to_df().count()
+    v = t.delete("byte_long = 1")
+    after = t.to_df().count()
+    assert v > 0 and after < before
