@@ -258,14 +258,15 @@ def d03_delta_deletes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     dv = _fixture(spark, sf_dir, "dv").to_df()
     cow = _fixture(spark, sf_dir, "cow").to_df()
 
+    # Frame-shaped scan_metadata_from: prior state is the v0 scan-files
+    # FRAME (not a collected list), merged in-plan with the diff — the
+    # driver never materializes either file list (r7 verdict, next #1).
     t = _fixture(spark, sf_dir, "dv")
     base = t.snapshot(version=0)
-    prior = base.scan().files()
+    prior_df = base.scan().scan_files_df()
     latest = t.snapshot()
-    refreshed = latest.scan_files_from(0, prior)
-    scan = latest.scan()
-    scan._files_cache = refreshed
-    incr = scan.to_df()
+    refreshed_df = latest.scan_files_df_from(0, prior_df)
+    incr = latest.scan().with_files_df(refreshed_df).to_df()
 
     return _arm(dv, "dv").unionByName(_arm(cow, "cow")).unionByName(
         _arm(incr, "incr")

@@ -30,16 +30,6 @@ from delta_kernel_rs_spark.sources.scan import (
 )
 
 
-def _dv_uid_py(dv: dict | None) -> str:
-    """Python twin of :func:`scan.dv_unique_id` for driver-side merging."""
-    if not dv or not dv.get("storageType"):
-        return ""
-    offset = dv.get("offset")
-    return "\x00".join(
-        [dv["storageType"], dv.get("pathOrInlineDv") or "", "" if offset is None else str(offset)]
-    )
-
-
 def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
     """Latest add/remove per file key across ``(base, target]`` commits.
 
@@ -117,37 +107,106 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
     )
 
 
-def refresh_scan_files(
-    snapshot, base_version: int, prior_files: list[ScanFile]
-) -> list[ScanFile] | None:
-    """``scan_metadata_from``: update a cached file list to ``snapshot``.
+def refresh_scan_files_df(snapshot, base_version: int, prior_df: DataFrame):
+    """Frame-shaped ``scan_metadata_from``: merge a prior scan-files frame
+    with the ``(base, target]`` diff, entirely in-plan.
 
-    ``prior_files`` is the live file list of the base-version scan; only
-    commits after ``base_version`` are read. Returns the refreshed list, or
-    None when the range cannot be served incrementally (do a full scan).
+    ``prior_df`` is the base-version scan's ``scan_files_df()`` (or any
+    frame with that schema — typically the persisted live-adds projection,
+    so the merge costs one replay of only the NEW commits). The reference
+    passes prior state as columnar batches, not heap objects
+    (kernel/src/scan/mod.rs:880-1024); this is the DataFrame equivalent —
+    the driver never materializes either file list.
+
+    Merge rule (newest-wins): any key touched by the diff supersedes the
+    prior entry — removes drop it, adds replace it. The diff is already
+    newest-wins-deduped within the range and strictly newer than the base,
+    so this is one anti-join + one union, no window or aggregate.
+
+    Returns the refreshed frame, or None when the range cannot be served
+    incrementally (caller falls back to a full scan).
     """
     if base_version == snapshot.version:
-        return list(prior_files)
+        return prior_df
     diff = incremental_actions_df(snapshot, base_version)
     if diff is None:
         return None
-    merged: dict[tuple[str, str], ScanFile] = {
-        (f.path, _dv_uid_py(f.dv)): f for f in prior_files
-    }
-    # stats/mtime are for DataFrame consumers' pruning; the cached file
-    # list never needs them — keep the collect path-sized, not stats-sized
-    for r in diff.drop("stats", "modification_time").collect():
-        key = (r.file_path, r.key_dv)
-        if r.action == "remove":
-            merged.pop(key, None)
-        else:
-            merged[key] = ScanFile(
-                path=r.file_path,
-                size=r.size,
-                partition_values=dict(r.partition_values or {}),
-                dv=r.deletion_vector.asDict() if r.deletion_vector else None,
-                base_row_id=r.base_row_id,
-                commit_version=r.commit_version,
-                default_row_commit_version=r.default_row_commit_version,
-            )
-    return list(merged.values())
+    diff_keys = diff.select(
+        F.col("file_path").alias("__k_path"), F.col("key_dv").alias("__k_dv")
+    )
+    kept = prior_df.join(
+        diff_keys,
+        (prior_df["file_path"] == F.col("__k_path"))
+        & (dv_unique_id(prior_df["deletion_vector"]) == F.col("__k_dv")),
+        "left_anti",
+    )
+    adds = diff.filter(F.col("action") == "add").drop("action", "key_dv")
+    return kept.unionByName(adds)
+
+
+def refresh_scan_files(
+    snapshot, base_version: int, prior_files: list[ScanFile]
+) -> list[ScanFile] | None:
+    """List-shaped ``scan_metadata_from`` for callers that hold a
+    ``files()``-style list (the reference's public scan-metadata iterator).
+
+    Internally frame-shaped: the prior list becomes a DataFrame, the merge
+    runs in-plan via :func:`refresh_scan_files_df`, and only the final
+    bounded result is collected — no driver-side dict merge.
+    """
+    if base_version == snapshot.version:
+        return list(prior_files)
+    prior_df = scan_files_list_to_df(snapshot.spark, prior_files)
+    merged = refresh_scan_files_df(snapshot, base_version, prior_df)
+    if merged is None:
+        return None
+    return [
+        ScanFile(
+            path=r.file_path,
+            size=r.size,
+            partition_values=dict(r.partition_values or {}),
+            dv=r.deletion_vector.asDict() if r.deletion_vector else None,
+            base_row_id=r.base_row_id,
+            commit_version=r.commit_version,
+            default_row_commit_version=r.default_row_commit_version,
+        )
+        for r in merged.drop("stats", "modification_time").collect()
+    ]
+
+
+def scan_files_list_to_df(spark, files: list[ScanFile]) -> DataFrame:
+    """Lift a collected ScanFile list back into the scan-files frame shape
+    (stats/mtime null — the cached list never carries them)."""
+    from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA as _S
+
+    dv_type = _S["add"].dataType["deletionVector"].dataType
+    import pyspark.sql.types as T
+
+    struct = T.StructType(
+        [
+            T.StructField("file_path", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("modification_time", T.LongType()),
+            T.StructField("stats", T.StringType()),
+            T.StructField("partition_values", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("deletion_vector", dv_type),
+            T.StructField("base_row_id", T.LongType()),
+            T.StructField("default_row_commit_version", T.LongType()),
+            T.StructField("commit_version", T.LongType()),
+        ]
+    )
+    rows = [
+        (
+            f.path,
+            f.size,
+            None,
+            None,
+            f.partition_values or {},
+            f.dv,
+            f.base_row_id,
+            f.default_row_commit_version,
+            f.commit_version,
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(rows, struct)

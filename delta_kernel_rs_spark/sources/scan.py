@@ -222,6 +222,7 @@ class Scan:
         self.columns = columns
         self.with_row_ids = with_row_ids
         self._files_cache: list[ScanFile] | None = None
+        self._files_df_override: DataFrame | None = None
         self._exclude_keys_df: DataFrame | None = None
         # String predicates are parsed into the typed AST so the default
         # API gets file skipping + partition pruning too (reference
@@ -365,19 +366,22 @@ class Scan:
         mod.rs:1410-1440): path, size, modificationTime, stats, DV,
         file constants.
         """
-        table_path = self.snapshot.table_path
-        adds = self.cached_add_actions_df()
-        df = adds.select(
-            resolve_add_path(F.col("add.path"), table_path).alias("file_path"),
-            F.col("add.size").alias("size"),
-            F.col("add.modificationTime").alias("modification_time"),
-            F.col("add.stats").alias("stats"),
-            F.col("add.partitionValues").alias("partition_values"),
-            F.col("add.deletionVector").alias("deletion_vector"),
-            F.col("add.baseRowId").alias("base_row_id"),
-            F.col("add.defaultRowCommitVersion").alias("default_row_commit_version"),
-            F.col("version").alias("commit_version"),
-        )
+        if self._files_df_override is not None:
+            df = self._files_df_override
+        else:
+            table_path = self.snapshot.table_path
+            adds = self.cached_add_actions_df()
+            df = adds.select(
+                resolve_add_path(F.col("add.path"), table_path).alias("file_path"),
+                F.col("add.size").alias("size"),
+                F.col("add.modificationTime").alias("modification_time"),
+                F.col("add.stats").alias("stats"),
+                F.col("add.partitionValues").alias("partition_values"),
+                F.col("add.deletionVector").alias("deletion_vector"),
+                F.col("add.baseRowId").alias("base_row_id"),
+                F.col("add.defaultRowCommitVersion").alias("default_row_commit_version"),
+                F.col("version").alias("commit_version"),
+            )
         skip_pred = self._file_skipping_predicate()
         if skip_pred is not None:
             df = df.filter(skip_pred)
@@ -460,14 +464,17 @@ class Scan:
             ]
         return self._files_cache
 
-    def restrict_files(self, keep) -> "Scan":
-        """Limit this scan to files for which ``keep(ScanFile)`` is True.
+    def with_files_df(self, files_df: DataFrame) -> "Scan":
+        """Plan this scan off a caller-supplied scan-files frame instead of
+        log replay — the frame-shaped twin of assigning ``_files_cache``.
 
-        Used by CDF-by-row-tracking to drop files byte-identical in both
-        compared snapshots — their rows join pre==post and contribute no
-        change, so not reading them at all is a pure win (the dominant one
-        when a small fraction of a large table changed)."""
-        self._files_cache = [f for f in self.files() if keep(f)]
+        Used by the incremental refresh path (``scan_metadata_from``,
+        reference kernel/src/scan/mod.rs:880-1024): the merged
+        prior+diff frame flows straight into ``to_df()``'s distributed
+        planning; the driver never materializes the file list. The scan's
+        skipping predicate and exclusion keys still apply on top."""
+        self._files_df_override = files_df
+        self._files_cache = None
         return self
 
     # ------------------------------------------------------------------
@@ -566,8 +573,8 @@ class Scan:
         is the path-string list the parquet reader requires (plus one
         has-DV bit per file) — file constants, DV descriptors, and row-id
         constants stay in DataFrames joined executor-side. A scan whose
-        ``files()`` list was already materialized (incremental refresh,
-        restrict_files) reuses that bounded list instead.
+        ``files()`` list was already materialized reuses that bounded
+        list; a ``with_files_df`` override plans off the supplied frame.
         """
         spark = self.spark
         schema = self.snapshot.schema

@@ -442,6 +442,18 @@ class Snapshot:
 
         return refresh_scan_files(self, base_version, prior_files)
 
+    def scan_files_df_from(self, base_version: int, prior_df):
+        """Frame-shaped scan_metadata_from: merge a prior scan-files frame
+        with the (base, this] diff entirely in-plan — the columnar
+        prior-state handoff of the reference's scan_metadata_from
+        (kernel/src/scan/mod.rs:880-1024). Feed the result to
+        ``Scan.with_files_df``. None when the range is unservable."""
+        from delta_kernel_rs_spark.sources.incremental import (
+            refresh_scan_files_df,
+        )
+
+        return refresh_scan_files_df(self, base_version, prior_df)
+
     def timestamp_ms(self) -> int:
         """Commit timestamp of this snapshot's version (file mtime)."""
         return self.log_segment.commit_timestamps.get(self.version, 0)

@@ -403,3 +403,43 @@ def test_dv_delete_collects_only_blobs_and_matched_meta(spark, tmp_path, monkeyp
         if "stats" in cols:
             assert n <= matched, f"stats collected for {n} files (matched={matched})"
     assert t.to_df().count() == 300
+
+
+def test_incremental_refresh_never_materializes_scan_files(
+    spark, tmp_path, monkeypatch
+):
+    """The frame-shaped scan_metadata_from path (r7 verdict, next #1):
+    prior state is a scan-files FRAME merged in-plan with the diff —
+    Scan.files(), the O(files) driver ScanFile materialization, must
+    never run anywhere on the refresh-and-read path."""
+    from delta_kernel_rs_spark.sources import scan as scan_mod
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 200, partitions=4))
+    base = t.snapshot()
+    prior_df = base.scan().scan_files_df()
+
+    t.append(_ints(spark, 200, 300, partitions=2))
+    delete_with_dvs(t, "k % 5 = 0")  # DV swap: remove+add on the same path
+
+    def forbid(self):
+        raise AssertionError("Scan.files() called on the refresh path")
+
+    monkeypatch.setattr(scan_mod.Scan, "files", forbid)
+
+    latest = t.snapshot()
+    refreshed_df = latest.scan_files_df_from(base.version, prior_df)
+    assert refreshed_df is not None
+    got = {
+        r.k
+        for r in latest.scan().with_files_df(refreshed_df).to_df().collect()
+    }
+    monkeypatch.undo()
+    assert got == {k for k in range(300) if k % 5 != 0}
+    # And the merged frame agrees with a fresh full replay, key for key.
+    full = latest.scan().scan_files_df()
+    key = lambda df: {  # noqa: E731
+        (r.file_path, str(r.deletion_vector)) for r in df.collect()
+    }
+    assert key(refreshed_df) == key(full)
