@@ -57,6 +57,7 @@ class CatalogHttpError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
+        self.message = message
 
 
 def _encode_segment(name: str) -> str:
@@ -191,7 +192,7 @@ class UCCatalogServer:
                 self._route(method.upper(), path.strip("/"), query or {}, payload)
             ).encode()
         except CatalogHttpError as e:
-            return e.status, json.dumps({"error": str(e)}).encode()
+            return e.status, json.dumps({"error": e.message}).encode()
 
     def _route(self, method: str, path: str, query: dict, payload):
         parts = [urllib.parse.unquote(p) for p in path.split("/")]
@@ -510,3 +511,80 @@ class RestCatalogCommitter(Committer):
                 else max(self._max_published, c.version)
             )
         return published
+
+
+# ---------------------------------------------------------------------------
+# Real HTTP transport: the contract over an actual socket
+# ---------------------------------------------------------------------------
+
+
+class HttpTransport:
+    """Socket-backed transport: each ``(method, path, query, body)`` call
+    becomes a genuine HTTP request against ``base_url`` — bytes on a wire,
+    real status codes and headers, exactly what the reference's reqwest
+    client does (unity-catalog-delta-rest-client/src/http.rs). Drop-in for
+    ``UCCatalogServer.handle`` (the in-process transport)."""
+
+    def __init__(self, base_url: str, timeout: float = 10.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def __call__(
+        self, method: str, path: str, query: dict | None = None,
+        body: bytes | None = None,
+    ) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.request
+
+        # Path segments arrive already percent-encoded by the client
+        # (uc_client.rs:19-33); only the query string needs encoding here.
+        url = f"{self.base_url}/{path.lstrip('/')}"
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        req = urllib.request.Request(
+            url,
+            data=body,
+            method=method.upper(),
+            headers={"Content-Type": "application/json"} if body else {},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+
+def serve_catalog_http(server: UCCatalogServer):
+    """Serve a ``UCCatalogServer`` over loopback HTTP.
+
+    Returns ``(httpd, base_url)``; the server runs on a daemon thread —
+    call ``httpd.shutdown(); httpd.server_close()`` when done. Request
+    handling is a pure adapter: parse (method, raw path, query, body
+    bytes) off the socket, feed ``server.handle``, write its (status,
+    json bytes) back — the ratification rules never know the transport.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _Handler(BaseHTTPRequestHandler):
+        def _dispatch(self) -> None:
+            split = urllib.parse.urlsplit(self.path)
+            query = dict(urllib.parse.parse_qsl(split.query))
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else None
+            status, payload = server.handle(self.command, split.path, query, body)
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        do_GET = _dispatch
+        do_POST = _dispatch
+
+        def log_message(self, *args):  # keep test output clean
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"

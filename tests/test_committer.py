@@ -259,21 +259,50 @@ from delta_kernel_rs_spark.sources.catalog_rest import (  # noqa: E402
 )
 
 
-def _rest_table(spark, path, df):
+@pytest.fixture(params=["inproc", "http"])
+def rest_transport(request):
+    """Both sides of the transport seam: the in-process callable, and the
+    SAME server behind a real loopback HTTP socket (bytes on a wire,
+    genuine status codes/headers — unity-catalog-delta-rest-client/src/
+    http.rs parity). Every REST case runs against both."""
+    from delta_kernel_rs_spark.sources.catalog_rest import (
+        HttpTransport,
+        serve_catalog_http,
+    )
+
+    httpds = []
+
+    def make(server):
+        if request.param == "http":
+            try:
+                httpd, base = serve_catalog_http(server)
+            except OSError as e:  # sandbox forbids loopback sockets
+                pytest.skip(f"loopback HTTP unavailable: {e}")
+            httpds.append(httpd)
+            return HttpTransport(base)
+        return server.handle
+
+    yield make
+    for h in httpds:
+        h.shutdown()
+        h.server_close()
+
+
+def _rest_table(spark, path, df, make_transport):
     """Catalog-managed table enrolled with a REST catalog server double."""
     t = DeltaTable.create(spark, path, df=df, properties=CM_PROPS)
     server = UCCatalogServer()
     uid = server.register_table("main", "ds", "tbl", t.path, published_tip=0)
-    client = UCRestClient(server.handle)
+    client = UCRestClient(make_transport(server))
     committer = RestCatalogCommitter(client, "main", "ds", "tbl", uid)
     return t, server, client, committer
 
 
-def test_rest_commit_ratifies_and_tail_loads(spark, tmp_path):
+def test_rest_commit_ratifies_and_tail_loads(spark, tmp_path, rest_transport):
     """Full loop over the wire: staged write -> add-commit POST ->
     load_table-driven log tail -> snapshot sees the staged commit."""
     t, server, client, cat = _rest_table(
-        spark, str(tmp_path / "t"), spark.range(5).toDF("x")
+        spark, str(tmp_path / "t"), spark.range(5).toDF("x"), rest_transport
     )
     v1 = _append_via(spark, t, cat, spark.range(5, 10).toDF("x"))
     assert v1 == 1
@@ -290,11 +319,11 @@ def test_rest_commit_ratifies_and_tail_loads(spark, tmp_path):
     assert snap.scan().to_df().count() == 10
 
 
-def test_rest_version_conflict_retries_via_tail(spark, tmp_path):
+def test_rest_version_conflict_retries_via_tail(spark, tmp_path, rest_transport):
     """Two writers race version 1; the 409 surfaces as CommitConflict and
     the transaction rebases against the getCommits-driven tail."""
     t, server, client, cat = _rest_table(
-        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x"), rest_transport
     )
     snap = _cm_snapshot(spark, t, cat)
     t1 = (
@@ -314,12 +343,12 @@ def test_rest_version_conflict_retries_via_tail(spark, tmp_path):
     assert snap.scan().to_df().count() == 6
 
 
-def test_rest_publish_then_backfill_prunes_catalog_commits(spark, tmp_path):
+def test_rest_publish_then_backfill_prunes_catalog_commits(spark, tmp_path, rest_transport):
     """publish = atomic copy (already-exists ok); the catalog learns the
     published tip on the NEXT commit (committer.rs:204-215) and prunes its
     unpublished list (in_memory.rs:59-61,69-73)."""
     t, server, client, cat = _rest_table(
-        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x"), rest_transport
     )
     _append_via(spark, t, cat, spark.range(2, 4).toDF("x"))
     _append_via(spark, t, cat, spark.range(4, 6).toDF("x"))
@@ -341,11 +370,11 @@ def test_rest_publish_then_backfill_prunes_catalog_commits(spark, tmp_path):
     assert [p.rsplit("/", 1)[-1] for p in again] == ["00000000000000000003.json"]
 
 
-def test_rest_wire_validation(spark, tmp_path):
+def test_rest_wire_validation(spark, tmp_path, rest_transport):
     """Server-side contract rules: singleton updates, required add-commit,
     uuid assertion, contiguous versions, unpublished-commit backpressure."""
     t, server, client, cat = _rest_table(
-        spark, str(tmp_path / "t"), spark.range(2).toDF("x")
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x"), rest_transport
     )
     wc = WireCommit(1, 0, "00000000000000000001.x.json", 10, 0)
     # duplicate add-commit: rejected client-side AND server-side (models.rs:114)
@@ -404,12 +433,12 @@ def test_rest_wire_validation(spark, tmp_path):
         )
 
 
-def test_rest_config_and_create_flow(spark, tmp_path):
+def test_rest_config_and_create_flow(spark, tmp_path, rest_transport):
     """Session handshake + staging-table/create-table registration
     (uc_client.rs:108-196): reserve a staging table, commit v0 directly to
     the published path (committer.rs:134-150), then promote it."""
     server = UCCatalogServer()
-    client = UCRestClient(server.handle)
+    client = UCRestClient(rest_transport(server))
     cfg = client.get_config("main", ["1.1"])
     assert cfg["protocol-version"] == "1.0"
     assert any("staging-tables" in e for e in cfg["endpoints"])
@@ -433,13 +462,13 @@ def test_rest_config_and_create_flow(spark, tmp_path):
     assert snap.scan().to_df().count() == 6
 
 
-def test_rest_dml_rides_the_contract(spark, tmp_path):
+def test_rest_dml_rides_the_contract(spark, tmp_path, rest_transport):
     """A DV delete on a catalog-managed table commits through the REST
     seam end-to-end (staged + ratified, visible only via the tail)."""
     from delta_kernel_rs_spark.sources.delete import delete_with_dvs
 
     t, server, client, cat = _rest_table(
-        spark, str(tmp_path / "t"), spark.range(100).toDF("x")
+        spark, str(tmp_path / "t"), spark.range(100).toDF("x"), rest_transport
     )
     # attaching the committer routes the table's snapshot loads AND every
     # DML transaction through the catalog (DeltaTable._route)
