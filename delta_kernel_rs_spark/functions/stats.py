@@ -130,8 +130,12 @@ def collect_file_stats_footer(
         import pyarrow.parquet as pq
 
         for path in it:
-            uri = path if "://" in path else f"file://{path}"
-            fs, rel = pafs.FileSystem.from_uri(uri)
+            if "://" in path:
+                fs, rel = pafs.FileSystem.from_uri(path)
+            else:
+                # never URI-encode local paths: partition directories may
+                # carry spaces / percent-escapes that break URI parsing
+                fs, rel = pafs.LocalFileSystem(), path
             try:
                 meta = pq.read_metadata(rel, filesystem=fs)
             except OSError:
@@ -164,10 +168,18 @@ def collect_file_stats_footer(
                         if not (has_nc and st.null_count == group.num_rows):
                             bad_bounds.add(name)
                         continue
-                    if name not in mins or st.min < mins[name]:
-                        mins[name] = st.min
-                    if name not in maxs or st.max > maxs[name]:
-                        maxs[name] = st.max
+                    try:
+                        lo, hi = st.min, st.max
+                    except Exception:
+                        # pyarrow cannot cast statistics for this physical
+                        # type (binary, int96, ...) — bounds unknown, which
+                        # readers already treat as not-skippable.
+                        bad_bounds.add(name)
+                        continue
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
             for name in bad_bounds:
                 mins.pop(name, None)
                 maxs.pop(name, None)
