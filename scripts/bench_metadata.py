@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Engine-native metadata benchmarks — the reference's workload_bench set.
+
+Replicates the reference's registered metadata benchmark cases
+(benchmarks/benches/workload_bench.rs:24-80, bench-registry.json) with
+this engine's analogues, per BASELINE.md's replication list:
+
+- ``10kAdds*/readMetadataLatest``: scan-files materialization on a
+  generated 10k-add table, measured three ways — log-only (no
+  checkpoint), after a V1 checkpoint, after a V2+sidecar checkpoint.
+- ``crc*/snapshotLatest``: Snapshot.create (P&M resolution) with a fresh
+  CRC at the tip vs a stale one far behind vs none at all.
+
+Prints ONE JSON line so the per-round artifact can feed
+scripts/bench_compare.py exactly like BENCH does:
+
+    {"metric": "metadata_bench_sec", "value": <total>, "unit": "sec",
+     "queries": {"read_metadata_log_only": ..., ...}, "adds": 10000}
+
+Usage: python scripts/bench_metadata.py [--adds 10000] [--commits 20]
+Writes the table under $TMPDIR; each timing is min-of-2 (warm JVM).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _build_table(spark, path: str, adds: int, commits: int):
+    """A log with ``commits`` commits totalling ``adds`` add actions,
+    written through the engine's own transaction path (multi-file
+    commits via repartition, so the log shape matches the reference's
+    generated workload tables)."""
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    files_per_commit = max(1, adds // commits)
+    rows_per_commit = files_per_commit * 4
+
+    def batch(i):
+        return (
+            spark.range(i * rows_per_commit, (i + 1) * rows_per_commit)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .repartition(files_per_commit)
+        )
+
+    t = DeltaTable.create(spark, path, df=batch(0))
+    for i in range(1, commits):
+        t.append(batch(i), auto_checkpoint=False)
+    return t
+
+
+def _timed(fn, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--adds", type=int, default=10_000)
+    ap.add_argument("--commits", type=int, default=20)
+    args = ap.parse_args()
+
+    from delta_kernel_rs_spark.session import get_spark
+    from delta_kernel_rs_spark.sources.snapshot import Snapshot
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    results: dict[str, float] = {}
+
+    with tempfile.TemporaryDirectory(prefix="dkrs_meta_bench_") as root:
+        path = os.path.join(root, "tbl")
+        t = _build_table(spark, path, args.adds, args.commits)
+
+        def read_metadata():
+            # the reference's readMetadata: full replay -> live file list,
+            # materialized (count forces the job) but never driver-held
+            snap = Snapshot.create(spark, path)
+            return snap.scan().scan_files_df().count()
+
+        n_files = read_metadata()
+        results["read_metadata_log_only"] = _timed(read_metadata)
+
+        t.checkpoint()
+        results["read_metadata_v1_checkpoint"] = _timed(read_metadata)
+
+        t.checkpoint(v2=True)
+        results["read_metadata_v2_checkpoint"] = _timed(read_metadata)
+
+        # snapshotLatest (P&M resolution, no scan) with the reference's CRC
+        # staleness arms (crcLatest / crcVeryStale / none): CRC writes are
+        # explicit in this engine, so the harness plants them.
+        log_dir = os.path.join(path, "_delta_log")
+        tip = Snapshot.create(spark, path).version
+
+        def snapshot_latest():
+            return Snapshot.create(spark, path).version
+
+        results["snapshot_latest_no_crc"] = _timed(snapshot_latest)
+
+        t.write_crc(version=1)  # very stale: CRC exists but far behind
+        results["snapshot_latest_crc_stale"] = _timed(snapshot_latest)
+
+        t.write_crc(version=tip)  # fresh: tip CRC answers P&M directly
+        results["snapshot_latest_crc_fresh"] = _timed(snapshot_latest)
+        os.unlink(os.path.join(log_dir, f"{tip:020d}.crc"))
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "metadata_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "adds": args.adds,
+                "commits": args.commits,
+                "files_seen": n_files,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
