@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR
 from delta_kernel_rs_spark.sources.storage import CommitConflict
 
+#: incremental CRC reads the commit text on the driver; beyond this size
+#: the distributed full compute is the right path (write_crc_full)
+MAX_INCREMENTAL_COMMIT_BYTES = 16 << 20
+
 
 def crc_path(table_path: str, version: int) -> str:
     return f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.crc"
@@ -69,11 +73,22 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
     Returns False (no write) when the prior CRC is missing — callers may
     fall back to :func:`write_crc_full` or simply skip (advisory file).
     """
-    prior = read_crc(storage, table_path, version - 1)
-    if prior is None:
-        return False
+    if version == 0:
+        # Bootstrap: version 0's commit IS the full state — the chain
+        # starts here (before this, the incremental path could never
+        # produce a first CRC and stayed a silent no-op forever).
+        prior = {"numFiles": 0, "tableSizeBytes": 0, "metadata": None, "protocol": None}
+    else:
+        prior = read_crc(storage, table_path, version - 1)
+        if prior is None:
+            return False
     commit = f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.json"
     try:
+        # bound the driver read: a huge (streamed) maintenance commit must
+        # not be pulled back whole — callers fall back to the distributed
+        # full compute instead
+        if storage.stat(commit).size > MAX_INCREMENTAL_COMMIT_BYTES:
+            return False
         text = storage.read_text(commit)
     except OSError:
         return False
@@ -93,13 +108,20 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
             n_files += 1
             size_bytes += action["add"].get("size") or 0
         elif "remove" in action:
-            if action["remove"].get("dataChange", True):
-                n_files -= 1
-                size_bytes -= action["remove"].get("size") or 0
+            # a remove ALWAYS shrinks the live file set — dataChange=false
+            # (OPTIMIZE/PURGE rewrites) flags logical content, not layout
+            n_files -= 1
+            if action["remove"].get("size") is None:
+                # foreign remove without extended metadata: the byte
+                # delta is unknowable — a wrong CRC is worse than none
+                return False
+            size_bytes -= action["remove"]["size"]
         elif "metaData" in action:
             metadata = action["metaData"]
         elif "protocol" in action:
             protocol = action["protocol"]
+    if metadata is None or protocol is None:
+        return False
     doc = _crc_doc(n_files, size_bytes, metadata, protocol)
     return _put(storage, table_path, version, doc)
 

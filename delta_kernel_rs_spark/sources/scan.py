@@ -464,7 +464,7 @@ class Scan:
             ]
         return self._files_cache
 
-    def with_files_df(self, files_df: DataFrame) -> "Scan":
+    def with_files_df(self, files_df: DataFrame, persist: bool = True) -> "Scan":
         """Plan this scan off a caller-supplied scan-files frame instead of
         log replay — the frame-shaped twin of assigning ``_files_cache``.
 
@@ -472,7 +472,24 @@ class Scan:
         reference kernel/src/scan/mod.rs:880-1024): the merged
         prior+diff frame flows straight into ``to_df()``'s distributed
         planning; the driver never materializes the file list. The scan's
-        skipping predicate and exclusion keys still apply on top."""
+        skipping predicate and exclusion keys still apply on top.
+
+        ``persist`` (default) spills the frame into the same bounded LRU
+        the live-adds cache uses: ``to_df()`` executes the scan-files
+        subtree several times (head collect, DV descriptors, constants),
+        and unlike the default path this frame has no persisted replay
+        underneath it — measured 2.4→2.0 s on the d03 incr arm at sf0.1.
+        Evictees are unpersisted by the LRU."""
+        if persist:
+            key = ("files_df_override", self.snapshot.table_path, id(files_df))
+            files_df = files_df.persist()
+            _LIVE_ADDS_CACHE[key] = files_df
+            while len(_LIVE_ADDS_CACHE) > _LIVE_ADDS_CACHE_MAX:
+                _, old = _LIVE_ADDS_CACHE.popitem(last=False)
+                try:
+                    old.unpersist()
+                except Exception:  # session already stopped
+                    pass
         self._files_df_override = files_df
         self._files_cache = None
         return self

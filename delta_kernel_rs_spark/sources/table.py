@@ -803,15 +803,19 @@ class DeltaTable:
             optimize,
         )
 
-        return optimize(
+        v = optimize(
             self, target_file_size or DEFAULT_TARGET_FILE_SIZE, **kw
         )
+        self.maybe_write_crc(v)
+        return v
 
     def purge_deletion_vectors(self, min_cardinality: int = 1) -> int:
         """Rewrite DV-carrying files into clean ones (REORG ... PURGE)."""
         from delta_kernel_rs_spark.sources.maintenance import purge_deletion_vectors
 
-        return purge_deletion_vectors(self, min_cardinality=min_cardinality)
+        v = purge_deletion_vectors(self, min_cardinality=min_cardinality)
+        self.maybe_write_crc(v)
+        return v
 
     def cleanup_expired_logs(
         self, retention_ms: int | None = None, now_ms: int | None = None
@@ -877,11 +881,19 @@ class DeltaTable:
     def maybe_write_crc(self, version: int) -> None:
         """Best-effort O(1) CRC maintenance after a commit: extend the
         previous version's CRC with this commit's actions (reference
-        snapshot/incremental.rs). Advisory — failures are swallowed."""
-        from delta_kernel_rs_spark.sources.crc import update_crc_incremental
+        snapshot/incremental.rs). When the chain is broken (a streamed
+        maintenance commit upstream skipped its CRC), re-seed it with a
+        full compute — one distributed agg over the live-adds frame, no
+        commit-text read. Advisory — failures are swallowed."""
+        from delta_kernel_rs_spark.sources.crc import (
+            update_crc_incremental,
+            write_crc_full,
+        )
 
         try:
-            update_crc_incremental(self.spark, self.path, self.storage, version)
+            if update_crc_incremental(self.spark, self.path, self.storage, version):
+                return
+            write_crc_full(self.spark, self.path, self.snapshot(version=version))
         except Exception:  # pragma: no cover - advisory only
             pass
 

@@ -1045,6 +1045,25 @@ class Transaction:
                 else:
                     path = f"{self.table_path}/{LOG_DIR}/{commit_filename(version)}"
                     self.storage.put_if_absent(path, payload)
+                    # Best-effort O(1) CRC maintenance keeps the snapshot
+                    # P&M fast path warm (reference crc writer; measured
+                    # 10x on snapshotLatest in scripts/bench_metadata.py).
+                    # Filesystem commits only (a staged catalog commit has
+                    # no {v}.json to fold in until publish), and never for
+                    # streamed payloads — folding those would re-read an
+                    # unbounded commit onto the driver the streaming write
+                    # existed to avoid.
+                    if self._stream_factory is None:
+                        try:
+                            from delta_kernel_rs_spark.sources.crc import (
+                                update_crc_incremental,
+                            )
+
+                            update_crc_incremental(
+                                self.spark, self.table_path, self.storage, version
+                            )
+                        except Exception:
+                            pass  # advisory file; never fail the commit
                 return version
             except CommitConflict:
                 attempts += 1

@@ -1,0 +1,70 @@
+"""Unit tests for the bench regression gate (scripts/bench_compare.py),
+mirroring the reference's CI rule tests (benchmarks/ci/parse_critcmp.py)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+SCRIPT = str(Path(__file__).resolve().parent.parent / "scripts" / "bench_compare.py")
+
+
+def _write(tmp_path, name, queries):
+    p = tmp_path / name
+    p.write_text(json.dumps({"metric": "total_query_wall_sec", "queries": queries}))
+    return str(p)
+
+
+def _run(old, new, *extra):
+    proc = subprocess.run(
+        [sys.executable, SCRIPT, old, new, *extra],
+        capture_output=True, text=True,
+    )
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    return proc.returncode, verdict
+
+
+def test_gate_passes_within_threshold(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0, "q2": 2.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.1, "q2": 2.2})
+    rc, verdict = _run(old, new)
+    assert rc == 0 and verdict["pass"] is True
+
+
+def test_gate_fails_on_regression(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0, "q2": 2.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.0, "q2": 2.5})
+    rc, verdict = _run(old, new)
+    assert rc == 1
+    assert [r["query"] for r in verdict["regressions"]] == ["q2"]
+
+
+def test_gate_exempts_named_composition_changes(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0, "q2": 2.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.0, "q2": 6.0})
+    rc, verdict = _run(old, new, "--exempt", "q2")
+    assert rc == 0 and verdict["pass"] is True
+
+
+def test_gate_noise_floor_ignores_tiny_queries(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 0.10})
+    new = _write(tmp_path, "new.json", {"q1": 0.20})  # 2x but sub-floor
+    rc, verdict = _run(old, new)
+    assert rc == 0 and verdict["pass"] is True
+
+
+def test_gate_accepts_driver_wrapped_bench_json(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0})
+    p = tmp_path / "wrapped.json"
+    p.write_text(json.dumps({"n": 8, "parsed": {"queries": {"q1": 1.05}}}))
+    rc, verdict = _run(old, str(p))
+    assert rc == 0 and verdict["pass"] is True
+
+
+def test_gate_reports_new_and_dropped_queries(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0, "gone": 1.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.0, "fresh": 9.0})
+    rc, verdict = _run(old, new)
+    assert rc == 0  # additions/removals are reported, never regressions

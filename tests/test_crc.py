@@ -20,15 +20,18 @@ def _ints(spark, lo, hi):
 def test_full_crc_write_and_shape(spark, tmp_path):
     path = str(tmp_path / "tbl")
     t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
-    assert t.write_crc() is True
+    # the commit path maintains the CRC chain automatically from v0 (r8);
+    # the explicit full write refuses to overwrite it
+    assert t.write_crc() is False
     crc = json.loads((tmp_path / "tbl" / "_delta_log" / f"{0:020d}.crc").read_text())
     assert crc["numMetadata"] == 1 and crc["numProtocol"] == 1
     files = t.snapshot().scan().files()
     assert crc["numFiles"] == len(files)
     assert crc["tableSizeBytes"] == sum(f.size for f in files)
     assert crc["metadata"]["schemaString"] == t.snapshot().metadata.schema_string
-    # never overwrite
-    assert t.write_crc() is False
+    # a fresh table dir with the CRC removed: the explicit full write lands
+    (tmp_path / "tbl" / "_delta_log" / f"{0:020d}.crc").unlink()
+    assert t.write_crc() is True
 
 
 def test_incremental_crc_on_append(spark, tmp_path):
@@ -90,3 +93,38 @@ def test_corrupt_crc_falls_back(spark, tmp_path):
     assert snap.to_df().count() == 10
     with pytest.raises(Exception):
         json.loads(crc_file.read_text())
+
+
+def test_crc_chain_maintained_across_mixed_dml(spark, tmp_path):
+    """The commit path maintains the CRC chain automatically (r8): after
+    create + append + CoW delete + DV delete + update, every version has
+    a CRC whose numFiles/tableSizeBytes match a full recompute — the
+    invariant that makes the P&M fast path trustworthy."""
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 100))
+    t.append(_ints(spark, 100, 200))
+    t.delete("k >= 180")
+    delete_with_dvs(t, "k % 10 = 0")
+    t.update("k < 5", {"k": "k + 1000"})
+    # streamed maintenance commits skip the inline CRC; the wrapper's
+    # full-compute fallback must re-seed the chain (numbers still exact,
+    # incl. dataChange=false removes shrinking the live set)
+    t.optimize(small_file_threshold=1 << 30)
+    t.purge_deletion_vectors()
+
+    storage = LocalStorage()
+    tip = t.snapshot().version
+    assert tip >= 4
+    for v in range(tip + 1):
+        crc = read_crc(storage, path, v)
+        assert crc is not None, f"missing CRC at v{v} — chain broke"
+        snap = t.snapshot(version=v)
+        files = snap.scan().files()
+        assert crc["numFiles"] == len(files), f"v{v} file count"
+        assert crc["tableSizeBytes"] == sum(f.size for f in files), f"v{v} bytes"
+    # and the tip CRC is what snapshot construction reads (P&M fast path)
+    assert read_crc(storage, path, tip)["metadata"]["schemaString"] == (
+        t.snapshot().metadata.schema_string
+    )
