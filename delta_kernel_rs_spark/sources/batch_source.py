@@ -1,10 +1,10 @@
 """Batch read facade: ``spark.read.format("delta_kernel")``.
 
 The batch twin of the streaming CDF source (streaming/cdf_source.py),
-built on the PySpark 4 Python Data Source API. Compared to
-``DeltaTable.to_df()`` — whose ``Scan.files()`` collects one Python
-``ScanFile`` per live file on the driver — this reader plans its input
-partitions from the SparkSession-free Arrow replay (sources/pyreplay.py):
+built on the PySpark 4 Python Data Source API. Unlike
+``DeltaTable.to_df()`` — which plans from ``scan_files_df()`` inside the
+host SparkSession — this reader plans its input partitions from the
+SparkSession-free Arrow replay (sources/pyreplay.py):
 
 * planning keeps the live-file list columnar (checkpoint bulk never
   becomes Python objects) and bin-packs files into read tasks by
