@@ -190,6 +190,22 @@ def _driver_actions(snapshot: Snapshot) -> list[dict]:
             }
         },
     ]
+    txns, domains = live_txns_and_domains(snapshot)
+    # expired set-transactions drop out of the checkpoint (reference
+    # action_reconciliation: retention-filtered at checkpoint write)
+    t_ret = txn_retention_ms(snapshot.metadata.configuration)
+    actions.extend(
+        {"txn": t} for t in txns.values() if txn_live(t, t_ret)
+    )
+    actions.extend({"domainMetadata": d} for d in domains.values() if not d.get("removed"))
+    return actions
+
+
+def live_txns_and_domains(snapshot) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Full replay of setTransaction / domainMetadata state: latest txn per
+    appId, latest domainMetadata per domain (tombstones included — callers
+    filter ``removed``). Shared by the checkpoint writer and the full CRC
+    compute (reference action_reconciliation + crc writer)."""
     txns: dict[str, dict] = {}
     domains: dict[str, dict] = {}
     for commit in snapshot.log_segment.commit_files:
@@ -209,7 +225,7 @@ def _driver_actions(snapshot: Snapshot) -> list[dict]:
             dm = action.get("domainMetadata")
             if dm and dm.get("domain"):
                 domains[dm["domain"]] = dm
-    # txns surviving from a previous checkpoint
+    # txns/domains surviving from a previous checkpoint
     if snapshot.log_segment.checkpoint_parts:
         ck = snapshot.spark.read.parquet(*snapshot.log_segment.checkpoint_parts)
         if "txn" in ck.columns:
@@ -226,14 +242,7 @@ def _driver_actions(snapshot: Snapshot) -> list[dict]:
             ):
                 d = r.domainMetadata.asDict()
                 domains.setdefault(d["domain"], d)
-    # expired set-transactions drop out of the checkpoint (reference
-    # action_reconciliation: retention-filtered at checkpoint write)
-    t_ret = txn_retention_ms(snapshot.metadata.configuration)
-    actions.extend(
-        {"txn": t} for t in txns.values() if txn_live(t, t_ret)
-    )
-    actions.extend({"domainMetadata": d} for d in domains.values() if not d.get("removed"))
-    return actions
+    return txns, domains
 
 
 def _write_single_parquet(spark, storage, df: DataFrame, tmp_dir: str, final: str) -> None:

@@ -53,18 +53,40 @@ def read_crc(storage, table_path: str, version: int) -> dict | None:
 
 def write_crc_full(spark, table_path: str, snapshot) -> bool:
     """Full CRC compute from a snapshot; returns False if one already
-    existed (never overwrite — reference writer contract)."""
+    existed (never overwrite — reference writer contract). Carries the
+    COMPLETE setTransaction/domainMetadata state (reference crc writer)
+    so the tip CRC can answer app-txn and domain lookups without replay."""
+    from delta_kernel_rs_spark.sources.checkpoint import live_txns_and_domains
+
     files_df = snapshot.scan().scan_files_df()
     agg = files_df.agg(
         F.count(F.lit(1)).alias("n"), F.sum("size").alias("bytes")
     ).collect()[0]
+    txns, domains = live_txns_and_domains(snapshot)
     doc = _crc_doc(
         n_files=agg.n or 0,
         size_bytes=agg.bytes or 0,
         metadata=_metadata_dict(snapshot),
         protocol=_protocol_dict(snapshot),
+        set_transactions=sorted(txns.values(), key=lambda t: t["appId"]),
+        domain_metadata=sorted(domains.values(), key=lambda d: d["domain"]),
+        ict=_commit_ict(snapshot.storage, table_path, snapshot.version),
     )
     return _put(snapshot.storage, table_path, snapshot.version, doc)
+
+
+def _commit_ict(storage, table_path: str, version: int) -> int | None:
+    """inCommitTimestamp from the commit's leading commitInfo, if present
+    (ICT tables only; the first line is commitInfo by construction)."""
+    path = f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.json"
+    try:
+        # optional field: skip rather than pull a huge commit for one line
+        if storage.stat(path).size > MAX_INCREMENTAL_COMMIT_BYTES:
+            return None
+        first = storage.read_text(path).split("\n", 1)[0]
+        return (json.loads(first).get("commitInfo") or {}).get("inCommitTimestamp")
+    except (OSError, ValueError):
+        return None
 
 
 def update_crc_incremental(spark, table_path: str, storage, version: int) -> bool:
@@ -76,8 +98,16 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
     if version == 0:
         # Bootstrap: version 0's commit IS the full state — the chain
         # starts here (before this, the incremental path could never
-        # produce a first CRC and stayed a silent no-op forever).
-        prior = {"numFiles": 0, "tableSizeBytes": 0, "metadata": None, "protocol": None}
+        # produce a first CRC and stayed a silent no-op forever). Empty
+        # PRESENT state maps are authoritative at v0 by construction.
+        prior = {
+            "numFiles": 0,
+            "tableSizeBytes": 0,
+            "metadata": None,
+            "protocol": None,
+            "setTransactions": [],
+            "domainMetadata": [],
+        }
     else:
         prior = read_crc(storage, table_path, version - 1)
         if prior is None:
@@ -96,6 +126,20 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
     size_bytes = prior["tableSizeBytes"]
     metadata = prior["metadata"]
     protocol = prior["protocol"]
+    # complete-state maps carry forward ONLY when the prior CRC had them
+    # (reference state.rs: Partial prior stays Partial — the fold can
+    # extend authoritative knowledge, never invent it)
+    txns: dict[str, dict] | None = (
+        {t["appId"]: t for t in prior["setTransactions"]}
+        if prior.get("setTransactions") is not None
+        else None
+    )
+    domains: dict[str, dict] | None = (
+        {d["domain"]: d for d in prior["domainMetadata"]}
+        if prior.get("domainMetadata") is not None
+        else None
+    )
+    ict: int | None = None
     for line in text.splitlines():
         line = line.strip()
         if not line:
@@ -120,14 +164,56 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
             metadata = action["metaData"]
         elif "protocol" in action:
             protocol = action["protocol"]
+        elif "txn" in action:
+            t = action["txn"]
+            if txns is not None and t.get("appId"):
+                txns[t["appId"]] = t
+        elif "domainMetadata" in action:
+            d = action["domainMetadata"]
+            if domains is not None and d.get("domain"):
+                if d.get("removed"):
+                    domains.pop(d["domain"], None)
+                else:
+                    domains[d["domain"]] = d
+        elif "commitInfo" in action:
+            ict = (action["commitInfo"] or {}).get("inCommitTimestamp")
     if metadata is None or protocol is None:
         return False
-    doc = _crc_doc(n_files, size_bytes, metadata, protocol)
+    doc = _crc_doc(
+        n_files,
+        size_bytes,
+        metadata,
+        protocol,
+        set_transactions=(
+            sorted(txns.values(), key=lambda t: t["appId"]) if txns is not None else None
+        ),
+        domain_metadata=(
+            sorted(domains.values(), key=lambda d: d["domain"])
+            if domains is not None
+            else None
+        ),
+        ict=ict,
+    )
     return _put(storage, table_path, version, doc)
 
 
-def _crc_doc(n_files: int, size_bytes: int, metadata: dict, protocol: dict) -> dict:
-    return {
+def _crc_doc(
+    n_files: int,
+    size_bytes: int,
+    metadata: dict,
+    protocol: dict,
+    set_transactions: list[dict] | None = None,
+    domain_metadata: list[dict] | None = None,
+    ict: int | None = None,
+) -> dict:
+    """CRC wire document (reference CrcRaw, crc/mod.rs:142-168).
+
+    Optional-field semantics match the reference exactly: a PRESENT
+    ``setTransactions``/``domainMetadata`` array (even ``[]``) is
+    authoritative — a miss means the state does not exist; an ABSENT
+    array means partial knowledge and readers must fall back to replay.
+    ``domainMetadata`` never stores tombstones."""
+    doc = {
         "tableSizeBytes": size_bytes,
         "numFiles": n_files,
         "numMetadata": 1,
@@ -135,6 +221,15 @@ def _crc_doc(n_files: int, size_bytes: int, metadata: dict, protocol: dict) -> d
         "metadata": metadata,
         "protocol": protocol,
     }
+    if set_transactions is not None:
+        doc["setTransactions"] = set_transactions
+    if domain_metadata is not None:
+        doc["domainMetadata"] = [
+            d for d in domain_metadata if not d.get("removed")
+        ]
+    if ict is not None:
+        doc["inCommitTimestampOpt"] = ict
+    return doc
 
 
 def _metadata_dict(snapshot) -> dict:

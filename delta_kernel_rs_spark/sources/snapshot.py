@@ -387,6 +387,17 @@ class Snapshot:
         """Latest live configuration for a metadata domain (reference
         Snapshot::get_domain_metadata; row tracking reads
         ``delta.rowTracking`` this way — kernel/src/row_tracking.rs)."""
+        # CRC fast path: a PRESENT domainMetadata array is the complete
+        # live-domain state (reference DomainMetadataState::Complete,
+        # crc/state.rs — tombstones never stored, a miss means absent).
+        from delta_kernel_rs_spark.sources.crc import read_crc
+
+        crc = read_crc(self.storage, self.table_path, self.version)
+        if crc is not None and crc.get("domainMetadata") is not None:
+            for dm in crc["domainMetadata"]:
+                if dm.get("domain") == domain:
+                    return dm.get("configuration")
+            return None
         for commit in reversed(self.log_segment.commit_files):
             best = None
             for line in self.storage.read_text(commit.path).splitlines():

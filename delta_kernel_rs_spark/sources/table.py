@@ -344,10 +344,20 @@ class DeltaTable:
         (reference snapshot/mod.rs:437: an expired txn entry reads as
         absent, so a restarting writer treats the app id as new)."""
         from delta_kernel_rs_spark.sources.checkpoint import txn_live, txn_retention_ms
+        from delta_kernel_rs_spark.sources.crc import read_crc
 
         snap = self.snapshot()
         seg = snap.log_segment
         retention = txn_retention_ms(snap.metadata.configuration)
+        # CRC fast path: a PRESENT setTransactions array is the complete
+        # authoritative state at this version (reference SetTransactionState
+        # ::Complete, crc/state.rs) — a miss means the app id is new.
+        crc = read_crc(self.storage, self.path, snap.version)
+        if crc is not None and crc.get("setTransactions") is not None:
+            for t in crc["setTransactions"]:
+                if t.get("appId") == app_id:
+                    return t["version"] if txn_live(t, retention) else None
+            return None
         best: int | None = None
         for commit in seg.commit_files:
             for line in self.storage.read_text(commit.path).splitlines():

@@ -128,3 +128,37 @@ def test_crc_chain_maintained_across_mixed_dml(spark, tmp_path):
     assert read_crc(storage, path, tip)["metadata"]["schemaString"] == (
         t.snapshot().metadata.schema_string
     )
+
+
+def test_crc_carries_complete_txn_and_domain_state(spark, tmp_path):
+    """Reference CrcRaw optional fields (crc/mod.rs:142-168): a PRESENT
+    setTransactions/domainMetadata array is the authoritative complete
+    state. The incremental fold maintains both; the app-txn and domain
+    lookups answer from the tip CRC and agree exactly with full replay."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark, path, df=_ints(spark, 0, 10),
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t.append_with_txn(_ints(spark, 10, 20), "appA", 7)
+    t.append_with_txn(_ints(spark, 20, 30), "appA", 9)  # newest wins
+    t.append_with_txn(_ints(spark, 30, 40), "appB", 1)
+
+    storage = LocalStorage()
+    tip = t.snapshot().version
+    crc = read_crc(storage, path, tip)
+    assert {x["appId"]: x["version"] for x in crc["setTransactions"]} == {
+        "appA": 9, "appB": 1,
+    }
+    domains = {d["domain"] for d in crc["domainMetadata"]}
+    assert "delta.rowTracking" in domains
+    assert not any(d.get("removed") for d in crc["domainMetadata"])
+
+    # fast-path answers == replay answers (delete the CRCs to force replay)
+    fast = {a: t.latest_txn_version(a) for a in ("appA", "appB", "appC")}
+    dm_fast = t.snapshot().get_domain_metadata("delta.rowTracking")
+    for f in (tmp_path / "tbl" / "_delta_log").iterdir():
+        if f.name.endswith(".crc"):
+            f.unlink()
+    assert fast == {a: t.latest_txn_version(a) for a in ("appA", "appB", "appC")}
+    assert dm_fast == t.snapshot().get_domain_metadata("delta.rowTracking")
