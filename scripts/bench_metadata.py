@@ -104,22 +104,28 @@ def main() -> int:
         results["read_metadata_v2_checkpoint"] = _timed(read_metadata)
 
         # snapshotLatest (P&M resolution, no scan) with the reference's CRC
-        # staleness arms (crcLatest / crcVeryStale / none): CRC writes are
-        # explicit in this engine, so the harness plants them.
+        # staleness arms (crcLatest / crcVeryStale / none). The commit path
+        # maintains the chain automatically, so "fresh" is the default
+        # state; the stale/none arms are constructed by deleting CRCs.
         log_dir = os.path.join(path, "_delta_log")
         tip = Snapshot.create(spark, path).version
 
         def snapshot_latest():
             return Snapshot.create(spark, path).version
 
-        results["snapshot_latest_no_crc"] = _timed(snapshot_latest)
+        results["snapshot_latest_crc_fresh"] = _timed(snapshot_latest)
 
-        t.write_crc(version=1)  # very stale: CRC exists but far behind
+        crcs = sorted(f for f in os.listdir(log_dir) if f.endswith(".crc"))
+        for f in crcs[2:]:  # keep only the earliest two: very stale
+            os.rename(os.path.join(log_dir, f), os.path.join(root, f))
         results["snapshot_latest_crc_stale"] = _timed(snapshot_latest)
 
-        t.write_crc(version=tip)  # fresh: tip CRC answers P&M directly
-        results["snapshot_latest_crc_fresh"] = _timed(snapshot_latest)
-        os.unlink(os.path.join(log_dir, f"{tip:020d}.crc"))
+        for f in crcs[:2]:
+            os.rename(os.path.join(log_dir, f), os.path.join(root, f))
+        results["snapshot_latest_no_crc"] = _timed(snapshot_latest)
+
+        for f in crcs:  # restore the chain
+            os.rename(os.path.join(root, f), os.path.join(log_dir, f))
 
     total = round(sum(results.values()), 3)
     print(

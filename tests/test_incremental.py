@@ -76,3 +76,18 @@ def test_incremental_base_not_behind_target(spark, table):
     snap = table.snapshot()
     with pytest.raises(ValueError):
         snap.incremental_actions(snap.version)
+
+
+def test_refresh_df_unservable_and_noop(spark, table):
+    """Frame-shaped scan_files_df_from edge contract: same version returns
+    the prior frame unchanged; a range straddling a checkpoint is
+    unservable (None) exactly like the list API."""
+    snap = table.snapshot()
+    prior_df = snap.scan().scan_files_df()
+    assert snap.scan_files_df_from(snap.version, prior_df) is prior_df
+
+    table.append(_ints(spark, 80, 90))
+    table.checkpoint()
+    table.append(_ints(spark, 90, 95))
+    latest = table.snapshot()
+    assert latest.scan_files_df_from(0, prior_df) is None
