@@ -95,6 +95,10 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
     Returns False (no write) when the prior CRC is missing — callers may
     fall back to :func:`write_crc_full` or simply skip (advisory file).
     """
+    if storage.exists(crc_path(table_path, version)):
+        # already maintained (the commit path writes inline; DML helpers
+        # call again) — True so callers don't run a redundant full compute
+        return True
     if version == 0:
         # Bootstrap: version 0's commit IS the full state — the chain
         # starts here (before this, the incremental path could never

@@ -321,6 +321,11 @@ def test_set_transaction_retention(spark, tmp_path):
             a["txn"]["lastUpdated"] -= 2 * 3600 * 1000
         out.append(json.dumps(a))
     open(log, "w").write("\n".join(out) + "\n")
+    # the in-place edit invalidates the version CRCs (a real rewriter
+    # must refresh or drop them; the engine trusts a same-version CRC)
+    for f in os.listdir(os.path.dirname(log)):
+        if f.endswith(".crc"):
+            os.unlink(os.path.join(os.path.dirname(log), f))
 
     assert t.latest_txn_version("job-a") is None  # expired -> absent
     # and a fresh checkpoint no longer carries it
