@@ -227,6 +227,20 @@ def live_txns_and_domains(snapshot) -> tuple[dict[str, dict], dict[str, dict]]:
                 domains[dm["domain"]] = dm
     # txns/domains surviving from a previous checkpoint
     if snapshot.log_segment.checkpoint_parts:
+        # hint fast path: nonFileActions is the checkpoint's complete
+        # non-file set when present (last_checkpoint_hint.rs:87-91)
+        nfa = snapshot.log_segment.hint_non_file_actions()
+        if nfa is not None:
+            for entry in nfa:
+                t = entry.get("txn")
+                if t and t.get("appId"):
+                    cur = txns.get(t["appId"])
+                    if cur is None or (t.get("version") or 0) > (cur.get("version") or 0):
+                        txns[t["appId"]] = t
+                d = entry.get("domainMetadata")
+                if d and d.get("domain"):
+                    domains.setdefault(d["domain"], d)
+            return txns, domains
         ck = snapshot.spark.read.parquet(*snapshot.log_segment.checkpoint_parts)
         if "txn" in ck.columns:
             for r in ck.filter(F.col("txn.appId").isNotNull()).select("txn").collect():
@@ -301,6 +315,7 @@ def write_checkpoint(
         part_col = F.pmod(F.hash(key), F.lit(parts)).cast("int")
         tagged = file_actions.withColumn("__part", part_col)
         n_actions = 0
+        size_in_bytes = 0
         for i in range(1, parts + 1):
             chunk = tagged.filter(F.col("__part") == (i - 1)).drop("__part")
             if i == 1:
@@ -310,7 +325,16 @@ def write_checkpoint(
                 spark, storage, chunk, f"{log_dir}/.ckpt-tmp-{v}-{i}", final
             )
             n_actions += _parquet_num_rows(final)
-        hint = {"version": v, "size": n_actions, "parts": parts}
+            size_in_bytes += storage.stat(final).size
+        hint = {
+            "version": v,
+            "size": n_actions,
+            "parts": parts,
+            # optional hint fields the reference reader consumes
+            # (last_checkpoint_hint.rs:44-47) — planning hints, cheap here
+            "sizeInBytes": size_in_bytes,
+            "numOfAddFiles": _num_add_actions(file_actions),
+        }
         storage.put_overwrite(
             f"{log_dir}/_last_checkpoint", json.dumps(hint).encode()
         )
@@ -344,7 +368,50 @@ def write_checkpoint(
         _write_single_parquet(spark, storage, driver_df(top_rows), f"{log_dir}/.ckpt-tmp-{v}", final)
         n_actions = _parquet_num_rows(final) + _parquet_num_rows(sidecar_final)
 
-    hint = {"version": v, "size": n_actions, "parts": None}
+    top_entry = storage.stat(final)
+    size_in_bytes = top_entry.size
+    if v2:
+        size_in_bytes += storage.stat(sidecar_final).size
+    hint = {
+        "version": v,
+        "size": n_actions,
+        "parts": None,
+        "sizeInBytes": size_in_bytes,
+        "numOfAddFiles": _num_add_actions(file_actions),
+    }
+    if v2:
+        # Delta-Spark-style v2Checkpoint enrichment (read model: reference
+        # last_checkpoint_hint.rs:60-91): the hint names the uuid checkpoint
+        # it describes, its sidecars, and its complete non-file action set —
+        # so a reader can plan the replay and resolve P&M/txn/domain state
+        # without opening the checkpoint file at all. Oversized fields are
+        # dropped whole (30-count caps), never truncated.
+        from delta_kernel_rs_spark.sources.log_segment import (
+            HINT_NON_FILE_ACTIONS_THRESHOLD,
+            HINT_SIDECARS_THRESHOLD,
+        )
+
+        non_file_actions = [json.loads(r) for r in driver_rows] + [
+            {"checkpointMetadata": {"version": v}}
+        ]
+        v2_obj = {
+            "path": final.rsplit("/", 1)[-1],
+            "sizeInBytes": top_entry.size,
+            "modificationTime": top_entry.last_modified_ms,
+            "sidecarFiles": [
+                {
+                    "path": sidecar_name,
+                    "sizeInBytes": entry.size,
+                    "modificationTime": entry.last_modified_ms,
+                }
+            ],
+            "nonFileActions": non_file_actions,
+        }
+        if len(non_file_actions) > HINT_NON_FILE_ACTIONS_THRESHOLD:
+            del v2_obj["nonFileActions"]
+        if len(v2_obj["sidecarFiles"]) > HINT_SIDECARS_THRESHOLD:
+            del v2_obj["sidecarFiles"]
+        hint["v2Checkpoint"] = v2_obj
     storage.put_overwrite(
         f"{log_dir}/_last_checkpoint",
         json.dumps({k: val for k, val in hint.items() if val is not None}).encode(),
@@ -352,11 +419,20 @@ def write_checkpoint(
     return v
 
 
+def _num_add_actions(file_actions: DataFrame) -> int:
+    """Count of add actions going into the checkpoint (the hint's
+    numOfAddFiles, reference last_checkpoint_hint.rs:47)."""
+    return file_actions.filter(F.col("add.path").isNotNull()).count()
+
+
 def _parquet_num_rows(path: str) -> int:
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
-    fs, rel = pafs.FileSystem.from_uri(path if "://" in path else f"file://{path}")
+    if "://" in path:
+        fs, rel = pafs.FileSystem.from_uri(path)
+    else:  # no URI parsing: local table paths may carry spaces/escapes
+        fs, rel = pafs.LocalFileSystem(), path
     return pq.read_metadata(rel, filesystem=fs).num_rows
 
 

@@ -54,6 +54,67 @@ class LogSegment:
     commit_timestamps: dict[int, int] = field(default_factory=dict)
     # ascending list of ALL commit versions seen in the listing (history)
     all_commit_versions: list[int] = field(default_factory=list)
+    # the retained ``_last_checkpoint`` hint, stored ONLY when it describes
+    # the checkpoint this segment selected (reference
+    # LastCheckpointHint::applies_to, last_checkpoint_hint.rs:110-123 —
+    # multiple checkpoints can share a version, so a matching version alone
+    # is not enough); callers may trust its fields
+    checkpoint_hint: dict | None = None
+
+    def hint_sidecar_files(self) -> list[dict] | None:
+        """The hint's V2 ``sidecarFiles``, when the hint describes the
+        selected checkpoint (reference ``checkpoint_hint_sidecars``,
+        log_segment/mod.rs:274-281). ``Some(empty)`` means a definitive
+        inline leaf; ``None`` is a missing optimization, never a signal."""
+        v2 = (self.checkpoint_hint or {}).get("v2Checkpoint") or {}
+        return v2.get("sidecarFiles")
+
+    def hint_non_file_actions(self) -> list[dict] | None:
+        """The hint's ``nonFileActions`` — the checkpoint's COMPLETE
+        non-file action set when present (reference LastCheckpointV2
+        docs, last_checkpoint_hint.rs:87-91: lets a reader obtain them
+        without reading the checkpoint file)."""
+        v2 = (self.checkpoint_hint or {}).get("v2Checkpoint") or {}
+        return v2.get("nonFileActions")
+
+
+#: per-field count cap on a retained hint's sidecarFiles / nonFileActions
+#: (reference last_checkpoint_hint.rs:27-28, matching Delta-Spark's
+#: lastCheckpoint.{sidecars,nonFileActions}.threshold defaults): drop the
+#: WHOLE field above the cap, never truncate — absence only loses an
+#: optimization, while a truncated list would be silently wrong.
+HINT_SIDECARS_THRESHOLD = 30
+HINT_NON_FILE_ACTIONS_THRESHOLD = 30
+
+#: the action kinds a hint's nonFileActions may carry (reference HintAction
+#: enum, last_checkpoint_hint.rs:93-107). An unrecognized key fails the
+#: whole-hint parse, and the reader falls back to reading the checkpoint.
+HINT_ACTION_KEYS = frozenset(
+    {"metaData", "protocol", "txn", "domainMetadata", "checkpointMetadata"}
+)
+
+
+def _retain_hint(hint: dict) -> dict | None:
+    """Validate + trim a parsed hint so callers never hold an untrimmed one
+    (reference ``from_bytes_with_oversized_fields_dropped``)."""
+    if not isinstance(hint, dict) or not isinstance(hint.get("version"), int):
+        return None
+    v2 = hint.get("v2Checkpoint")
+    if v2 is None:
+        return hint
+    if not isinstance(v2, dict) or not isinstance(v2.get("path"), str):
+        return None  # malformed v2Checkpoint fails the whole-hint parse
+    nfa = v2.get("nonFileActions")
+    if nfa is not None:
+        for entry in nfa:
+            if not isinstance(entry, dict) or set(entry) - HINT_ACTION_KEYS:
+                return None  # unrecognized action: whole hint is untrusted
+        if len(nfa) > HINT_NON_FILE_ACTIONS_THRESHOLD:
+            v2 = {k: val for k, val in v2.items() if k != "nonFileActions"}
+    sidecars = v2.get("sidecarFiles")
+    if sidecars is not None and len(sidecars) > HINT_SIDECARS_THRESHOLD:
+        v2 = {k: val for k, val in v2.items() if k != "sidecarFiles"}
+    return {**hint, "v2Checkpoint": v2}
 
 
 def read_last_checkpoint_hint(storage, log_dir: str) -> dict | None:
@@ -61,9 +122,35 @@ def read_last_checkpoint_hint(storage, log_dir: str) -> dict | None:
     if not storage.exists(path):
         return None
     try:
-        return json.loads(storage.read_text(path))
+        return _retain_hint(json.loads(storage.read_text(path)))
     except (ValueError, OSError):
         return None  # corrupt hint is advisory only
+
+
+def _hint_applies(hint: dict, ckpt_version: int | None, ckpt_parts: list[str]) -> bool:
+    """Whether the hint describes the checkpoint this segment selected
+    (reference ``LastCheckpointHint::applies_to`` + ``implied_instance``,
+    last_checkpoint_hint.rs:110-138, mirroring Delta-Spark's
+    ``getFormatEnum``): a ``v2Checkpoint`` object means uuid-named (the
+    hint's own path must equal the selected file's name — several V2
+    checkpoints can share a version), else ``parts`` means multi-part,
+    else classic-named. On a mismatch, callers read the checkpoint file
+    itself instead of trusting the hint's fields."""
+    if not ckpt_parts or hint.get("version") != ckpt_version:
+        return False
+    first = parse_log_filename(ckpt_parts[0])
+    if first is None:
+        return False
+    v2 = hint.get("v2Checkpoint")
+    if v2 is not None:
+        return first.kind == LogFileKind.V2_CHECKPOINT and first.filename == v2.get("path")
+    parts = hint.get("parts")
+    if parts is not None:
+        return (
+            first.kind == LogFileKind.MULTIPART_CHECKPOINT
+            and len(ckpt_parts) == parts
+        )
+    return first.kind == LogFileKind.CLASSIC_CHECKPOINT
 
 
 def build_log_segment(
@@ -208,4 +295,7 @@ def build_log_segment(
         commit_files=tail,
         commit_timestamps={c.version: mtimes.get(c.path, 0) for c in commits},
         all_commit_versions=[c.version for c in commits],
+        checkpoint_hint=(
+            hint if hint and _hint_applies(hint, ckpt_version, ckpt_parts) else None
+        ),
     )

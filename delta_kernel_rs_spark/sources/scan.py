@@ -142,6 +142,21 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
         REMOVE_TYPE,
     )
 
+    def _resolve_sidecar(p: str) -> str:
+        return p if "://" in p or p.startswith("/") else f"{seg.log_dir}/_sidecars/{p}"
+
+    # `_last_checkpoint` hint fast path (reference checkpoint_shape.rs:113-135
+    # from_v2_checkpoint_hint): a hint that describes the selected checkpoint
+    # and carries a non-empty sidecar list names every file-action source —
+    # skip reading the top-level V2 file entirely. An EMPTY list is a
+    # definitive inline leaf (the writer emits empty only for a leaf and
+    # trims an oversized manifest to ABSENT, never to empty), so the
+    # sidecar-column probe below is skipped; absence means info missing.
+    hint_sidecars = seg.hint_sidecar_files() if hasattr(seg, "hint_sidecar_files") else None
+    if hint_sidecars:
+        ckpt = spark.read.parquet(*[_resolve_sidecar(s["path"]) for s in hint_sidecars])
+        return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
+
     if all(p.endswith(".json") for p in seg.checkpoint_parts):
         # JSON-flavored V2 checkpoint: NDJSON action lines at the full
         # schema; file actions still live in the parquet sidecars below
@@ -158,7 +173,7 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
         if len(seg.checkpoint_parts) > 1:
             reader = reader.option("mergeSchema", "true")
         ckpt = reader.parquet(*seg.checkpoint_parts)
-    if "sidecar" in ckpt.columns:
+    if "sidecar" in ckpt.columns and hint_sidecars is None:
         sidecars = [
             r.path
             for r in ckpt.filter(F.col("sidecar.path").isNotNull())
@@ -166,13 +181,13 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
             .collect()
         ]
         if sidecars:
-            sidecar_paths = [
-                p if "://" in p or p.startswith("/") else f"{seg.log_dir}/_sidecars/{p}"
-                for p in sidecars
-            ]
-            ckpt = spark.read.parquet(*sidecar_paths)
+            ckpt = spark.read.parquet(*[_resolve_sidecar(p) for p in sidecars])
+    return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
+
+
+def _conform_checkpoint_file_actions(ckpt: DataFrame, add_type, remove_type) -> DataFrame:
     by_name = {f.name: f.dataType for f in ckpt.schema.fields}
-    for col_name, target in (("add", ADD_TYPE), ("remove", REMOVE_TYPE)):
+    for col_name, target in (("add", add_type), ("remove", remove_type)):
         if col_name in by_name and (
             not isinstance(by_name[col_name], T.StructType)
             or {f.name for f in by_name[col_name].fields}

@@ -333,9 +333,21 @@ class Snapshot:
             if metadata_dict is not None and protocol_dict is not None:
                 break
         if (metadata_dict is None or protocol_dict is None) and self.log_segment.checkpoint_parts:
-            md, pr = _checkpoint_pm(self.log_segment.checkpoint_parts)
-            metadata_dict = metadata_dict or md
-            protocol_dict = protocol_dict or pr
+            # `_last_checkpoint` hint fast path: nonFileActions is the
+            # checkpoint's complete non-file action set when present
+            # (reference last_checkpoint_hint.rs:87-91) — P&M come straight
+            # from the hint, no checkpoint file read.
+            for entry in self.log_segment.hint_non_file_actions() or []:
+                md = entry.get("metaData")
+                if metadata_dict is None and md and md.get("id"):
+                    metadata_dict = md
+                pr = entry.get("protocol")
+                if protocol_dict is None and pr and pr.get("minReaderVersion") is not None:
+                    protocol_dict = pr
+            if metadata_dict is None or protocol_dict is None:
+                md, pr = _checkpoint_pm(self.log_segment.checkpoint_parts)
+                metadata_dict = metadata_dict or md
+                protocol_dict = protocol_dict or pr
         if metadata_dict is None or protocol_dict is None:
             raise InvalidLogError(
                 f"no metaData/protocol found in log for {self.table_path}"
@@ -413,6 +425,16 @@ class Snapshot:
             if best is not None:
                 return None if best.get("removed") else best.get("configuration")
         if self.log_segment.checkpoint_parts:
+            # hint fast path: a present nonFileActions array is the
+            # checkpoint's COMPLETE non-file action set (reference
+            # last_checkpoint_hint.rs:87-91) — a miss there is authoritative.
+            nfa = self.log_segment.hint_non_file_actions()
+            if nfa is not None:
+                for entry in nfa:
+                    dm = entry.get("domainMetadata")
+                    if dm and dm.get("domain") == domain:
+                        return None if dm.get("removed") else dm.get("configuration")
+                return None
             # TOP-LEVEL parts only: domainMetadata never moves to sidecars
             parts = list(self.log_segment.checkpoint_parts)
             if all(pp.endswith(".json") for pp in parts):
