@@ -49,16 +49,60 @@ _MINMAX_ELIGIBLE = (
 
 
 def eligible_stats_columns(
-    schema: T.StructType, num_indexed: int = DEFAULT_NUM_INDEXED_COLS
+    schema: T.StructType,
+    num_indexed: int = DEFAULT_NUM_INDEXED_COLS,
+    stats_columns: tuple | None = None,
+    required: frozenset = frozenset(),
 ) -> list[T.StructField]:
-    """First N top-level leaf columns eligible for min/max stats
+    """Top-level leaf columns eligible for min/max stats
     (arrays/maps/structs are skipping-ineligible — reference
-    kernel/src/scan/mod.rs:558-564; ``dataSkippingNumIndexedCols``)."""
+    kernel/src/scan/mod.rs:558-564).
+
+    Selection follows the reference's ``StatsColumnFilter``
+    (scan/data_skipping/stats_schema/column_filter.rs:60-118):
+    an explicit ``stats_columns`` name set (``dataSkippingStatsColumns``)
+    takes precedence over the positional ``num_indexed`` cap
+    (``dataSkippingNumIndexedCols``; ``-1`` = all columns), and
+    ``required`` names (clustering columns — the protocol's "writers MUST
+    write stats" rule) are always included regardless of either."""
     out = []
-    for f in schema.fields[:num_indexed]:
-        if isinstance(f.dataType, _MINMAX_ELIGIBLE):
+    for i, f in enumerate(schema.fields):
+        if not isinstance(f.dataType, _MINMAX_ELIGIBLE):
+            continue
+        if f.name in required:
+            out.append(f)
+        elif stats_columns is not None:
+            if f.name in stats_columns:
+                out.append(f)
+        elif num_indexed < 0 or i < num_indexed:
             out.append(f)
     return out
+
+
+def stats_selection(
+    configuration: dict | None,
+    phys_of: dict[str, str] | None = None,
+    clustering_cols: tuple[str, ...] = (),
+) -> dict:
+    """kwargs for ``eligible_stats_columns`` derived from a table's
+    configuration: ``dataSkippingNumIndexedCols`` / ``dataSkippingStatsColumns``
+    (mapped to PHYSICAL top-level names via ``phys_of``) plus the
+    always-required clustering columns. This engine collects top-level
+    stats only, so a configured nested path selects its top-level column."""
+    from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+    props = TableProperties.from_configuration(configuration or {})
+    phys_of = phys_of or {}
+    explicit = None
+    if props.data_skipping_stats_columns is not None:
+        explicit = tuple(
+            {phys_of.get(p[0], p[0]) for p in props.data_skipping_stats_columns if p}
+        )
+    return {
+        "num_indexed": props.num_indexed_cols_or_default(),
+        "stats_columns": explicit,
+        "required": frozenset(phys_of.get(c, c) for c in clustering_cols),
+    }
 
 
 def collect_file_stats(
@@ -66,6 +110,8 @@ def collect_file_stats(
     paths: list[str],
     read_schema: T.StructType,
     num_indexed: int = DEFAULT_NUM_INDEXED_COLS,
+    stats_columns: tuple | None = None,
+    required: frozenset = frozenset(),
 ) -> dict[str, dict[str, Any]]:
     """Distributed stats job: one output row per file.
 
@@ -76,7 +122,7 @@ def collect_file_stats(
     from delta_kernel_rs_spark.sources.scan import normalize_file_path
 
     df = spark.read.schema(read_schema).parquet(*paths)
-    cols = eligible_stats_columns(read_schema, num_indexed)
+    cols = eligible_stats_columns(read_schema, num_indexed, stats_columns, required)
     aggs = [F.count(F.lit(1)).alias("__numRecords")]
     for f in cols:
         aggs.append(F.min(f.name).alias(f"__min__{f.name}"))
@@ -111,6 +157,8 @@ def collect_file_stats_footer(
     paths: list[str],
     read_schema: T.StructType,
     num_indexed: int = DEFAULT_NUM_INDEXED_COLS,
+    stats_columns: tuple | None = None,
+    required: frozenset = frozenset(),
 ) -> dict[str, dict[str, Any]]:
     """Footer-only stats: aggregate parquet row-group statistics per file.
 
@@ -123,7 +171,10 @@ def collect_file_stats_footer(
     Columns whose stats the writer omitted (e.g. NaN-bearing floats) are
     simply absent from min/max — readers treat missing stats as unknown.
     """
-    eligible = {f.name for f in eligible_stats_columns(read_schema, num_indexed)}
+    eligible = {
+        f.name
+        for f in eligible_stats_columns(read_schema, num_indexed, stats_columns, required)
+    }
 
     def read_footers(it):
         import pyarrow.fs as pafs
@@ -272,3 +323,84 @@ def stats_json(raw: dict[str, Any], schema: T.StructType) -> str:
         "nullCount": null_count,
     }
     return json.dumps(doc, separators=(",", ":"), default=str)
+
+
+class StatsValidationError(ValueError):
+    """Add actions are missing protocol-required per-file statistics
+    (reference ``Error::StatsValidation``, transaction/stats_verifier.rs)."""
+
+
+def verify_add_stats(
+    actions,
+    required_columns: tuple[str, ...] = (),
+    require_num_records: bool = False,
+    max_listed: int = 10,
+) -> None:
+    """Pre-commit validation that add actions carry protocol-required
+    per-file statistics — the reference's ``StatsColumnVerifier`` +
+    ``verify_num_records_present`` (transaction/stats_verifier.rs:18-100,
+    :299-327), called from ``validate_add_files_stats``
+    (transaction/mod.rs:1246-1279):
+
+    * ``require_num_records``: every add must carry ``stats.numRecords``
+      (icebergCompatV3 — table_configuration.rs:903-906); short-circuits
+      on the first violation like the reference.
+    * each name in ``required_columns`` (PHYSICAL top-level stats keys —
+      clustering columns, the protocol's "writers MUST write stats" rule)
+      must have ``nullCount``, and ``minValues``/``maxValues`` unless the
+      file is all-null (``nullCount == numRecords``,
+      stats_verifier.rs:280-290).
+
+    ``actions`` is any iterable of action dicts; non-add actions pass
+    through. Single pass, O(required_columns) state — error messages list
+    at most ``max_listed`` paths per category (the reference lists all,
+    but a million-file streamed commit must not build the full string on
+    the driver).
+    """
+    if not required_columns and not require_num_records:
+        return
+    missing_nc: dict[str, list[str]] = {c: [] for c in required_columns}
+    missing_min: dict[str, list[str]] = {c: [] for c in required_columns}
+    missing_max: dict[str, list[str]] = {c: [] for c in required_columns}
+    counts = {"nc": 0, "min": 0, "max": 0}
+
+    def note(bucket: dict, key: str, cat: str, path: str) -> None:
+        counts[cat] += 1
+        if len(bucket[key]) < max_listed:
+            bucket[key].append(path)
+
+    for a in actions:
+        add = a.get("add") if isinstance(a, dict) else None
+        if add is None:
+            continue
+        raw = add.get("stats")
+        stats = json.loads(raw) if raw else {}
+        nr = stats.get("numRecords")
+        if require_num_records and nr is None:
+            raise StatsValidationError(
+                "'stats.numRecords' is required for this table "
+                "(icebergCompatV3), but is missing for file "
+                f"'{add.get('path')}'"
+            )
+        for col in required_columns:
+            nc = (stats.get("nullCount") or {}).get(col)
+            all_null = nr is not None and nc is not None and nr == nc
+            if nc is None:
+                note(missing_nc, col, "nc", add.get("path"))
+            if not all_null and (stats.get("minValues") or {}).get(col) is None:
+                note(missing_min, col, "min", add.get("path"))
+            if not all_null and (stats.get("maxValues") or {}).get(col) is None:
+                note(missing_max, col, "max", add.get("path"))
+
+    def fail(bucket: dict, label: str, cat: str) -> None:
+        for col, paths in bucket.items():
+            if paths:
+                suffix = "" if counts[cat] <= max_listed else ", ..."
+                raise StatsValidationError(
+                    f"Required column '{col}' is missing '{label}' "
+                    f"statistics for files: [{', '.join(paths)}{suffix}]"
+                )
+
+    fail(missing_nc, "nullCount", "nc")
+    fail(missing_min, "minValues", "min")
+    fail(missing_max, "maxValues", "max")

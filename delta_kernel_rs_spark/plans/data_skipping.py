@@ -62,15 +62,25 @@ STATS_COLUMN = "stats"  # column name in scan_files_df
 PARTITION_VALUES_COLUMN = "partition_values"
 
 
-def stats_schema_for(schema: T.StructType, partition_columns: list[str]) -> T.StructType:
+def stats_schema_for(
+    schema: T.StructType,
+    partition_columns: list[str],
+    configuration: dict | None = None,
+) -> T.StructType:
     """Derive the typed stats-parse schema from the table schema
     (reference stats_schema derivation; arrays/maps/binary ineligible).
     Stats documents are keyed by PHYSICAL column names under column
-    mapping, so the parse struct uses physical field names."""
+    mapping, so the parse struct uses physical field names. The column
+    selection honors ``dataSkippingStatsColumns`` /
+    ``dataSkippingNumIndexedCols`` so a configured column beyond the
+    default-32 window still parses (and skips) on read."""
     from delta_kernel_rs_spark.functions.schema_codec import physical_name
+    from delta_kernel_rs_spark.functions.stats import stats_selection
 
     data_fields = [f for f in schema.fields if f.name not in set(partition_columns)]
-    eligible = eligible_stats_columns(T.StructType(data_fields))
+    eligible = eligible_stats_columns(
+        T.StructType(data_fields), **stats_selection(configuration)
+    )
     minmax = T.StructType(
         [T.StructField(physical_name(f), f.dataType, True) for f in eligible]
     )
@@ -90,15 +100,25 @@ def stats_schema_for(schema: T.StructType, partition_columns: list[str]) -> T.St
 class _SkippingRewriter:
     """Predicate-over-data → Column-over-file-stats rewriter."""
 
-    def __init__(self, schema: T.StructType, partition_columns: list[str], stats_col: Column):
+    def __init__(
+        self,
+        schema: T.StructType,
+        partition_columns: list[str],
+        stats_col: Column,
+        configuration: dict | None = None,
+    ):
         self.schema = schema
         self.stats_col = stats_col
         self.partition_columns = set(partition_columns)
         from delta_kernel_rs_spark.functions.schema_codec import physical_name
+        from delta_kernel_rs_spark.functions.stats import stats_selection
 
         data_fields = [f for f in schema.fields if f.name not in self.partition_columns]
         self.stat_types = {
-            f.name: f.dataType for f in eligible_stats_columns(T.StructType(data_fields))
+            f.name: f.dataType
+            for f in eligible_stats_columns(
+                T.StructType(data_fields), **stats_selection(configuration)
+            )
         }
         self.types = {f.name: f.dataType for f in schema.fields}
         # logical → physical (stats docs and partitionValues use physical keys)
@@ -356,6 +376,7 @@ def file_skipping_predicate(
     predicate,
     schema: T.StructType,
     partition_columns: list[str],
+    configuration: dict | None = None,
 ) -> Column | None:
     """Build the keep-file filter Column for ``Scan.scan_files_df()``.
 
@@ -364,9 +385,9 @@ def file_skipping_predicate(
     """
     if not isinstance(predicate, Predicate):
         return None
-    stats_schema = stats_schema_for(schema, partition_columns)
+    stats_schema = stats_schema_for(schema, partition_columns, configuration)
     parsed = F.from_json(F.col(STATS_COLUMN), stats_schema)
-    rewriter = _SkippingRewriter(schema, partition_columns, parsed)
+    rewriter = _SkippingRewriter(schema, partition_columns, parsed, configuration)
     verdict = rewriter.rewrite(normalize(predicate))
     if verdict is None:
         return None

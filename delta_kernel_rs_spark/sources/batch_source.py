@@ -753,6 +753,7 @@ class _DeltaKernelWriterBase:
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         config = meta.get("configuration") or {}
+        self._config = config
         if config.get("delta.enableRowTracking", "false").lower() == "true":
             # legacy-config tables may enable this without a feature list
             raise ValueError(
@@ -850,7 +851,9 @@ class _DeltaKernelWriterBase:
         from delta_kernel_rs_spark.functions.stats import (
             eligible_stats_columns,
             stats_json,
+            stats_selection,
         )
+        from delta_kernel_rs_spark.sources.table_properties import TableProperties
 
         fields = self._table_schema.fields
         pset = set(self._pcols)
@@ -914,10 +917,21 @@ class _DeltaKernelWriterBase:
             )
             rel = (dirpart + "/" if dirpart else "") + f"part-{_uuid.uuid4().hex}.parquet"
             abs_path = f"{self._path}/{rel}"
-            _write_parquet_any(sub, abs_path)
+            _write_parquet_any(
+                sub,
+                abs_path,
+                compression=TableProperties.from_configuration(
+                    self._config
+                ).parquet_compression_codec,
+            )
             size = storage.stat(abs_path).size
             raw = {"numRecords": sub.num_rows, "min": {}, "max": {}, "nullCount": {}}
-            for f in eligible_stats_columns(phys_schema):
+            for f in eligible_stats_columns(
+                phys_schema,
+                **stats_selection(
+                    self._config, {f.name: physical_name(f) for f in data_fields}
+                ),
+            ):
                 col = sub.column(f.name)
                 raw["nullCount"][f.name] = col.null_count
                 if sub.num_rows > col.null_count:
@@ -1013,20 +1027,28 @@ def uuid4_hex() -> str:
     return _uuid.uuid4().hex
 
 
-def _write_parquet_any(tbl, path: str) -> None:
-    """pyarrow parquet write for plain paths and URIs, creating parents."""
+def _write_parquet_any(tbl, path: str, compression: str | None = None) -> None:
+    """pyarrow parquet write for plain paths and URIs, creating parents.
+    ``compression`` is the canonical delta.parquet.compression.codec value
+    (pyarrow spells uncompressed ``none`` and the LZ4 block format
+    ``lz4``); ``None`` keeps pyarrow's default (snappy)."""
     import pyarrow.parquet as pq
 
+    kw = {}
+    if compression is not None:
+        kw["compression"] = {"uncompressed": "none", "lz4_raw": "lz4"}.get(
+            compression, compression
+        )
     if "://" in path and not path.startswith("file://"):
         import pyarrow.fs as pafs
 
         fs, rel = pafs.FileSystem.from_uri(path)
         parent = rel.rsplit("/", 1)[0]
         fs.create_dir(parent, recursive=True)
-        pq.write_table(tbl, rel, filesystem=fs)
+        pq.write_table(tbl, rel, filesystem=fs, **kw)
         return
     import os
 
     local = path.removeprefix("file://")
     os.makedirs(os.path.dirname(local), exist_ok=True)
-    pq.write_table(tbl, local)
+    pq.write_table(tbl, local, **kw)

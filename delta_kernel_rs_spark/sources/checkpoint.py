@@ -105,25 +105,13 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
 
 def _interval_ms(raw: str) -> int | None:
     """Parse a Delta ``interval N units`` property value to ms; None if
-    unparsable (callers substitute their property's default)."""
-    parts = raw.strip().lower().split()
-    if len(parts) == 3 and parts[0] == "interval":
-        try:
-            n = int(parts[1])
-        except ValueError:
-            return None
-        unit = parts[2].rstrip("s")
-        scale = {
-            "millisecond": 1,
-            "second": 1000,
-            "minute": 60_000,
-            "hour": 3_600_000,
-            "day": 86_400_000,
-            "week": 7 * 86_400_000,
-        }.get(unit)
-        if scale:
-            return n * scale
-    return None
+    unparsable (callers substitute their property's default). Delegates to
+    the typed-properties parser so every interval in the engine shares the
+    reference grammar (negatives and months/years rejected,
+    ``parse_interval_impl`` in table_properties/deserialize.rs)."""
+    from delta_kernel_rs_spark.sources.table_properties import parse_interval_ms
+
+    return parse_interval_ms(raw.strip())
 
 
 def _tombstone_retention_ms(snapshot: Snapshot) -> int:
@@ -297,7 +285,9 @@ def write_checkpoint(
     log_dir = f"{table_path.rstrip('/')}/{LOG_DIR}"
 
     replayed = _full_replay(snapshot)
-    file_actions = _pad_to_actions_schema(replayed)
+    file_actions = _apply_checkpoint_stats_policy(
+        _pad_to_actions_schema(replayed), snapshot
+    )
 
     driver_rows = [json.dumps(a) for a in _driver_actions(snapshot)]
 
@@ -319,7 +309,11 @@ def write_checkpoint(
         for i in range(1, parts + 1):
             chunk = tagged.filter(F.col("__part") == (i - 1)).drop("__part")
             if i == 1:
-                chunk = chunk.unionByName(driver_df(driver_rows))
+                # allowMissingColumns: driver rows lack add.stats_parsed
+                # when the struct-stats policy is on
+                chunk = chunk.unionByName(
+                    driver_df(driver_rows), allowMissingColumns=True
+                )
             final = f"{log_dir}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
             _write_single_parquet(
                 spark, storage, chunk, f"{log_dir}/.ckpt-tmp-{v}-{i}", final
@@ -341,7 +335,7 @@ def write_checkpoint(
         return v
 
     if not v2:
-        out = file_actions.unionByName(driver_df(driver_rows))
+        out = file_actions.unionByName(driver_df(driver_rows), allowMissingColumns=True)
         final = f"{log_dir}/{classic_checkpoint_filename(v)}"
         _write_single_parquet(spark, storage, out, f"{log_dir}/.ckpt-tmp-{v}", final)
         n_actions = _parquet_num_rows(final)
@@ -417,6 +411,35 @@ def write_checkpoint(
         json.dumps({k: val for k, val in hint.items() if val is not None}).encode(),
     )
     return v
+
+
+def _apply_checkpoint_stats_policy(file_actions: DataFrame, snapshot) -> DataFrame:
+    """Honor ``delta.checkpoint.writeStatsAsStruct`` /
+    ``writeStatsAsJson`` on checkpoint add actions (Delta protocol
+    checkpoint spec; defaults json=true, struct=false — reference
+    should_write_stats_as_json/as_struct, table_properties/mod.rs:250-259).
+    ``stats_parsed`` is the typed struct delta-spark writes; with
+    writeStatsAsJson=false the JSON document is nulled out and readers
+    re-derive it from the struct (scan's checkpoint conform step)."""
+    from delta_kernel_rs_spark.plans.data_skipping import stats_schema_for
+    from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+    props = TableProperties.from_configuration(snapshot.metadata.configuration)
+    as_struct = props.should_write_stats_as_struct()
+    as_json = props.should_write_stats_as_json()
+    if not as_struct and as_json:
+        return file_actions  # default shape: JSON stats pass through
+    add = F.col("add")
+    if as_struct:
+        schema = stats_schema_for(
+            snapshot.schema,
+            snapshot.metadata.partition_columns,
+            snapshot.metadata.configuration,
+        )
+        add = add.withField("stats_parsed", F.from_json(F.col("add.stats"), schema))
+    if not as_json:
+        add = add.withField("stats", F.lit(None).cast("string"))
+    return file_actions.withColumn("add", add)
 
 
 def _num_add_actions(file_actions: DataFrame) -> int:

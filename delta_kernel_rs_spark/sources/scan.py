@@ -187,6 +187,20 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
 
 def _conform_checkpoint_file_actions(ckpt: DataFrame, add_type, remove_type) -> DataFrame:
     by_name = {f.name: f.dataType for f in ckpt.schema.fields}
+    add_t = by_name.get("add")
+    if isinstance(add_t, T.StructType) and "stats_parsed" in add_t.fieldNames():
+        # writeStatsAsStruct checkpoints (delta-spark; our writer with the
+        # policy on) may carry typed stats with the JSON document nulled
+        # (writeStatsAsJson=false) — re-derive the document so data
+        # skipping keeps working. to_json drops null fields, matching the
+        # sparse stats contract.
+        json_stats = (
+            F.coalesce(F.col("add.stats"), F.to_json(F.col("add.stats_parsed")))
+            if "stats" in add_t.fieldNames()
+            else F.to_json(F.col("add.stats_parsed"))
+        )
+        ckpt = ckpt.withColumn("add", F.col("add").withField("stats", json_stats))
+        by_name = {f.name: f.dataType for f in ckpt.schema.fields}
     for col_name, target in (("add", add_type), ("remove", remove_type)):
         if col_name in by_name and (
             not isinstance(by_name[col_name], T.StructType)
@@ -445,6 +459,7 @@ class Scan:
             pred,
             self.snapshot.schema,
             self.snapshot.metadata.partition_columns,
+            self.snapshot.metadata.configuration,
         )
         # Generated-column partition pruning: a predicate on the SOURCE of a
         # generated partition column implies a predicate on the partition

@@ -173,6 +173,19 @@ class TableMetadata:
         return self.configuration.get("delta.columnMapping.mode", "none")
 
     @property
+    def table_properties(self):
+        """Typed view over ``configuration`` (reference ``TableProperties``,
+        table_properties/mod.rs:75-245). Cached — the configuration dict is
+        never mutated in place (metadata changes build a new TableMetadata)."""
+        cached = self.__dict__.get("_table_properties")
+        if cached is None:
+            from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+            cached = TableProperties.from_configuration(self.configuration)
+            self.__dict__["_table_properties"] = cached
+        return cached
+
+    @property
     def cdf_enabled(self) -> bool:
         return self.configuration.get("delta.enableChangeDataFeed", "false").lower() == "true"
 

@@ -813,8 +813,9 @@ class DeltaTable:
             optimize,
         )
 
+        configured = self.snapshot().metadata.table_properties.target_file_size
         v = optimize(
-            self, target_file_size or DEFAULT_TARGET_FILE_SIZE, **kw
+            self, target_file_size or configured or DEFAULT_TARGET_FILE_SIZE, **kw
         )
         self.maybe_write_crc(v)
         return v

@@ -26,7 +26,11 @@ from pyspark.sql import types as T
 
 from delta_kernel_rs_spark.functions.schema_codec import to_schema_string
 from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
-from delta_kernel_rs_spark.functions.stats import collect_file_stats_footer, stats_json
+from delta_kernel_rs_spark.functions.stats import (
+    collect_file_stats_footer,
+    stats_json,
+    stats_selection,
+)
 from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR, commit_filename
 from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
 from delta_kernel_rs_spark.sources.storage import CommitConflict, storage_for
@@ -657,6 +661,18 @@ class Transaction:
         out_df = staged.select(*out_cols)
         staging = f"{self.table_path}/.staging-{uuid.uuid4().hex}"
         writer = out_df.write.mode("overwrite")
+        from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+        props = TableProperties.from_configuration(self.configuration)
+        if props.parquet_compression_codec is not None:
+            # delta.parquet.compression.codec, honored only when SET —
+            # Spark's default (snappy) stands in for the protocol's
+            # recommended zstd fallback otherwise. Spark spells the LZ4
+            # block format "lz4raw".
+            codec = props.parquet_compression_codec
+            writer = writer.option(
+                "compression", "lz4raw" if codec == "lz4_raw" else codec
+            )
         if phys_parts:
             writer = writer.partitionBy(
                 *[shadow[p] for p in phys_parts] if materialize else phys_parts
@@ -683,13 +699,22 @@ class Transaction:
                     seg[len("__hive__"):] if seg.startswith("__hive__") else seg
                     for seg in rel.split("/")
                 )
+            dirpart = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            if props.should_randomize_file_prefixes():
+                # delta.randomizeFilePrefixes: files land under a short
+                # random prefix instead of hive-style partition dirs
+                # (object-store key-range spreading). partitionValues still
+                # come from the staging directory captured in `dirpart` —
+                # add.path is authoritative for readers, not the layout.
+                prefix = uuid.uuid4().hex[: props.random_prefix_length_or_default()]
+                rel = f"{prefix}/{rel.rsplit('/', 1)[-1]}"
             final_abs = f"{self.table_path}/{rel}"
             self.storage.rename(entry.path, final_abs)
             moves.append(
                 (
                     final_abs,
                     rel,
-                    rel.rsplit("/", 1)[0] if "/" in rel else "",
+                    dirpart,
                     entry.size,
                     entry.last_modified_ms,
                 )
@@ -706,8 +731,17 @@ class Transaction:
             if f.name not in set(self.partition_columns)
         ]
         read_schema = T.StructType(data_fields)
+        # Column selection honors dataSkippingStatsColumns /
+        # dataSkippingNumIndexedCols, with clustering columns always
+        # included (reference StatsColumnFilter, column_filter.rs:60-118;
+        # top-level clustering columns only — nested stats out of scope).
+        selection = stats_selection(
+            self.configuration,
+            phys_of,
+            tuple(c for c in cluster_cols if "." not in c),
+        )
         stats_by_path = collect_file_stats_footer(
-            self.spark, [m[0] for m in moves], read_schema
+            self.spark, [m[0] for m in moves], read_schema, **selection
         )
 
         adds = []
@@ -733,6 +767,30 @@ class Transaction:
                 }
             )
         return adds
+
+    def _verify_required_stats(self, adds: list[dict]) -> None:
+        """Protocol-required stats validation before commit (reference
+        ``validate_add_files_stats``, transaction/mod.rs:1246-1279):
+        ``stats.numRecords`` when icebergCompatV3 is enabled, and
+        nullCount/min/max for clustering columns — on this commit's staged
+        data writes (the twin of the reference's ``add_files_metadata``)."""
+        from delta_kernel_rs_spark.functions.iceberg_compat import enabled_versions
+        from delta_kernel_rs_spark.functions.schema_codec import physical_name
+        from delta_kernel_rs_spark.functions.stats import verify_add_stats
+
+        require_nr = 3 in enabled_versions(self.configuration)
+        phys_of = {f.name: physical_name(f) for f in self.schema.fields}
+        # top-level clustering columns only — this engine collects
+        # top-level stats (nested clustering stats out of scope). Scope
+        # matches the reference: staged data writes only, NOT replayed
+        # manifests (clone/restore re-adds carry source stats verbatim
+        # and may legitimately predate the clustering layout).
+        required = tuple(
+            phys_of[c]
+            for c in self._clustering_sort_cols()
+            if "." not in c and c in phys_of
+        )
+        verify_add_stats(adds, required, require_nr)
 
     # -- commit -----------------------------------------------------------
     def with_updated_metadata(self) -> "Transaction":
@@ -895,8 +953,13 @@ class Transaction:
     ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
     def _row_tracking_enabled(self) -> bool:
+        # delta.rowTrackingSuspended pauses MAINTENANCE (no fresh baseRowIds,
+        # no high-water-mark bump) without dropping the feature — reference
+        # table_features/mod.rs:388: enabled && !suspended. Strict "true"
+        # match mirrors the reference's parse_bool.
         return (
             self.configuration.get("delta.enableRowTracking", "false").lower() == "true"
+            and self.configuration.get("delta.rowTrackingSuspended") != "true"
         )
 
     def _assign_row_ids(self, adds: list[dict], hwm_snapshot, version: int) -> dict:
@@ -967,6 +1030,7 @@ class Transaction:
             )
         self._enforce_constraints()
         adds = self._stage_files()
+        self._verify_required_stats(adds)
         if self._identity_explicit_fields:
             self._advance_identity_hwm_from_stats(adds)
         if self._identity_new_hwm:
