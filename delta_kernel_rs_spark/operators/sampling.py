@@ -186,3 +186,65 @@ def stratified_split(
     last = F.lit(fractions[-1][0])
     split = chain.otherwise(last) if chain is not None else last
     return out.withColumn("split", split).drop("__rn", "__n")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target,
+    buckets: int = 256,
+    ratio_threshold: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-ngram distribution is, then select by an
+    ABSOLUTE ratio threshold.
+
+    ``target`` is a boolean Column marking the target domain (e.g.
+    ``F.col("lang") == "en"``). Features are word occurrences hashed into
+    ``buckets`` via the cross-engine md5 construction
+    (operators/hashing.py). Each occurrence contributes the
+    Laplace-smoothed target/raw count ratio in integer micro-units —
+    ``round(1e6 * (tgt[b]+1) / (raw[b]+1))`` summed as BIGINT, so the
+    per-doc score is order-free and bit-identical across engines (IEEE
+    division is exact-rounded; integer sums commute).
+
+    Scale shape: one tiny groupBy(bucket) (``buckets`` rows, map-side
+    combine), the bucket table broadcast back onto the exploded words
+    (map-only), one groupBy(doc_id). Selection is a map-only threshold on
+    the per-token mean ratio — NOT a global top-k rank, which would need a
+    total order over every document at 100 TB.
+
+    Output: doc_id, n_tokens, importance_micro, selected.
+    """
+    from delta_kernel_rs_spark.operators.hashing import md5_hash32
+
+    e = docs.select(
+        "doc_id",
+        target.alias("__target"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    e = e.withColumn("b", md5_hash32("word") % buckets)
+    dist = e.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count(F.when(F.col("__target"), F.lit(1))).alias("tgt_cnt"),
+    )
+    term = F.round(
+        F.lit(1_000_000.0) * (F.col("tgt_cnt") + 1) / (F.col("raw_cnt") + 1)
+    ).cast("long")
+    scored = (
+        e.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term).alias("importance_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "importance_micro",
+        (
+            F.col("importance_micro") * F.lit(1.0) / F.col("n_tokens")
+            >= F.lit(ratio_threshold * 1_000_000.0)
+        ).alias("selected"),
+    )

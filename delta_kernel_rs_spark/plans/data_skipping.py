@@ -66,6 +66,7 @@ def stats_schema_for(
     schema: T.StructType,
     partition_columns: list[str],
     configuration: dict | None = None,
+    clustering_cols: tuple[str, ...] = (),
 ) -> T.StructType:
     """Derive the typed stats-parse schema from the table schema
     (reference stats_schema derivation; arrays/maps/binary ineligible).
@@ -73,28 +74,34 @@ def stats_schema_for(
     mapping, so the parse struct uses physical field names. The column
     selection honors ``dataSkippingStatsColumns`` /
     ``dataSkippingNumIndexedCols`` so a configured column beyond the
-    default-32 window still parses (and skips) on read."""
+    default-32 window still parses (and skips) on read, and
+    ``clustering_cols`` (LOGICAL top-level names) are always included —
+    writers MUST write their stats, so readers must parse them even with
+    ``numIndexedCols = 0``. When no column is eligible at all, the
+    min/max/nullCount fields are OMITTED rather than typed as empty
+    structs (parquet cannot write an empty nested struct — the
+    writeStatsAsStruct checkpoint path would fail)."""
     from delta_kernel_rs_spark.functions.schema_codec import physical_name
     from delta_kernel_rs_spark.functions.stats import stats_selection
 
     data_fields = [f for f in schema.fields if f.name not in set(partition_columns)]
-    eligible = eligible_stats_columns(
-        T.StructType(data_fields), **stats_selection(configuration)
-    )
-    minmax = T.StructType(
-        [T.StructField(physical_name(f), f.dataType, True) for f in eligible]
-    )
-    nulls = T.StructType(
-        [T.StructField(physical_name(f), T.LongType(), True) for f in eligible]
-    )
-    return T.StructType(
-        [
-            T.StructField("numRecords", T.LongType(), True),
+    selection = stats_selection(configuration)
+    selection["required"] = selection["required"] | frozenset(clustering_cols)
+    eligible = eligible_stats_columns(T.StructType(data_fields), **selection)
+    out = [T.StructField("numRecords", T.LongType(), True)]
+    if eligible:
+        minmax = T.StructType(
+            [T.StructField(physical_name(f), f.dataType, True) for f in eligible]
+        )
+        nulls = T.StructType(
+            [T.StructField(physical_name(f), T.LongType(), True) for f in eligible]
+        )
+        out += [
             T.StructField("minValues", minmax, True),
             T.StructField("maxValues", minmax, True),
             T.StructField("nullCount", nulls, True),
         ]
-    )
+    return T.StructType(out)
 
 
 class _SkippingRewriter:
@@ -106,6 +113,7 @@ class _SkippingRewriter:
         partition_columns: list[str],
         stats_col: Column,
         configuration: dict | None = None,
+        clustering_cols: tuple = (),
     ):
         self.schema = schema
         self.stats_col = stats_col
@@ -114,11 +122,13 @@ class _SkippingRewriter:
         from delta_kernel_rs_spark.functions.stats import stats_selection
 
         data_fields = [f for f in schema.fields if f.name not in self.partition_columns]
+        selection = stats_selection(configuration)
+        # clustering columns always carry stats (protocol MUST) — skip on
+        # them even when numIndexedCols/statsColumns exclude everything
+        selection["required"] = selection["required"] | frozenset(clustering_cols)
         self.stat_types = {
             f.name: f.dataType
-            for f in eligible_stats_columns(
-                T.StructType(data_fields), **stats_selection(configuration)
-            )
+            for f in eligible_stats_columns(T.StructType(data_fields), **selection)
         }
         self.types = {f.name: f.dataType for f in schema.fields}
         # logical → physical (stats docs and partitionValues use physical keys)
@@ -377,6 +387,7 @@ def file_skipping_predicate(
     schema: T.StructType,
     partition_columns: list[str],
     configuration: dict | None = None,
+    clustering_cols: tuple = (),
 ) -> Column | None:
     """Build the keep-file filter Column for ``Scan.scan_files_df()``.
 
@@ -385,9 +396,13 @@ def file_skipping_predicate(
     """
     if not isinstance(predicate, Predicate):
         return None
-    stats_schema = stats_schema_for(schema, partition_columns, configuration)
+    stats_schema = stats_schema_for(
+        schema, partition_columns, configuration, clustering_cols
+    )
     parsed = F.from_json(F.col(STATS_COLUMN), stats_schema)
-    rewriter = _SkippingRewriter(schema, partition_columns, parsed, configuration)
+    rewriter = _SkippingRewriter(
+        schema, partition_columns, parsed, configuration, clustering_cols
+    )
     verdict = rewriter.rewrite(normalize(predicate))
     if verdict is None:
         return None

@@ -1274,3 +1274,41 @@ register(
     WHERE shared >= 2
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p30 DSIR-style importance weighting
+
+
+def p30_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-ngram importance weights against the lang='en' target domain
+    (DSIR-style data selection; operators/sampling.dsir_importance):
+    integer micro-unit ratio sums, map-only absolute-threshold selection."""
+    from delta_kernel_rs_spark.operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
+register(
+    "p30_dsir_importance",
+    p30_dsir_importance,
+    """
+    WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                      unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    e AS (SELECT doc_id, tgt,
+                 ('0x'||substr(md5(word),1,8))::BIGINT % 256 AS b
+          FROM w WHERE word <> ''),
+    c AS (SELECT b, count(*) AS raw_cnt,
+                 count(*) FILTER (WHERE tgt) AS tgt_cnt
+          FROM e GROUP BY b),
+    t AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CAST(ROUND(1000000.0*(tgt_cnt+1)/(raw_cnt+1))
+                               AS BIGINT)) AS BIGINT) AS importance_micro
+          FROM e JOIN c USING (b) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, importance_micro,
+           importance_micro * 1.0 / n_tokens >= 1000000.0 AS selected
+    FROM t
+    """,
+)

@@ -435,6 +435,11 @@ def _apply_checkpoint_stats_policy(file_actions: DataFrame, snapshot) -> DataFra
             snapshot.schema,
             snapshot.metadata.partition_columns,
             snapshot.metadata.configuration,
+            tuple(
+                c["logical"][0]
+                for c in snapshot.clustering_columns()
+                if c.get("logical") and len(c["logical"]) == 1
+            ),
         )
         add = add.withField("stats_parsed", F.from_json(F.col("add.stats"), schema))
     if not as_json:

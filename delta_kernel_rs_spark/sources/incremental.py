@@ -43,20 +43,41 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
             f"base version {base_version} must be < target version {target}"
         )
     seg = snapshot.log_segment
-    commits = [c for c in seg.commit_files if c.version > base_version]
-    # Servability: plain commits must cover exactly base+1..target.
-    # A compacted entry straddling the base would replay pre-base actions.
-    versions = sorted(c.version for c in commits)
-    if versions != list(range(base_version + 1, target + 1)):
-        return None
-    if any(c.end_version is not None for c in commits):
-        return None
+    commits = [
+        c for c in seg.commit_files if c.version > base_version and c.end_version is None
+    ]
+    # Servability: plain commits must cover exactly base+1..target. A
+    # compacted entry straddling the base would replay pre-base actions.
+    want = list(range(base_version + 1, target + 1))
+    by_version = {c.version: (c.filename, c.path) for c in commits}
+    if sorted(by_version) != want:
+        # The segment is checkpoint-anchored above part of the range, but
+        # the raw commit JSONs stay readable on disk until log cleanup —
+        # list them (the reference's scan_metadata_from builds its range
+        # segment independently of the target's checkpoint). Only a range
+        # with genuinely missing commits is unservable.
+        from delta_kernel_rs_spark.sources.storage import storage_for
+
+        storage = storage_for(snapshot.spark, snapshot.table_path)
+        log_dir = f"{snapshot.table_path}/_delta_log"
+        for e in storage.list_dir(log_dir):
+            name = e.path.rsplit("/", 1)[-1]
+            if name.endswith(".json") and name[:-5].isdigit():
+                v = int(name[:-5])
+                if base_version < v <= target:
+                    by_version.setdefault(v, (name, e.path))
+        if sorted(by_version) != want:
+            return None
 
     spark = snapshot.spark
     version_map = spark.createDataFrame(
-        [(c.filename, c.version) for c in commits], "log_filename STRING, version LONG"
+        [(by_version[v][0], v) for v in want], "log_filename STRING, version LONG"
     )
-    raw = spark.read.schema(SCAN_ACTIONS_SCHEMA).option("mode", "FAILFAST").json([c.path for c in commits])
+    raw = (
+        spark.read.schema(SCAN_ACTIONS_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json([by_version[v][1] for v in want])
+    )
     keyed = (
         raw.withColumn(
             "log_filename", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)

@@ -170,9 +170,11 @@ def optimize(
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     small_file_threshold: int | None = None,
     zorder_by: list[str] | None = None,
+    min_small_files: int = 2,
 ) -> int:
     """Bin-pack small files into ~``target_file_size`` outputs, per
-    partition. Only partitions holding 2+ small files are rewritten; the
+    partition. Only partitions holding ``min_small_files``+ small files
+    (default 2) are rewritten; the
     rewrite also drops those files' deletion vectors (a compaction is a
     purge for the files it touches). Returns the committed version (the
     read version when nothing qualifies).
@@ -237,7 +239,7 @@ def optimize(
             | F.col("deletion_vector").isNotNull()
         )
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(pkey)))
-        .filter(F.col("__n") >= 2)
+        .filter(F.col("__n") >= min_small_files)
         .drop("__n")
     )
     return _rewrite_files(table, snap, selected, "OPTIMIZE", target_file_size)

@@ -460,6 +460,13 @@ class Scan:
             self.snapshot.schema,
             self.snapshot.metadata.partition_columns,
             self.snapshot.metadata.configuration,
+            # clustering columns always carry stats (protocol MUST) —
+            # skip on them even when the table's stats config excludes them
+            tuple(
+                c["logical"][0]
+                for c in self.snapshot.clustering_columns()
+                if c.get("logical") and len(c["logical"]) == 1
+            ),
         )
         # Generated-column partition pruning: a predicate on the SOURCE of a
         # generated partition column implies a predicate on the partition

@@ -208,11 +208,36 @@ class DeltaTable:
         return self.spark.createDataFrame([row], schema)
 
     def history(self) -> DataFrame:
-        """commitInfo per version, newest first."""
+        """commitInfo per version, newest first.
+
+        Commits come from the log DIRECTORY, not the snapshot's segment: a
+        checkpoint at the tip anchors the segment above every commit but
+        must not hide DESCRIBE HISTORY (the reference's history_manager
+        indexes commit files independently of checkpoints; only log
+        cleanup genuinely removes history). The segment's own commit list
+        is overlaid on top — catalog log-tail commits may not be listed
+        filesystem files."""
         snap = self.snapshot()
         seg = snap.log_segment
-        rows = []
+        log_dir = f"{self.path}/_delta_log"
+        by_version: dict[int, str] = {}
+        for e in self.storage.list_dir(log_dir):
+            name = e.path.rsplit("/", 1)[-1]
+            if name.endswith(".json") and name[:-5].isdigit():
+                by_version[int(name[:-5])] = e.path
         for commit in seg.commit_files:
+            if commit.end_version is None:
+                by_version[commit.version] = commit.path
+
+        class _C:
+            __slots__ = ("version", "path")
+
+            def __init__(self, version, path):
+                self.version, self.path = version, path
+
+        commit_files = [_C(v, by_version[v]) for v in sorted(by_version)]
+        rows = []
+        for commit in commit_files:
             for line in self.storage.read_text(commit.path).splitlines():
                 line = line.strip()
                 if not line:
@@ -317,8 +342,9 @@ class DeltaTable:
         )
         version = txn.write_data(df).commit()
         self.maybe_write_crc(version)
+        compacted = self.maybe_auto_compact(version)
         if auto_checkpoint:
-            self.maybe_checkpoint(version)
+            self.maybe_checkpoint(compacted or version)
         return version
 
     def append_with_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int | None:
@@ -393,14 +419,18 @@ class DeltaTable:
         See sources/merge.py for semantics (incl. CDF update images)."""
         from delta_kernel_rs_spark.sources.merge import upsert
 
-        return upsert(self, source_df, keys)
+        version = upsert(self, source_df, keys)
+        self.maybe_auto_compact(version)
+        return version
 
     def merge(self, source_df: DataFrame, on: list[str], **clauses) -> int:
         """Multi-clause MERGE INTO (WHEN MATCHED [AND cond] UPDATE/DELETE,
         WHEN NOT MATCHED [AND cond] INSERT). See sources/merge.py."""
         from delta_kernel_rs_spark.sources.merge import merge
 
-        return merge(self, source_df, on, **clauses)
+        version = merge(self, source_df, on, **clauses)
+        self.maybe_auto_compact(version)
+        return version
 
     def update(self, predicate, assignments: dict) -> int:
         """Row-level UPDATE by targeted file rewrite (copy-on-write):
@@ -410,7 +440,9 @@ class DeltaTable:
         sources/update.py (reference kernel/src/transaction/update.rs)."""
         from delta_kernel_rs_spark.sources.update import update_where
 
-        return update_where(self, predicate, assignments)
+        version = update_where(self, predicate, assignments)
+        self.maybe_auto_compact(version)
+        return version
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table's data in one transaction (schema
@@ -437,6 +469,7 @@ class DeltaTable:
 
         version = delete_where(self, predicate)
         self.maybe_write_crc(version)
+        self.maybe_auto_compact(version)
         return version
 
     def restore(self, version: int | None = None, timestamp_ms: int | None = None) -> int:
@@ -864,6 +897,35 @@ class DeltaTable:
         return write_checkpoint(
             self.spark, self.path, version=version, v2=v2, parts=parts
         )
+
+    #: delta-spark's autoCompact defaults: trigger only once a partition
+    #: accumulates this many small files, compact toward 128 MiB outputs
+    #: (smaller than OPTIMIZE's 256 MiB — autoCompact is a post-commit
+    #: best-effort pass, not a full bin-pack).
+    AUTO_COMPACT_MIN_FILES = 50
+    AUTO_COMPACT_TARGET_SIZE = 128 << 20
+
+    def maybe_auto_compact(self, version: int) -> int | None:
+        """Post-commit hook for ``delta.autoOptimize.autoCompact``: when
+        enabled, bin-pack any partition that has accumulated
+        ``AUTO_COMPACT_MIN_FILES``+ files below half the auto-compact
+        target. Selection is the in-plan OPTIMIZE frame (metadata-sized,
+        distributed); when nothing qualifies no commit is written.
+        Returns the compaction commit's version, or None."""
+        snap = self.snapshot(version=version)
+        if not snap.metadata.table_properties.auto_compact:
+            return None
+        from delta_kernel_rs_spark.sources.maintenance import optimize
+
+        v = optimize(
+            self,
+            self.AUTO_COMPACT_TARGET_SIZE,
+            min_small_files=self.AUTO_COMPACT_MIN_FILES,
+        )
+        if v == version:
+            return None  # nothing qualified; no commit happened
+        self.maybe_write_crc(v)
+        return v
 
     def maybe_checkpoint(self, version: int) -> None:
         snap = self.snapshot(version=version)

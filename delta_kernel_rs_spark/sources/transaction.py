@@ -642,6 +642,18 @@ class Transaction:
             # is met by the footer stats collection below).
             exprs = [F.col(c) for c in cluster_cols]
             staged = staged.repartitionByRange(*exprs).sortWithinPartitions(*exprs)
+        elif self._optimize_write_enabled():
+            # delta.autoOptimize.optimizeWrite: ONE AQE-planned pre-write
+            # shuffle (REBALANCE) coalesces small output partitions toward
+            # the advisory size and splits skewed partition values across
+            # tasks — the optimized-write shuffle, solving the small-file
+            # problem at the source. Clustered tables already own their
+            # layout via repartitionByRange above.
+            staged = (
+                staged.hint("rebalance", *self.partition_columns)
+                if self.partition_columns
+                else staged.hint("rebalance")
+            )
         phys_parts = [phys_of[p] for p in self.partition_columns]
         materialize = phys_parts and self._materialize_partition_columns()
         out_cols = [_phys_col(f) for f in self.schema.fields]
@@ -767,6 +779,63 @@ class Transaction:
                 }
             )
         return adds
+
+    #: reference write_validation/addfile.rs MANDATORY_ADD_FILE_COLUMNS
+    _MANDATORY_ADD_FIELDS = (
+        "path",
+        "partitionValues",
+        "size",
+        "modificationTime",
+        "dataChange",
+    )
+
+    def _validated_actions(self, actions):
+        """Yield actions through per-row add validation (reference
+        ``write_validation/addfile.rs AddFileRequiredFields``): the
+        mandatory add fields must be present and non-null, and
+        ``partitionValues`` keys must equal the table's PHYSICAL partition
+        columns exactly. Non-add actions pass through. O(1) per action,
+        no buffering — streamed clone/convert manifests validate inline."""
+        from delta_kernel_rs_spark.functions.schema_codec import physical_name
+
+        expected = {
+            physical_name(self.schema[p])
+            for p in self.partition_columns
+            if p in self.schema.fieldNames()
+        }
+        for a in actions:
+            add = a.get("add") if isinstance(a, dict) else None
+            if add is None:
+                yield a
+                continue
+            missing = [k for k in self._MANDATORY_ADD_FIELDS if add.get(k) is None]
+            if missing:
+                raise ValueError(
+                    f"invalid add action for {add.get('path')!r}: missing "
+                    f"required fields {missing}"
+                )
+            keys = set(add["partitionValues"])
+            if keys != expected:
+                raise ValueError(
+                    f"add action for {add['path']!r} has partitionValues keys "
+                    f"{sorted(keys)}; the table's physical partition columns "
+                    f"are {sorted(expected)}"
+                )
+            yield a
+
+    def _validate_staged_adds(self, actions) -> None:
+        """Eagerly drain ``_validated_actions`` over a bounded action list."""
+        for _ in self._validated_actions(actions):
+            pass
+
+    def _optimize_write_enabled(self) -> bool:
+        """delta.autoOptimize.optimizeWrite (typed parse; reference
+        table_properties/mod.rs:93 parses it, delta-spark consumes it)."""
+        from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+        return bool(
+            TableProperties.from_configuration(self.configuration).optimize_write
+        )
 
     def _verify_required_stats(self, adds: list[dict]) -> None:
         """Protocol-required stats validation before commit (reference
@@ -1031,6 +1100,9 @@ class Transaction:
         self._enforce_constraints()
         adds = self._stage_files()
         self._verify_required_stats(adds)
+        import itertools as _it
+
+        self._validate_staged_adds(_it.chain(adds, self._extra_actions))
         if self._identity_explicit_fields:
             self._advance_identity_hwm_from_stats(adds)
         if self._identity_new_hwm:
@@ -1077,7 +1149,7 @@ class Transaction:
                     for a in head_actions:
                         buf.append(_json_line(a) + "\n")
                         size += len(buf[-1])
-                    for a in factory():
+                    for a in self._validated_actions(factory()):
                         line = _json_line(a) + "\n"
                         buf.append(line)
                         size += len(line)

@@ -1,0 +1,296 @@
+"""The reference's canonical read/write cross-product sweep, re-expressed.
+
+Mirrors `kernel/tests/integration/cross_product/mod.rs` +
+`test-utils/src/table_builder.rs`: build a table with THIS engine across
+{LogState x FeatureSet x (DataLayout, TableConfig)}, then resolve every
+VersionTarget against it and assert the version/row-count contract
+(snapshot at version v holds exactly v * ROWS_PER_COMMIT rows) plus
+row-id uniqueness where row tracking is enabled.
+
+Axes (reference names kept):
+
+- LogState (all 17 sweep rows): commits_only, checkpoint_at_end[_no_hint],
+  checkpoint_mid[_no_hint], two_checkpoints_stale_hint, crc_at_end/mid,
+  checkpoint_at_end_crc_at_end, and the post-cleanup variants (commits
+  before MID removed — MID stays reachable via its checkpoint).
+- FeatureSet: no_features / all_features_cm_id / all_features_cm_name
+  (cm + ICT + v2Checkpoint + DVs + appendOnly + CDF + typeWidening +
+  domainMetadata + vacuumProtocolCheck + rowTracking).
+- (DataLayout, TableConfig) bundled axis, reference
+  layout_config_values: unpartitioned/partitioned/clustered crossed
+  with checkpoint-stats encodings (json/struct/none) and data-skipping
+  knobs (numIndexedCols 0/2/-1, statsColumns empty/reordered).
+- VersionTarget: latest, at MID, incremental MID->latest, incremental
+  MID->pre-latest, at-timestamp(max) — all 5 run per built table.
+
+The Rust sweep crosses all axes (2805 cases); a Spark build costs ~15 s,
+so this suite keeps every LogState row and rotates the other axes across
+them (plus full FeatureSet anchors on three representative log shapes) —
+every axis value appears several times, every LogState exactly once+.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_kernel_rs_spark.sources.table import DeltaTable
+
+ROWS_PER_COMMIT = 10
+LATEST = 10  # DEFAULT_SWEEP_LATEST_VERSION
+MID = 5  # DEFAULT_SWEEP_MID_VERSION
+
+
+# --- LogState ---------------------------------------------------------------
+
+
+class LogState:
+    def __init__(
+        self,
+        checkpoints=(),
+        crcs=(),
+        hint="fresh",  # fresh | missing | stale
+        cleanup_before=None,
+    ):
+        self.checkpoints = tuple(checkpoints)
+        self.crcs = frozenset(crcs)
+        self.hint = hint
+        self.cleanup_before = cleanup_before
+
+
+LOG_STATES = {
+    "commits_only": LogState(),
+    "checkpoint_at_end": LogState(checkpoints=[LATEST]),
+    "checkpoint_at_end_no_hint": LogState(checkpoints=[LATEST], hint="missing"),
+    "checkpoint_mid": LogState(checkpoints=[MID]),
+    "checkpoint_mid_no_hint": LogState(checkpoints=[MID], hint="missing"),
+    "two_checkpoints_stale_hint": LogState(checkpoints=[MID, LATEST], hint="stale"),
+    "crc_at_end": LogState(crcs=[LATEST]),
+    "crc_at_mid": LogState(crcs=[MID]),
+    "checkpoint_at_end_crc_at_end": LogState(checkpoints=[LATEST], crcs=[LATEST]),
+    "checkpoint_at_end_post_cleanup": LogState(
+        checkpoints=[MID, LATEST], cleanup_before=MID
+    ),
+    "checkpoint_at_end_no_hint_post_cleanup": LogState(
+        checkpoints=[MID, LATEST], hint="missing", cleanup_before=MID
+    ),
+    "checkpoint_mid_post_cleanup": LogState(checkpoints=[MID], cleanup_before=MID),
+    "checkpoint_mid_no_hint_post_cleanup": LogState(
+        checkpoints=[MID], hint="missing", cleanup_before=MID
+    ),
+    "two_checkpoints_stale_hint_post_cleanup": LogState(
+        checkpoints=[MID, LATEST], hint="stale", cleanup_before=MID
+    ),
+    "checkpoint_mid_crc_at_mid_post_cleanup": LogState(
+        checkpoints=[MID], crcs=[MID], cleanup_before=MID
+    ),
+    "checkpoint_mid_crc_above_mid_post_cleanup": LogState(
+        checkpoints=[MID], crcs=[8], cleanup_before=MID
+    ),
+    "checkpoint_mid_crc_at_end_post_cleanup": LogState(
+        checkpoints=[MID], crcs=[LATEST], cleanup_before=MID
+    ),
+}
+
+
+# --- FeatureSet -------------------------------------------------------------
+
+
+def _all_features(cm_mode: str) -> dict:
+    return {
+        "delta.columnMapping.mode": cm_mode,
+        "delta.enableInCommitTimestamps": "true",
+        "delta.checkpointPolicy": "v2",
+        "delta.feature.v2Checkpoint": "supported",
+        "delta.enableDeletionVectors": "true",
+        "delta.appendOnly": "true",
+        "delta.enableChangeDataFeed": "true",
+        "delta.enableTypeWidening": "true",
+        "delta.feature.domainMetadata": "supported",
+        "delta.feature.vacuumProtocolCheck": "supported",
+        "delta.enableRowTracking": "true",
+    }
+
+
+FEATURE_SETS = {
+    "no_features": {},
+    "all_features_cm_id": _all_features("id"),
+    "all_features_cm_name": _all_features("name"),
+}
+
+
+# --- (DataLayout, TableConfig) bundled axis ---------------------------------
+
+_JSON = {
+    "delta.checkpoint.writeStatsAsJson": "true",
+    "delta.checkpoint.writeStatsAsStruct": "false",
+}
+_STRUCT = {
+    "delta.checkpoint.writeStatsAsJson": "false",
+    "delta.checkpoint.writeStatsAsStruct": "true",
+}
+_NONE = {
+    "delta.checkpoint.writeStatsAsJson": "false",
+    "delta.checkpoint.writeStatsAsStruct": "false",
+}
+
+# layout: None (unpartitioned) | "partitioned" | "clustered"
+LAYOUT_CONFIGS = [
+    ("unpart_nostats", None, _NONE),
+    ("part_json_zero", "partitioned", {**_JSON, "delta.dataSkippingNumIndexedCols": "0"}),
+    ("clust_struct_zero", "clustered", {**_STRUCT, "delta.dataSkippingNumIndexedCols": "0"}),
+    ("unpart_json_narrow", None, {**_JSON, "delta.dataSkippingNumIndexedCols": "2"}),
+    ("part_struct_narrow", "partitioned", {**_STRUCT, "delta.dataSkippingNumIndexedCols": "2"}),
+    ("clust_json_all", "clustered", {**_JSON, "delta.dataSkippingNumIndexedCols": "-1"}),
+    ("unpart_struct_all", None, {**_STRUCT, "delta.dataSkippingNumIndexedCols": "-1"}),
+    ("part_json_cols_empty", "partitioned", {**_JSON, "delta.dataSkippingStatsColumns": ""}),
+    ("clust_struct_cols_empty", "clustered", {**_STRUCT, "delta.dataSkippingStatsColumns": ""}),
+    # reverse schema order (reference stats_columns_reordered)
+    ("unpart_json_cols_reord", None, {**_JSON, "delta.dataSkippingStatsColumns": "s, c_double, id"}),
+    ("part_struct_cols_reord", "partitioned", {**_STRUCT, "delta.dataSkippingStatsColumns": "s, c_double, id"}),
+]
+
+
+# --- sweep case list ---------------------------------------------------------
+# Every LogState once, rotating the other axes; plus full FeatureSet anchors
+# on three representative log shapes so each feature set also meets a
+# checkpointed, a cleaned-up, and a plain log.
+
+_FEATURES = list(FEATURE_SETS)
+CASES = [
+    (ls, _FEATURES[i % 3], i % len(LAYOUT_CONFIGS))
+    for i, ls in enumerate(LOG_STATES)
+]
+CASES += [
+    ("commits_only", "all_features_cm_id", 3),
+    ("commits_only", "all_features_cm_name", 6),
+    ("checkpoint_at_end", "no_features", 2),
+    ("checkpoint_at_end", "all_features_cm_name", 5),
+    ("checkpoint_mid_post_cleanup", "no_features", 9),
+    ("checkpoint_mid_post_cleanup", "all_features_cm_id", 2),
+]
+
+
+def _df_for_commit(spark, v: int):
+    base = (v - 1) * ROWS_PER_COMMIT
+    return (
+        spark.range(base, base + ROWS_PER_COMMIT)
+        .coalesce(1)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("part_int"),
+            F.concat(F.lit("g"), (F.col("id") % 2)).alias("part_str"),
+            F.col("id").alias("c_long"),
+            (F.col("id") * 1.5).alias("c_double"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        )
+    )
+
+
+def _build(spark, path: str, log_state: LogState, props: dict, layout):
+    kw = {}
+    if layout == "partitioned":
+        kw["partition_by"] = ["part_int", "part_str"]
+    elif layout == "clustered":
+        kw["cluster_by"] = ["c_long", "c_double"]
+    t = DeltaTable.create(
+        spark, path, df=None, schema=_df_for_commit(spark, 1).schema,
+        properties=props, **kw
+    )
+    log_dir = f"{t.path}/_delta_log"
+    stale_hint = None
+    for v in range(1, LATEST + 1):
+        t.append(_df_for_commit(spark, v), auto_checkpoint=False)
+        if v in log_state.checkpoints:
+            t.checkpoint()
+            if v == MID:
+                hint_p = f"{log_dir}/_last_checkpoint"
+                if os.path.exists(hint_p):
+                    stale_hint = open(hint_p, "rb").read()
+
+    # sculpt the log into the target LogState (the reference's builder
+    # writes these states directly; we post-process our writer's output)
+    if log_state.cleanup_before is not None:
+        for v in range(0, log_state.cleanup_before):
+            for suffix in (".json", ".crc"):
+                p = f"{log_dir}/{v:020d}{suffix}"
+                if os.path.exists(p):
+                    os.remove(p)
+    # CRC presence is part of the axis: keep exactly the specified ones
+    # (the engine's automatic CRC chain writes one per commit)
+    for name in os.listdir(log_dir):
+        if name.endswith(".crc"):
+            v = int(name.split(".")[0])
+            if v not in log_state.crcs:
+                os.remove(f"{log_dir}/{name}")
+    hint_p = f"{log_dir}/_last_checkpoint"
+    if log_state.hint == "missing" and os.path.exists(hint_p):
+        os.remove(hint_p)
+    elif log_state.hint == "stale":
+        assert stale_hint is not None, "stale hint requires a MID checkpoint"
+        open(hint_p, "wb").write(stale_hint)
+    return t
+
+
+def _max_effective_timestamp(t) -> int:
+    """Non-ICT time travel is file-mtime-based (delta semantics), ICT
+    tables use the in-commit timestamp — take the max across both."""
+    rows = t.history().select("timestamp", "inCommitTimestamp").collect()
+    ts = max(
+        (r["inCommitTimestamp"] if r["inCommitTimestamp"] is not None else r["timestamp"])
+        for r in rows
+    )
+    log_dir = f"{t.path}/_delta_log"
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            ts = max(ts, int(os.path.getmtime(f"{log_dir}/{name}") * 1000))
+    return ts
+
+
+@pytest.mark.parametrize(
+    "ls_name,fs_name,layout_idx",
+    CASES,
+    ids=[f"{ls}__{fs}__{LAYOUT_CONFIGS[i][0]}" for ls, fs, i in CASES],
+)
+def test_cross_product_read_write(spark, tmp_path, ls_name, fs_name, layout_idx):
+    log_state = LOG_STATES[ls_name]
+    layout_name, layout, cfg = LAYOUT_CONFIGS[layout_idx]
+    props = {**FEATURE_SETS[fs_name], **cfg}
+    t = _build(spark, str(tmp_path / "t"), log_state, props, layout)
+    row_tracking = fs_name != "no_features"
+
+    def check(df, expected_rows):
+        assert df.count() == expected_rows
+        got = {r["id"] for r in df.select("id").collect()}
+        assert got == set(range(expected_rows))
+
+    # 1. latest
+    snap = t.snapshot()
+    assert snap.version == LATEST
+    check(snap.to_df(), LATEST * ROWS_PER_COMMIT)
+    if row_tracking:
+        ids = [r["row_id"] for r in snap.to_df(with_row_ids=True).select("row_id").collect()]
+        assert len(ids) == len(set(ids)), "row ids must be unique"
+
+    # 2. at MID (post-cleanup states keep MID reachable via its checkpoint)
+    mid_snap = t.snapshot(version=MID)
+    assert mid_snap.version == MID
+    check(mid_snap.to_df(), MID * ROWS_PER_COMMIT)
+
+    # 3. incremental MID -> latest (frame-shaped scan_metadata_from)
+    prior = mid_snap.scan().scan_files_df()
+    refreshed = snap.scan_files_df_from(MID, prior)
+    check(snap.scan().with_files_df(refreshed).to_df(), LATEST * ROWS_PER_COMMIT)
+
+    # 4. incremental MID -> pre-latest
+    pre = t.snapshot(version=LATEST - 1)
+    refreshed_pre = pre.scan_files_df_from(MID, mid_snap.scan().scan_files_df())
+    check(pre.scan().with_files_df(refreshed_pre).to_df(), (LATEST - 1) * ROWS_PER_COMMIT)
+
+    # 5. at-timestamp (max) — ICT-aware where enabled
+    ts_snap = t.snapshot(timestamp_ms=_max_effective_timestamp(t))
+    assert ts_snap.version == LATEST
+    check(ts_snap.to_df(), LATEST * ROWS_PER_COMMIT)

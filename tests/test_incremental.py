@@ -61,15 +61,33 @@ def test_refresh_noop_at_same_version(spark, table):
     assert snap.scan_files_from(snap.version, files) == files
 
 
-def test_incremental_unservable_past_checkpoint(spark, table):
+def test_incremental_serves_past_checkpoint_and_unservable_when_cleaned(
+    spark, table
+):
+    """A checkpoint anchors the snapshot's segment above the range, but the
+    raw commit JSONs stay readable until log cleanup — the range must still
+    be served by listing them (reference scan_metadata_from builds its
+    range segment independently of the checkpoint). Only genuinely missing
+    commits make it unservable."""
+    import os
+
     base_version = table.snapshot().version
     table.append(_ints(spark, 80, 90))
-    table.checkpoint()  # truncates the snapshot's commit list
+    table.checkpoint()  # anchors the snapshot's commit list above v0
     table.append(_ints(spark, 90, 95))
     snap = table.snapshot()
-    # base predates the checkpoint -> commit list can't serve the range
-    assert snap.incremental_actions(0) is None
-    assert snap.scan_files_from(0, []) is None
+    served = snap.incremental_actions(0)
+    assert served is not None
+    versions = {r["commit_version"] for r in served.collect()}
+    assert versions and min(versions) >= 1 and max(versions) == snap.version
+    # now genuinely remove a commit in the range -> unservable
+    victim = f"{table.path}/_delta_log/{1:020d}.json"
+    os.rename(victim, victim + ".bak")
+    try:
+        assert snap.incremental_actions(0) is None
+        assert snap.scan_files_from(0, []) is None
+    finally:
+        os.rename(victim + ".bak", victim)
 
 
 def test_incremental_base_not_behind_target(spark, table):
@@ -80,8 +98,10 @@ def test_incremental_base_not_behind_target(spark, table):
 
 def test_refresh_df_unservable_and_noop(spark, table):
     """Frame-shaped scan_files_df_from edge contract: same version returns
-    the prior frame unchanged; a range straddling a checkpoint is
+    the prior frame unchanged; a range with a genuinely missing commit is
     unservable (None) exactly like the list API."""
+    import os
+
     snap = table.snapshot()
     prior_df = snap.scan().scan_files_df()
     assert snap.scan_files_df_from(snap.version, prior_df) is prior_df
@@ -90,4 +110,9 @@ def test_refresh_df_unservable_and_noop(spark, table):
     table.checkpoint()
     table.append(_ints(spark, 90, 95))
     latest = table.snapshot()
-    assert latest.scan_files_df_from(0, prior_df) is None
+    victim = f"{table.path}/_delta_log/{1:020d}.json"
+    os.rename(victim, victim + ".bak")
+    try:
+        assert latest.scan_files_df_from(0, prior_df) is None
+    finally:
+        os.rename(victim + ".bak", victim)

@@ -623,3 +623,37 @@ def test_srp_topk_measured_recall_vs_brute_force(embeddings):
     r4 = recall(4)
     assert r4 >= r8  # coarser buckets can only add candidates
     assert r4 == 1.0  # and at 4 planes the fixture's recall is total
+
+
+def test_dsir_importance_scores_and_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.operators.sampling import dsir_importance
+
+    rows = [
+        # target-domain docs share vocabulary; the outlier doc does not
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown dog sleeps", "en"),
+        (3, "the lazy brown fox runs", "en"),
+        (4, "zzz qqq vvv kkk www", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[d]["n_tokens"] == 5 for d in out)
+    # target-vocabulary docs score above the outlier, and above threshold
+    ratio = {d: out[d]["importance_micro"] / out[d]["n_tokens"] for d in out}
+    assert min(ratio[1], ratio[2], ratio[3]) > ratio[4]
+    assert out[1]["selected"] and not out[4]["selected"]
+    # a stricter threshold selects a subset
+    strict = {
+        r["doc_id"]
+        for r in dsir_importance(df, F.col("lang") == "en", ratio_threshold=2.0)
+        .filter("selected")
+        .collect()
+    }
+    loose = {d for d in out if out[d]["selected"]}
+    assert strict <= loose

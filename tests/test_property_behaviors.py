@@ -309,3 +309,115 @@ def test_clustered_write_without_stats_refused(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(txn_mod, "stats_json", broken_stats_json)
     with pytest.raises(StatsValidationError, match="c02"):
         t.append(_wide_df(spark, n_cols=3, rows=5))
+
+
+def _data_file_count(t):
+    return (
+        t.snapshot().scan().scan_files_df().count()
+    )
+
+
+def test_optimize_write_rebalances_small_partitions(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite: an 8-way-partitioned tiny append
+    collapses to few output files via the pre-write REBALANCE shuffle;
+    without the property the writer keeps Spark's partitioning."""
+    df = spark.range(1000).toDF("id").repartition(8)
+    plain = DeltaTable.create(spark, str(tmp_path / "plain"), df=df)
+    ow = DeltaTable.create(
+        spark,
+        str(tmp_path / "ow"),
+        df=df,
+        properties={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    assert _data_file_count(plain) == 8
+    assert _data_file_count(ow) < 8  # AQE coalesced the tiny partitions
+
+
+def test_auto_compact_triggers_at_min_files(spark, tmp_path, monkeypatch):
+    """delta.autoOptimize.autoCompact: once a partition accumulates
+    MIN_FILES small files, the post-commit hook bin-packs them in a new
+    OPTIMIZE commit; below the threshold nothing extra is committed."""
+    monkeypatch.setattr(DeltaTable, "AUTO_COMPACT_MIN_FILES", 4)
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df=spark.range(10).coalesce(1).toDF("id"),
+        properties={"delta.autoOptimize.autoCompact": "true"},
+    )
+    assert _data_file_count(t) == 1  # below threshold: no compaction
+    v1 = t.snapshot().version
+    for i in range(3):
+        t.append(spark.range(10 * i, 10 * i + 10).coalesce(1).toDF("id"))
+    # 4 small files seen by the post-commit hook -> compacted to 1
+    assert _data_file_count(t) == 1
+    ops = [r["operation"] for r in t.history().collect()]
+    assert "OPTIMIZE" in ops
+    # the hook committed exactly once (only when the threshold was hit)
+    assert ops.count("OPTIMIZE") == 1
+    assert t.to_df().count() == 40
+
+
+def test_auto_compact_off_leaves_small_files(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(DeltaTable, "AUTO_COMPACT_MIN_FILES", 4)
+    t = DeltaTable.create(
+        spark, str(tmp_path / "t"), df=spark.range(10).coalesce(1).toDF("id")
+    )
+    for i in range(3):
+        t.append(spark.range(10 * i, 10 * i + 10).coalesce(1).toDF("id"))
+    assert _data_file_count(t) == 4
+
+
+def test_staged_add_validation(spark, tmp_path):
+    """Reference write_validation/addfile.rs: adds must carry the
+    mandatory fields, and partitionValues keys must equal the table's
+    physical partition columns exactly."""
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df=spark.range(10).withColumn("p", F.col("id") % 2),
+        partition_by=["p"],
+    )
+    from delta_kernel_rs_spark.sources.transaction import Transaction
+
+    def txn():
+        return Transaction(
+            spark, t.path, operation="WRITE", read_snapshot=t.snapshot()
+        )
+
+    good = {
+        "path": "x.parquet",
+        "partitionValues": {"p": "0"},
+        "size": 1,
+        "modificationTime": 1,
+        "dataChange": True,
+    }
+    with pytest.raises(ValueError, match="missing required fields.*size"):
+        txn().add_actions([{"add": {k: v for k, v in good.items() if k != "size"}}]).commit()
+    with pytest.raises(ValueError, match="partitionValues keys"):
+        bad = dict(good, partitionValues={})
+        txn().add_actions([{"add": bad}]).commit()
+    with pytest.raises(ValueError, match="partitionValues keys"):
+        bad = dict(good, partitionValues={"p": "0", "q": "1"})
+        txn().add_actions([{"add": bad}]).commit()
+
+
+def test_skipping_on_clustering_column_with_zero_indexed_cols(spark, tmp_path):
+    """numIndexedCols=0 turns off positional stats, but clustering columns
+    still carry stats (protocol MUST) and the read side must still prune
+    on them (reader parse schema includes required clustering columns)."""
+    t = DeltaTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df=spark.range(100).coalesce(1).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        cluster_by=["k"],
+        properties={"delta.dataSkippingNumIndexedCols": "0"},
+    )
+    t.append(
+        spark.range(10_000, 10_100).coalesce(1)
+        .select(F.col("id").alias("k"), F.col("id").alias("v")),
+        auto_checkpoint=False,
+    )
+    scan = t.snapshot().scan(predicate="k > 50000")
+    assert scan.scan_files_df().count() == 0  # both files pruned via k stats
+    scan2 = t.snapshot().scan(predicate="v > 50000")
+    assert scan2.scan_files_df().count() == 2  # v has no stats: keep all
