@@ -342,7 +342,7 @@ class DeltaTable:
         )
         version = txn.write_data(df).commit()
         self.maybe_write_crc(version)
-        compacted = self.maybe_auto_compact(version)
+        compacted = self.maybe_auto_compact(version, txn.configuration)
         if auto_checkpoint:
             self.maybe_checkpoint(compacted or version)
         return version
@@ -898,6 +898,21 @@ class DeltaTable:
             self.spark, self.path, version=version, v2=v2, parts=parts
         )
 
+    def _configuration_at(self, version: int) -> dict:
+        """Table configuration at a committed version via the O(1) CRC
+        fast path (the automatic CRC chain writes one per filesystem
+        commit); snapshot-build fallback when the CRC is absent/invalid."""
+        try:
+            doc = json.loads(
+                self.storage.read_text(f"{self.path}/_delta_log/{version:020d}.crc")
+            )
+            md = doc.get("metadata")
+            if md is not None:
+                return md.get("configuration") or {}
+        except Exception:
+            pass
+        return self.snapshot(version=version).metadata.configuration
+
     #: delta-spark's autoCompact defaults: trigger only once a partition
     #: accumulates this many small files, compact toward 128 MiB outputs
     #: (smaller than OPTIMIZE's 256 MiB — autoCompact is a post-commit
@@ -905,15 +920,24 @@ class DeltaTable:
     AUTO_COMPACT_MIN_FILES = 50
     AUTO_COMPACT_TARGET_SIZE = 128 << 20
 
-    def maybe_auto_compact(self, version: int) -> int | None:
+    def maybe_auto_compact(self, version: int, configuration: dict | None = None) -> int | None:
         """Post-commit hook for ``delta.autoOptimize.autoCompact``: when
         enabled, bin-pack any partition that has accumulated
         ``AUTO_COMPACT_MIN_FILES``+ files below half the auto-compact
         target. Selection is the in-plan OPTIMIZE frame (metadata-sized,
         distributed); when nothing qualifies no commit is written.
-        Returns the compaction commit's version, or None."""
-        snap = self.snapshot(version=version)
-        if not snap.metadata.table_properties.auto_compact:
+        Returns the compaction commit's version, or None.
+
+        The enablement gate must be ~free — it runs after EVERY write —
+        so it reads ``configuration`` when the caller already holds it,
+        else the committed version's CRC (one small-file read, written by
+        the automatic CRC chain; no log listing), and only falls back to
+        a snapshot build when neither is available."""
+        if configuration is None:
+            configuration = self._configuration_at(version)
+        from delta_kernel_rs_spark.sources.table_properties import TableProperties
+
+        if not TableProperties.from_configuration(configuration).auto_compact:
             return None
         from delta_kernel_rs_spark.sources.maintenance import optimize
 
