@@ -763,17 +763,22 @@ register(
 
 
 def p15_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic curation sampling, three arms (merged p15+p27+split):
+    """Deterministic curation sampling, four arms (merged p15+p27+split+dsir):
     strat — ~50% md5-hash sample then at most 40 docs per language in md5
             order (cap-per-group reservoir; one window shuffle)
     mix   — per-language mixture rates (all zh, 90% en, half de/fr, a
             quarter es) as md5-prefix thresholds: map-only, no RNG,
             stable under any cluster layout and corpus growth
     split — stratified train/val/test assignment (90/5/5 EXACT per
-            source stratum, md5-ranked; one window shuffle)."""
+            source stratum, md5-ranked; one window shuffle)
+    dsir  — DSIR-style importance selection against the lang='en' target
+            (hashed-ngram target/raw ratio in integer micro-units; 256-row
+            bucket aggregate broadcast back map-only, threshold selection
+            with NO global rank — operators/sampling.dsir_importance)."""
     from delta_kernel_rs_spark.operators.sampling import (
         cap_per_group,
         deterministic_sample,
+        dsir_importance,
         stratified_split,
         weighted_mixture_sample,
     )
@@ -797,7 +802,16 @@ def p15_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("arm"), "doc_id", "lang", "source",
         F.col("split").alias("extra"),
     )
-    return strat.unionByName(mix).unionByName(split)
+    dsir = (
+        dsir_importance(df, F.col("lang") == "en")
+        .filter("selected")
+        .join(df.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            F.lit("dsir").alias("arm"), "doc_id", "lang", "source",
+            F.col("importance_micro").cast("string").alias("extra"),
+        )
+    )
+    return strat.unionByName(mix).unionByName(split).unionByName(dsir)
 
 
 register(
@@ -832,6 +846,25 @@ register(
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM documents)
+    UNION ALL
+    SELECT 'dsir', t.doc_id, d.lang, d.source,
+           CAST(importance_micro AS VARCHAR)
+    FROM (
+      WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      e AS (SELECT doc_id, tgt,
+                   ('0x'||substr(md5(word),1,8))::BIGINT % 256 AS b
+            FROM w WHERE word <> ''),
+      c AS (SELECT b, count(*) AS raw_cnt,
+                   count(*) FILTER (WHERE tgt) AS tgt_cnt
+            FROM e GROUP BY b)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(SUM(CAST(ROUND(1000000.0*(tgt_cnt+1)/(raw_cnt+1))
+                           AS BIGINT)) AS BIGINT) AS importance_micro
+      FROM e JOIN c USING (b) GROUP BY doc_id) t
+    JOIN documents d USING (doc_id)
+    WHERE importance_micro * 1.0 / n_tokens >= 1000000.0
     """,
 )
 
@@ -1272,43 +1305,5 @@ register(
            CAST(shared AS DOUBLE)/least(na.n_fps, nb.n_fps) AS overlap
     FROM pr JOIN sz na ON da = na.doc_id JOIN sz nb ON db = nb.doc_id
     WHERE shared >= 2
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# p30 DSIR-style importance weighting
-
-
-def p30_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed-ngram importance weights against the lang='en' target domain
-    (DSIR-style data selection; operators/sampling.dsir_importance):
-    integer micro-unit ratio sums, map-only absolute-threshold selection."""
-    from delta_kernel_rs_spark.operators.sampling import dsir_importance
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_importance(docs, F.col("lang") == "en")
-
-
-register(
-    "p30_dsir_importance",
-    p30_dsir_importance,
-    """
-    WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
-                      unnest(string_split(text, ' ')) AS word
-               FROM documents),
-    e AS (SELECT doc_id, tgt,
-                 ('0x'||substr(md5(word),1,8))::BIGINT % 256 AS b
-          FROM w WHERE word <> ''),
-    c AS (SELECT b, count(*) AS raw_cnt,
-                 count(*) FILTER (WHERE tgt) AS tgt_cnt
-          FROM e GROUP BY b),
-    t AS (SELECT doc_id,
-                 CAST(count(*) AS BIGINT) AS n_tokens,
-                 CAST(SUM(CAST(ROUND(1000000.0*(tgt_cnt+1)/(raw_cnt+1))
-                               AS BIGINT)) AS BIGINT) AS importance_micro
-          FROM e JOIN c USING (b) GROUP BY doc_id)
-    SELECT doc_id, n_tokens, importance_micro,
-           importance_micro * 1.0 / n_tokens >= 1000000.0 AS selected
-    FROM t
     """,
 )

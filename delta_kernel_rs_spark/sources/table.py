@@ -967,6 +967,15 @@ class DeltaTable:
                 == "v2"
             )
             self.checkpoint(version=version, v2=v2)
+            # delta-spark runs metadata cleanup as part of checkpointing
+            # (gated by delta.enableExpiredLogCleanup, default on; retention
+            # 30d). Automatic path only — explicit checkpoint() stays a pure
+            # checkpoint so callers control when history is sacrificed.
+            # Best-effort: cleanup failure must not fail the write.
+            try:
+                self.cleanup_expired_logs()
+            except Exception:
+                pass
 
     def write_crc(self, version: int | None = None) -> bool:
         """Write the ``{version}.crc`` table-state summary (full compute)."""

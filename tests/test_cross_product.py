@@ -294,3 +294,11 @@ def test_cross_product_read_write(spark, tmp_path, ls_name, fs_name, layout_idx)
     ts_snap = t.snapshot(timestamp_ms=_max_effective_timestamp(t))
     assert ts_snap.version == LATEST
     check(ts_snap.to_df(), LATEST * ROWS_PER_COMMIT)
+
+    # 6. CDF across the same log shapes (all-features sets enable it);
+    # ranges must start at a still-present commit after cleanup
+    if row_tracking:
+        lo = 1 if log_state.cleanup_before is None else log_state.cleanup_before + 1
+        cdc = t.changes(lo, LATEST)
+        inserts = cdc.filter(F.col("_change_type") == "insert")
+        assert inserts.count() == (LATEST - lo + 1) * ROWS_PER_COMMIT

@@ -362,3 +362,41 @@ def test_restore_collect_is_o_changed_files(spark, tmp_path, monkeypatch):
     assert max(collected_rows) < 20, collected_rows
     got = sorted(r.k for r in t.to_df().collect())
     assert got == list(range(1000))
+
+
+def test_auto_checkpoint_runs_metadata_cleanup(spark, tmp_path, monkeypatch):
+    """The automatic checkpoint path runs expired-log cleanup (delta-spark
+    semantics): backdated commits below the new checkpoint disappear,
+    gated off by delta.enableExpiredLogCleanup=false."""
+    import os
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    def build(path, props):
+        t = DeltaTable.create(
+            spark, path, df=spark.range(5).coalesce(1).toDF("id"),
+            properties={"delta.checkpointInterval": "4", **props},
+        )
+        for i in range(1, 4):
+            t.append(spark.range(5 * i, 5 * i + 5).coalesce(1).toDF("id"),
+                     auto_checkpoint=False)
+        # backdate every existing log entry past the 30d retention
+        log_dir = f"{t.path}/_delta_log"
+        old = 1_000_000_000  # epoch seconds, 2001
+        for name in os.listdir(log_dir):
+            os.utime(f"{log_dir}/{name}", (old, old))
+        # the 4th commit crosses the interval -> auto checkpoint + cleanup
+        t.append(spark.range(20, 25).coalesce(1).toDF("id"))
+        return t, sorted(
+            int(n[:-5]) for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    t, kept = build(str(tmp_path / "on"), {})
+    assert kept == [4], kept  # v0-3 expired below the checkpoint at 4
+    assert t.to_df().count() == 25  # current snapshot unharmed
+
+    t2, kept2 = build(
+        str(tmp_path / "off"), {"delta.enableExpiredLogCleanup": "false"}
+    )
+    assert kept2 == [0, 1, 2, 3, 4]  # gate respected
