@@ -36,11 +36,21 @@ class MaintenanceError(Exception):
 
 
 def _check_supported(snap) -> None:
-    if snap.metadata.configuration.get("delta.enableRowTracking", "false").lower() == "true":
+    cfg = snap.metadata.configuration
+    if (
+        cfg.get("delta.enableRowTracking", "false").lower() == "true"
+        and cfg.get("delta.rowTrackingSuspended") != "true"
+    ):
+        # active row tracking: a layout rewrite must preserve materialized
+        # row ids, which this engine does not implement. SUSPENDED row
+        # tracking is the spec's escape hatch for exactly this (reference
+        # table_features/mod.rs:388 enabled && !suspended): set
+        # delta.rowTrackingSuspended=true, run maintenance, resume.
         raise MaintenanceError(
-            "OPTIMIZE/PURGE on a row-tracking table is not supported: a "
-            "layout rewrite must preserve materialized row ids, which this "
-            "engine does not implement yet"
+            "OPTIMIZE/PURGE on a table with ACTIVE row tracking is not "
+            "supported (the rewrite would have to preserve materialized "
+            "row ids); set delta.rowTrackingSuspended=true to run "
+            "maintenance without row-id preservation, then resume"
         )
 
 

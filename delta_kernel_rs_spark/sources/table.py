@@ -937,7 +937,13 @@ class DeltaTable:
             configuration = self._configuration_at(version)
         from delta_kernel_rs_spark.sources.table_properties import TableProperties
 
-        if not TableProperties.from_configuration(configuration).auto_compact:
+        props = TableProperties.from_configuration(configuration)
+        if not props.auto_compact:
+            return None
+        if props.enable_row_tracking and not props.row_tracking_suspended:
+            # a compaction rewrite can't preserve materialized row ids
+            # (maintenance._check_supported) — never fail the user's write
+            # over a best-effort compaction
             return None
         from delta_kernel_rs_spark.sources.maintenance import optimize
 

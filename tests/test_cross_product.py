@@ -302,3 +302,72 @@ def test_cross_product_read_write(spark, tmp_path, ls_name, fs_name, layout_idx)
         cdc = t.changes(lo, LATEST)
         inserts = cdc.filter(F.col("_change_type") == "insert")
         assert inserts.count() == (LATEST - lo + 1) * ROWS_PER_COMMIT
+
+
+# --- DML phase over the same axes (reference write-suite crossings) ----------
+
+def _dml_features(cm_mode: str | None) -> dict:
+    if cm_mode is None:
+        return {}
+    f = _all_features(cm_mode)
+    del f["delta.appendOnly"]  # DML needs removes
+    return f
+
+
+DML_CASES = [
+    ("commits_only", None, 0),
+    ("checkpoint_mid", "id", 1),
+    ("checkpoint_at_end", "name", 2),
+    ("checkpoint_mid_post_cleanup", "id", 4),
+    ("crc_at_end", "name", 5),
+    ("two_checkpoints_stale_hint", None, 7),
+]
+
+
+@pytest.mark.parametrize(
+    "ls_name,cm_mode,layout_idx",
+    DML_CASES,
+    ids=[f"{ls}__cm_{cm or 'none'}__{LAYOUT_CONFIGS[i][0]}" for ls, cm, i in DML_CASES],
+)
+def test_cross_product_dml(spark, tmp_path, ls_name, cm_mode, layout_idx):
+    """DML over sweep-built tables: DELETE, UPDATE, OPTIMIZE, CDF, and
+    time travel keep the version/row-count contract across checkpoint
+    states, column-mapping modes, and layouts."""
+    log_state = LOG_STATES[ls_name]
+    _, layout, cfg = LAYOUT_CONFIGS[layout_idx]
+    props = {**_dml_features(cm_mode), **cfg}
+    t = _build(spark, str(tmp_path / "t"), log_state, props, layout)
+
+    v_del = t.delete("id < 20")
+    assert t.to_df().count() == 80
+    assert {r["id"] for r in t.to_df().select("id").collect()} == set(range(20, 100))
+
+    t.update("id >= 95", {"s": "concat(s, '!')"})
+    assert t.to_df().filter("s LIKE '%!'").count() == 5
+    assert t.to_df().count() == 80
+
+    if cm_mode is not None:  # row tracking enabled in the feature sets
+        ids = [
+            r["row_id"]
+            for r in t.to_df(with_row_ids=True).select("row_id").collect()
+        ]
+        assert len(ids) == len(set(ids))
+
+    # row tracking must be SUSPENDED for a layout rewrite (the spec's
+    # escape hatch — maintenance without row-id preservation)
+    if cm_mode is not None:
+        t.set_properties({"delta.rowTrackingSuspended": "true"})
+    t.optimize()
+    assert t.to_df().count() == 80
+    if cm_mode is not None:
+        t.set_properties({"delta.rowTrackingSuspended": "false"})
+
+    # CDF: the delete commit shows exactly the 20 removed rows
+    if cm_mode is not None:  # CDF enabled in the feature sets
+        cdc = t.changes(v_del, v_del)
+        deletes = cdc.filter(F.col("_change_type") == "delete")
+        assert {r["id"] for r in deletes.select("id").collect()} == set(range(20))
+
+    # time travel: pre-delete snapshot still shows all 100 rows
+    pre = t.snapshot(version=v_del - 1)
+    assert pre.to_df().count() == 100
