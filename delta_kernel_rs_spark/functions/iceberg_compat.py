@@ -167,6 +167,14 @@ def validate_iceberg_compat(
                 "icebergCompatV3 requires row tracking "
                 "(set delta.enableRowTracking=true)"
             )
+        if configuration.get("delta.rowTrackingSuspended") == "true":
+            # V3 requires row tracking ACTIVE — suspension cannot coexist
+            # (reference builder/create_table.rs
+            # maybe_enable_iceberg_compat_v3_dependencies)
+            raise IcebergCompatError(
+                "icebergCompatV3 cannot be enabled while "
+                "delta.rowTrackingSuspended is 'true'"
+            )
     if schema is not None:
         hit = _first_unsupported(schema, "", allow_variant=(v == 3))
         if hit:

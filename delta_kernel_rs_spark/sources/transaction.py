@@ -268,6 +268,35 @@ def required_protocol(
     return min_r, min_w, rf, wf
 
 
+def _validate_partition_columns(schema: T.StructType, partition_columns: list[str]) -> None:
+    """CREATE-time partition-column rules (reference
+    ``builder/create_table.rs validate_partition_columns`` :252-296):
+    top-level only, present in the schema, primitive-typed, no
+    duplicates, and at least one non-partition column must remain."""
+    if len(partition_columns) >= len(schema.fields):
+        raise ValueError("Table must have at least one non-partition column")
+    names = {f.name: f for f in schema.fields}
+    seen: set[str] = set()
+    for col in partition_columns:
+        if "." in col and col not in names:
+            raise ValueError(
+                f"Partition column '{col}' must be a top-level column "
+                "(nested paths are not supported)"
+            )
+        if col in seen:
+            raise ValueError(f"Duplicate partition column: '{col}'")
+        seen.add(col)
+        field = names.get(col)
+        if field is None:
+            raise ValueError(f"Partition column '{col}' not found in schema")
+        if isinstance(field.dataType, (T.StructType, T.ArrayType, T.MapType, T.VariantType)):
+            raise ValueError(
+                f"Partition column '{col}' has non-primitive type "
+                f"'{field.dataType.simpleString()}'. Partition columns must "
+                "have primitive types."
+            )
+
+
 class Transaction:
     """One optimistic-concurrency commit against a table."""
 
@@ -302,6 +331,8 @@ class Transaction:
             else (read_snapshot.metadata.configuration if read_snapshot else {})
         )
         self.name = name
+        if is_create and self.partition_columns and self.schema is not None:
+            _validate_partition_columns(self.schema, self.partition_columns)
         #: Commit-placement strategy (sources/committer.py); None = direct
         #: filesystem PUT-if-absent (reference FileSystemCommitter).
         self.committer = None
@@ -901,6 +932,41 @@ class Transaction:
             proto["writerFeatures"] = sorted(wf)
         return {"protocol": proto}
 
+    def _maybe_protocol_upgrade(self) -> list[dict]:
+        """Protocol ratchet for metadata-updating commits: whatever the
+        evolved schema/configuration newly require (e.g. ADD COLUMN of a
+        timestampNtz/variant column) merges into the existing protocol —
+        features other writers enabled are never dropped, versions never
+        downgrade. The reference refuses the ALTER instead
+        (builder/alter_table.rs build: 'the evolved schema requires
+        protocol features not enabled on the table'); upgrading keeps the
+        table readable by every feature-aware engine. Skipped when the
+        caller staged an explicit protocol action."""
+        if self.read_snapshot is None or any(
+            "protocol" in a for a in self._extra_actions
+        ):
+            return []
+        p = self.read_snapshot.protocol
+        min_r, min_w, rf, wf = required_protocol(
+            self.schema, self.configuration, cluster_by=self._cluster_by
+        )
+        need_r = max(min_r, p.min_reader_version)
+        need_w = max(min_w, p.min_writer_version)
+        merged_rf = set(p.reader_features or []) | rf
+        merged_wf = set(p.writer_features or []) | wf
+        if (
+            (need_r, need_w) == (p.min_reader_version, p.min_writer_version)
+            and merged_rf == set(p.reader_features or [])
+            and merged_wf == set(p.writer_features or [])
+        ):
+            return []
+        proto: dict = {"minReaderVersion": need_r, "minWriterVersion": need_w}
+        if need_r >= 3:
+            proto["readerFeatures"] = sorted(merged_rf)
+        if need_w >= 7:
+            proto["writerFeatures"] = sorted(merged_wf)
+        return [{"protocol": proto}]
+
     def _ict_enabled(self) -> bool:
         return (
             self.configuration.get("delta.enableInCommitTimestamps", "false").lower()
@@ -1112,6 +1178,7 @@ class Transaction:
             base_actions.append(self._protocol_action())
             base_actions.append(self._metadata_action())
         elif self._update_metadata:
+            base_actions.extend(self._maybe_protocol_upgrade())
             base_actions.append(self._metadata_action())
         base_actions.extend(self._txn_actions)
         base_actions.extend(self._domain_metadata)

@@ -104,3 +104,25 @@ def test_merge_schema_with_column_mapping(spark, tmp_path):
     assert n_field.metadata.get("delta.columnMapping.id") is not None
     got = {r.k: r.n for r in t.to_df().collect()}
     assert got == {1: None, 2: 7}
+
+
+def test_schema_evolution_ratchets_protocol_for_new_features(spark, tmp_path):
+    """Adding a feature-requiring column (timestampNtz) to a legacy-protocol
+    table must upgrade the protocol in the SAME commit (the reference
+    refuses the ALTER outright — builder/alter_table.rs; this engine
+    ratchets instead, merged with existing features)."""
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(3).toDF("id"))
+    assert t.snapshot().protocol.min_reader_version == 1
+    t.add_column("ts_ntz", T.TimestampNTZType())
+    p = t.snapshot().protocol
+    assert "timestampNtz" in (p.reader_features or [])
+    assert "timestampNtz" in (p.writer_features or [])
+    assert p.min_reader_version == 3 and p.min_writer_version == 7
+    # a second unrelated evolution never drops the feature
+    t.add_column("extra", T.LongType())
+    p2 = t.snapshot().protocol
+    assert "timestampNtz" in (p2.reader_features or [])

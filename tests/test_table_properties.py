@@ -191,3 +191,55 @@ def test_snapshot_exposes_cached_table_properties():
     assert props.append_only is True
     assert props.unknown_properties == {"custom": "v"}
     assert md.table_properties is props  # cached
+
+
+def test_create_partition_column_validation(spark, tmp_path):
+    """Reference builder/create_table.rs validate_partition_columns rules."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("n", T.StructType([T.StructField("x", T.LongType())])),
+    ])
+
+    with pytest.raises(ValueError, match="not found in schema"):
+        DeltaTable.create(spark, str(tmp_path / "t1"), schema=schema,
+                          partition_by=["zz"])
+    with pytest.raises(ValueError, match="Duplicate partition column"):
+        DeltaTable.create(spark, str(tmp_path / "t2"), schema=schema,
+                          partition_by=["a", "a"])
+    with pytest.raises(ValueError, match="non-primitive type"):
+        DeltaTable.create(spark, str(tmp_path / "t3"), schema=schema,
+                          partition_by=["n"])
+    with pytest.raises(ValueError, match="top-level column"):
+        DeltaTable.create(spark, str(tmp_path / "t4"), schema=schema,
+                          partition_by=["n.x"])
+    with pytest.raises(ValueError, match="at least one non-partition column"):
+        DeltaTable.create(
+            spark, str(tmp_path / "t5"),
+            schema=T.StructType([T.StructField("a", T.LongType())]),
+            partition_by=["a"],
+        )
+
+
+def test_iceberg_v3_rejects_suspended_row_tracking(spark, tmp_path):
+    import pytest
+
+    from delta_kernel_rs_spark.functions.iceberg_compat import IcebergCompatError
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    with pytest.raises(IcebergCompatError, match="rowTrackingSuspended"):
+        DeltaTable.create(
+            spark, str(tmp_path / "t"),
+            df=spark.range(3).toDF("id"),
+            properties={
+                "delta.enableIcebergCompatV3": "true",
+                "delta.enableRowTracking": "true",
+                "delta.columnMapping.mode": "name",
+                "delta.rowTrackingSuspended": "true",
+            },
+        )
