@@ -973,14 +973,36 @@ class Transaction:
             == "true"
         )
 
+    def with_commit_info(self, extra: dict) -> "Transaction":
+        """Engine/user-supplied commitInfo fields, merged under the
+        kernel-managed ones (reference ``with_engine_commit_info``,
+        transaction/commit_info.rs — kernel fields always win; delta's
+        ``userMetadata`` rides this way)."""
+        self._engine_commit_info = dict(extra)
+        return self
+
     def _commit_info(self, version: int | None = None) -> dict:
-        info: dict = {
-            "timestamp": _now_ms(),
-            "operation": self.operation,
-            "operationParameters": {},
-            "engineInfo": ENGINE_INFO,
-            "txnId": str(uuid.uuid4()),
-        }
+        # blind append: adds data without logically reading the table —
+        # no removes/cdc staged, no streamed manifest (reference CommitInfo
+        # is_blind_append; concurrent blind appends serialize trivially)
+        blind = (
+            self.operation == "WRITE"
+            and self._stream_factory is None
+            and not any(
+                ("remove" in a) or ("cdc" in a) for a in self._extra_actions
+            )
+        )
+        info: dict = dict(getattr(self, "_engine_commit_info", ()) or {})
+        info.update(
+            {
+                "timestamp": _now_ms(),
+                "operation": self.operation,
+                "operationParameters": {},
+                "isBlindAppend": blind,
+                "engineInfo": ENGINE_INFO,
+                "txnId": str(uuid.uuid4()),
+            }
+        )
         if self._ict_enabled() and version is not None:
             # ICT must be strictly monotonic (reference in-commit timestamps;
             # history_manager relies on it for binary search): clamp against

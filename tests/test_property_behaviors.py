@@ -421,3 +421,34 @@ def test_skipping_on_clustering_column_with_zero_indexed_cols(spark, tmp_path):
     assert scan.scan_files_df().count() == 0  # both files pruned via k stats
     scan2 = t.snapshot().scan(predicate="v > 50000")
     assert scan2.scan_files_df().count() == 2  # v has no stats: keep all
+
+
+def test_commit_info_blind_append_and_engine_fields(spark, tmp_path):
+    """commitInfo parity (reference transaction/commit_info.rs): appends
+    mark isBlindAppend=true, DML removes mark false; engine-supplied
+    commitInfo fields ride along but never override kernel-managed ones."""
+    from delta_kernel_rs_spark.sources.storage import storage_for
+    from delta_kernel_rs_spark.sources.transaction import Transaction
+
+    t = DeltaTable.create(spark, str(tmp_path / "t"), df=spark.range(10).coalesce(1).toDF("id"))
+
+    def commit_info(version):
+        text = storage_for(spark, t.path).read_text(
+            f"{t.path}/_delta_log/{version:020d}.json"
+        )
+        first = json.loads(text.splitlines()[0])
+        return first["commitInfo"]
+
+    v1 = t.append(spark.range(5).coalesce(1).toDF("id"), auto_checkpoint=False)
+    assert commit_info(v1)["isBlindAppend"] is True
+
+    v2 = t.delete("id < 3")
+    assert commit_info(v2)["isBlindAppend"] is False
+
+    txn = Transaction(
+        spark, t.path, operation="WRITE", read_snapshot=t.snapshot()
+    ).with_commit_info({"userMetadata": "nightly-batch-17", "operation": "EVIL"})
+    v3 = txn.write_data(spark.range(2).coalesce(1).toDF("id")).commit()
+    ci = commit_info(v3)
+    assert ci["userMetadata"] == "nightly-batch-17"
+    assert ci["operation"] == "WRITE"  # kernel-managed field wins
