@@ -54,11 +54,13 @@ class LogState:
         crcs=(),
         hint="fresh",  # fresh | missing | stale
         cleanup_before=None,
+        compactions=(),
     ):
         self.checkpoints = tuple(checkpoints)
         self.crcs = frozenset(crcs)
         self.hint = hint
         self.cleanup_before = cleanup_before
+        self.compactions = tuple(compactions)
 
 
 LOG_STATES = {
@@ -92,6 +94,13 @@ LOG_STATES = {
     ),
     "checkpoint_mid_crc_at_end_post_cleanup": LogState(
         checkpoints=[MID], crcs=[LATEST], cleanup_before=MID
+    ),
+    # Beyond the reference sweep (its own TODO #2337: log compaction axis):
+    # replay must consume a compacted range in place of raw commits, and
+    # one sitting above a checkpoint.
+    "compacted_2_6": LogState(compactions=[(2, 6)]),
+    "compacted_6_9_checkpoint_mid": LogState(
+        checkpoints=[MID], compactions=[(6, 9)]
     ),
 }
 
@@ -165,6 +174,8 @@ CASES = [
     for i, ls in enumerate(LOG_STATES)
 ]
 CASES += [
+    ("compacted_2_6", "all_features_cm_name", 8),
+    ("compacted_6_9_checkpoint_mid", "no_features", 10),
     ("commits_only", "all_features_cm_id", 3),
     ("commits_only", "all_features_cm_name", 6),
     ("checkpoint_at_end", "no_features", 2),
@@ -211,6 +222,8 @@ def _build(spark, path: str, log_state: LogState, props: dict, layout):
                 if os.path.exists(hint_p):
                     stale_hint = open(hint_p, "rb").read()
 
+    for lo, hi in log_state.compactions:
+        t.compact_log(lo, hi)
     # sculpt the log into the target LogState (the reference's builder
     # writes these states directly; we post-process our writer's output)
     if log_state.cleanup_before is not None:
@@ -371,3 +384,57 @@ def test_cross_product_dml(spark, tmp_path, ls_name, cm_mode, layout_idx):
     # time travel: pre-delete snapshot still shows all 100 rows
     pre = t.snapshot(version=v_del - 1)
     assert pre.to_df().count() == 100
+
+
+# --- Schema history (reference sweep TODO: add/drop/rename axis) --------------
+
+@pytest.mark.parametrize("cm_mode", [None, "id", "name"])
+def test_cross_product_schema_history(spark, tmp_path, cm_mode):
+    """Mid-history schema evolution: every version target resolves with the
+    schema THAT version had. ADD COLUMN for all modes; RENAME + DROP under
+    column mapping (physical data survives logical renames)."""
+    from pyspark.sql import types as T
+
+    props = {"delta.columnMapping.mode": cm_mode} if cm_mode else {}
+    t = DeltaTable.create(
+        spark, str(tmp_path / "t"),
+        schema=_df_for_commit(spark, 1).schema, properties=props,
+    )
+    for v in range(1, MID + 1):
+        t.append(_df_for_commit(spark, v), auto_checkpoint=False)
+
+    v_add = t.add_column("added", T.LongType())
+    for v in range(MID + 1, LATEST):  # 4 more data commits
+        t.append(
+            _df_for_commit(spark, v).withColumn("added", F.col("id") * 2),
+            auto_checkpoint=False,
+        )
+    t.checkpoint()
+
+    latest = t.snapshot()
+    assert "added" in latest.schema.fieldNames()
+    df = latest.to_df()
+    assert df.count() == (LATEST - 1) * ROWS_PER_COMMIT
+    assert df.filter("added IS NOT NULL").count() == 4 * ROWS_PER_COMMIT
+    assert df.filter("added = id * 2 OR added IS NULL").count() == df.count()
+
+    # pre-evolution time travel: the column does not exist at MID
+    mid = t.snapshot(version=MID)
+    assert "added" not in mid.schema.fieldNames()
+    assert mid.to_df().count() == MID * ROWS_PER_COMMIT
+
+    if cm_mode:
+        v_ren = t.rename_column("added", "added2")
+        df2 = t.to_df()
+        assert "added2" in df2.columns and "added" not in df2.columns
+        # physical data survives the logical rename
+        assert df2.filter("added2 IS NOT NULL").count() == 4 * ROWS_PER_COMMIT
+        # pre-rename travel still shows the old name
+        assert "added" in t.snapshot(version=v_ren - 1).schema.fieldNames()
+
+        v_drop = t.drop_column("added2")
+        assert "added2" not in t.to_df().columns
+        assert t.to_df().count() == (LATEST - 1) * ROWS_PER_COMMIT
+        # pre-drop travel still reads the dropped column's values
+        pre = t.snapshot(version=v_drop - 1).to_df()
+        assert pre.filter("added2 IS NOT NULL").count() == 4 * ROWS_PER_COMMIT
