@@ -208,11 +208,13 @@ def dsir_importance(
     per-doc score is order-free and bit-identical across engines (IEEE
     division is exact-rounded; integer sums commute).
 
-    Scale shape: one tiny groupBy(bucket) (``buckets`` rows, map-side
-    combine), the bucket table broadcast back onto the exploded words
-    (map-only), one groupBy(doc_id). Selection is a map-only threshold on
-    the per-token mean ratio — NOT a global top-k rank, which would need a
-    total order over every document at 100 TB.
+    Scale shape: occurrences pre-aggregate to (doc, bucket) COUNTS before
+    anything joins — at most ``buckets`` rows per document survive, so the
+    broadcast join and the doc aggregate never see raw occurrences. The
+    global distribution is one tiny groupBy(bucket) (``buckets`` rows,
+    map-side combine over the counts frame). Selection is a map-only
+    threshold on the per-token mean ratio — NOT a global top-k rank, which
+    would need a total order over every document at 100 TB.
 
     Output: doc_id, n_tokens, importance_micro, selected.
     """
@@ -223,20 +225,26 @@ def dsir_importance(
         target.alias("__target"),
         F.explode(F.split(F.col("text"), " ")).alias("word"),
     ).filter(F.col("word") != "")
-    e = e.withColumn("b", md5_hash32("word") % buckets)
-    dist = e.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
-        F.count(F.when(F.col("__target"), F.lit(1))).alias("tgt_cnt"),
+    doc_b = (
+        e.withColumn("b", md5_hash32("word") % buckets)
+        .groupBy("doc_id", "__target", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dist = doc_b.groupBy("b").agg(
+        F.sum("cnt").alias("raw_cnt"),
+        F.sum(F.when(F.col("__target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "tgt_cnt"
+        ),
     )
     term = F.round(
         F.lit(1_000_000.0) * (F.col("tgt_cnt") + 1) / (F.col("raw_cnt") + 1)
     ).cast("long")
     scored = (
-        e.join(F.broadcast(dist), "b")
+        doc_b.join(F.broadcast(dist), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(term).alias("importance_micro"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * term).alias("importance_micro"),
         )
     )
     return scored.select(
