@@ -3,11 +3,29 @@
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+     "queries": {"q01_...": sec, ...}, "runs": [t1, t2, t3],
+     "spread": 0.06, "passes": 3, "sf": 0.1}
+
+Noise protocol (mirrors the intent of the reference's critcmp baseline
+comparison, benchmarks/ci/parse_critcmp.py:27-31, which compares
+statistically-settled criterion estimates rather than single runs):
+
+* one warm-up execution (JVM classloading, parquet footer caches, codegen),
+* N full passes over the whole registry (default 3,
+  $SPARK_GRAFT_BENCH_PASSES to override),
+* ``queries`` holds the per-query MIN across passes (the least-noise
+  estimator for wall-clock floor),
+* ``value`` is the sum of those mins,
+* ``runs`` is each pass's total and ``spread`` = (max-min)/min of those
+  totals — scripts/bench_compare.py refuses to pass/fail a round whose
+  recorded spread exceeds the gate threshold (a gate whose measurement
+  noise exceeds its margin gates nothing).
+
+Per-query per-pass detail lands in bench/last_run_detail.json for triage;
+stdout stays a single driver-parseable line.
 
 Execution is forced with the `noop` datasource sink (full pipeline runs,
-nothing is collected to the driver), after one warm-up pass of the first
-query so JVM/session fixed costs don't pollute per-query numbers.
+nothing is collected to the driver).
 """
 
 from __future__ import annotations
@@ -30,6 +48,7 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     sf = None
     tail = Path(sf_dir).name
     if tail.startswith("sf"):
@@ -48,13 +67,35 @@ def main() -> None:
     first = next(iter(registry.values()))
     _force(first(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for _ in range(2):  # two passes; keep min — strips GC/compile noise
+    detail: dict[str, list[float]] = {name: [] for name in registry}
+    for _ in range(passes):
         for name, fn in registry.items():
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
+            detail[name].append(round(time.perf_counter() - t0, 4))
+
+    timings = {name: min(ts) for name, ts in detail.items()}
+    run_totals = [
+        round(sum(detail[name][p] for name in registry), 2) for p in range(passes)
+    ]
+    spread = (
+        round((max(run_totals) - min(run_totals)) / min(run_totals), 4)
+        if min(run_totals) > 0
+        else 0.0
+    )
+
+    try:
+        detail_dir = Path(_REPO) / "bench"
+        detail_dir.mkdir(exist_ok=True)
+        (detail_dir / "last_run_detail.json").write_text(
+            json.dumps(
+                {"sf": sf, "passes": passes, "run_totals": run_totals,
+                 "spread": spread, "per_query_runs": detail},
+                indent=1,
+            )
+        )
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the artifact
 
     out = {
         "metric": "total_query_wall_sec",
@@ -64,6 +105,9 @@ def main() -> None:
         # driver's 2000-char record window (r5's 4-decimal line lost its
         # head to truncation)
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "runs": run_totals,
+        "spread": spread,
+        "passes": passes,
         "sf": sf if sf is not None else sf_dir,
     }
     print(json.dumps(out, separators=(",", ":")))

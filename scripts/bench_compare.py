@@ -15,7 +15,17 @@ previous round FAILS the round. Usage:
   jitter dominates (the reference compares criterion means, which have
   confidence intervals; wall-clock one-shots need an absolute floor).
 
-Exit code 0 = pass, 1 = regression found, 2 = bad input.
+Noise-robustness: bench.py records multi-pass per-query MINs plus the
+per-pass total array and their relative spread. When either input's
+recorded spread exceeds the gate margin (threshold - 1), this script
+REFUSES to verdict — it prints ``UNRELIABLE: spread X%`` and a verdict
+with ``"pass": null`` instead of a pass/fail that measurement noise could
+flip either way (the r8 artifact failed the gate at 1.157x while an
+idle-box re-run of identical code measured 1.07x). Mirrors the reference
+comparing statistically-settled criterion estimates, never single runs
+(benchmarks/ci/parse_critcmp.py:27-31).
+
+Exit code 0 = pass, 1 = regression found, 2 = bad input, 3 = unreliable.
 Prints a per-query table plus a one-line JSON verdict for the round log.
 """
 
@@ -26,14 +36,19 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str) -> tuple[dict[str, float], float | None]:
+    """Returns (per-query timings, recorded spread or None for pre-r9
+    single-run artifacts that carry no spread)."""
     with open(path) as f:
         doc = json.load(f)
     parsed = doc.get("parsed") or doc  # accept raw bench line or driver wrapper
     q = parsed.get("queries")
     if not isinstance(q, dict) or not q:
         raise ValueError(f"{path}: no 'queries' dict found")
-    return {k: float(v) for k, v in q.items()}
+    spread = parsed.get("spread")
+    return {k: float(v) for k, v in q.items()}, (
+        float(spread) if spread is not None else None
+    )
 
 
 def main() -> int:
@@ -51,11 +66,20 @@ def main() -> int:
     args = ap.parse_args()
 
     try:
-        old = load_queries(args.old)
-        new = load_queries(args.new)
+        old, old_spread = load_queries(args.old)
+        new, new_spread = load_queries(args.new)
     except (OSError, ValueError, json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+
+    # A gate whose measurement noise exceeds its margin gates nothing:
+    # refuse to verdict when a recorded run-to-run spread is wider than
+    # the regression threshold's margin.
+    margin = args.threshold - 1.0
+    worst_spread = max(
+        (s for s in (old_spread, new_spread) if s is not None), default=None
+    )
+    unreliable = worst_spread is not None and worst_spread > margin
 
     exempt = {s.strip() for s in args.exempt.split(",") if s.strip()}
     regressions: list[tuple[str, float, float, float]] = []
@@ -88,13 +112,22 @@ def main() -> int:
         "new_total_sec": round(tot_new, 2),
         "total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
         "threshold": args.threshold,
+        "old_spread": old_spread,
+        "new_spread": new_spread,
         "regressions": [
             {"query": q, "old": o, "new": n, "ratio": round(r, 3)}
             for q, o, n, r in regressions
         ],
-        "pass": not regressions,
+        "pass": None if unreliable else not regressions,
     }
+    if unreliable:
+        verdict["unreliable"] = True
+        print(f"UNRELIABLE: spread {worst_spread * 100:.1f}% exceeds the "
+              f"gate margin {margin * 100:.1f}% — no pass/fail verdict; "
+              "re-run bench.py on an idle box")
     print(json.dumps(verdict))
+    if unreliable:
+        return 3
     return 0 if not regressions else 1
 
 

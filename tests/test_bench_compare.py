@@ -68,3 +68,50 @@ def test_gate_reports_new_and_dropped_queries(tmp_path):
     new = _write(tmp_path, "new.json", {"q1": 1.0, "fresh": 9.0})
     rc, verdict = _run(old, new)
     assert rc == 0  # additions/removals are reported, never regressions
+
+
+# -- noise-robustness (r9): spread recorded by bench.py gates the gate ----
+
+
+def _write_spread(tmp_path, name, queries, spread):
+    p = tmp_path / name
+    p.write_text(json.dumps(
+        {"metric": "total_query_wall_sec", "queries": queries, "spread": spread}
+    ))
+    return str(p)
+
+
+def test_gate_refuses_verdict_when_new_spread_exceeds_margin(tmp_path):
+    old = _write(tmp_path, "old.json", {"q1": 1.0, "q2": 2.0})
+    new = _write_spread(tmp_path, "new.json", {"q1": 1.0, "q2": 2.5}, 0.22)
+    proc = subprocess.run(
+        [sys.executable, SCRIPT, old, new], capture_output=True, text=True
+    )
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert proc.returncode == 3
+    assert verdict["pass"] is None and verdict["unreliable"] is True
+    assert "UNRELIABLE" in proc.stdout
+
+
+def test_gate_refuses_verdict_when_old_spread_exceeds_margin(tmp_path):
+    old = _write_spread(tmp_path, "old.json", {"q1": 1.0}, 0.30)
+    new = _write_spread(tmp_path, "new.json", {"q1": 1.0}, 0.02)
+    rc, verdict = _run(old, new)
+    assert rc == 3 and verdict["pass"] is None
+
+
+def test_gate_verdicts_normally_when_spread_within_margin(tmp_path):
+    old = _write_spread(tmp_path, "old.json", {"q1": 1.0, "q2": 2.0}, 0.05)
+    new = _write_spread(tmp_path, "new.json", {"q1": 1.0, "q2": 2.5}, 0.08)
+    rc, verdict = _run(old, new)
+    assert rc == 1  # real regression still fails when measurement is tight
+    assert verdict["pass"] is False
+    assert verdict["new_spread"] == 0.08
+
+
+def test_gate_treats_missing_spread_as_legacy_single_run(tmp_path):
+    # pre-r9 artifacts carry no spread; the gate must still verdict
+    old = _write(tmp_path, "old.json", {"q1": 1.0})
+    new = _write(tmp_path, "new.json", {"q1": 1.05})
+    rc, verdict = _run(old, new)
+    assert rc == 0 and verdict["pass"] is True and verdict["new_spread"] is None
