@@ -10,7 +10,10 @@ Noise protocol (mirrors the intent of the reference's critcmp baseline
 comparison, benchmarks/ci/parse_critcmp.py:27-31, which compares
 statistically-settled criterion estimates rather than single runs):
 
-* one warm-up execution (JVM classloading, parquet footer caches, codegen),
+* one full UNTIMED warm-up pass over every query (JVM classloading,
+  parquet footer caches, codegen, and — critically — the lazy per-process
+  Delta fixture builds, which would otherwise land entirely in the first
+  timed pass and read as a 3x phantom spread),
 * N full passes over the whole registry (default 3,
   $SPARK_GRAFT_BENCH_PASSES to override),
 * ``queries`` holds the per-query MIN across passes (the least-noise
@@ -63,9 +66,11 @@ def main() -> None:
     spark = get_spark(app_name="dkrs-bench")
     registry = queries()
 
-    # Warm-up: JVM classloading, parquet footer caches, codegen.
-    first = next(iter(registry.values()))
-    _force(first(spark, sf_dir))
+    # Warm-up: JVM classloading, parquet footer caches, codegen, and the
+    # lazy per-process Delta fixture builds — a FULL pass, so the timed
+    # passes measure queries, not one-time setup.
+    for fn in registry.values():
+        _force(fn(spark, sf_dir))
 
     detail: dict[str, list[float]] = {name: [] for name in registry}
     for _ in range(passes):

@@ -179,6 +179,12 @@ class DeltaKernelDataSource(DataSource):
     def name(cls) -> str:
         return "delta_kernel"
 
+    def _is_cdf(self) -> bool:
+        return (
+            str(_opts(self.options).get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def _segment(self):
         # memoized: Spark calls schema() and reader() on the same instance,
         # and timestampAsOf resolution costs a listing + O(log n) commit
@@ -194,13 +200,29 @@ class DeltaKernelDataSource(DataSource):
         return self._seg_cache
 
     def schema(self) -> T.StructType:
+        if self._is_cdf():
+            opts = _opts(self.options)
+            path = opts["path"].rstrip("/")
+            storage = storage_for_uri(path)
+            _, end = _resolve_cdf_range(storage, path, opts)
+            seg = build_log_segment(storage, path, end)
+            meta, proto = snapshot_metadata(storage, seg)
+            protocol_of(proto).ensure_read_supported(
+                supported=_PYARROW_READER_FEATURES
+            )
+            full = parse_schema_string(meta["schemaString"])
+            return T.StructType(
+                _select_fields(full, opts.get("columns")) + _CDF_META_FIELDS
+            )
         storage, seg = self._segment()
         meta, proto = snapshot_metadata(storage, seg)
         protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
         full = parse_schema_string(meta["schemaString"])
         return T.StructType(_select_fields(full, _opts(self.options).get("columns")))
 
-    def reader(self, schema: T.StructType) -> "DeltaKernelBatchReader":
+    def reader(self, schema: T.StructType):
+        if self._is_cdf():
+            return DeltaKernelCDFReader(self.options)
         opts = dict(self.options)
         if any(k.lower() == "timestampasof" for k in opts):
             # hand the reader the already-resolved pinned version instead of
@@ -427,6 +449,324 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
     # -- execution (workers) ---------------------------------------------
     def read(self, partition: _FileSliceTask) -> Iterator[Any]:
         return self._read_slice(partition)
+
+
+# ---------------------------------------------------------------------------
+# CDF through the facade: spark.read.format("delta_kernel")
+#   .option("readChangeFeed", "true").option("startingVersion", 0).load()
+#
+# The SparkSession-free twin of sources/cdf.py table_changes (reference
+# kernel/src/table_changes/mod.rs:1-170): planning classifies the range's
+# commits into cdc / insert / delete / DV-swap events (cdc supersedes
+# add/remove within its commit, log_replay.rs:46-100), bin-packs them
+# into read tasks, and executors read the parquet, apply DV exclusions /
+# bitmap diffs (resolve_dvs.rs) and emit logical rows with the three CDF
+# metadata columns. Driver state is O(file events in the range) — the
+# same bound as table_changes' per-arm path lists.
+
+_CDF_META_FIELDS = [
+    T.StructField("_change_type", T.StringType(), True),
+    T.StructField("_commit_version", T.LongType(), True),
+    T.StructField("_commit_timestamp", T.TimestampType(), True),
+]
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    cfg = meta.get("configuration") or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+def _resolve_cdf_range(storage, path: str, opts: dict) -> tuple[int, int]:
+    """CDF range from options; raises on contradictory or invalid ranges
+    (range-validation errors must surface through the facade, not produce
+    silently-empty feeds)."""
+    sv, st = opts.get("startingversion"), opts.get("startingtimestamp")
+    ev, et = opts.get("endingversion"), opts.get("endingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError("set startingVersion or startingTimestamp, not both")
+    if ev is not None and et is not None:
+        raise ValueError("set endingVersion or endingTimestamp, not both")
+    if sv is None and st is None:
+        raise ValueError(
+            "readChangeFeed requires startingVersion or startingTimestamp"
+        )
+    from delta_kernel_rs_spark.sources.history import (
+        first_version_after_for_storage,
+        version_at_timestamp_for_storage,
+    )
+
+    if sv is not None:
+        start = int(sv)
+    else:
+        start = first_version_after_for_storage(storage, path, _parse_ts_ms(st))
+    if ev is not None:
+        end = int(ev)
+    elif et is not None:
+        end = version_at_timestamp_for_storage(storage, path, _parse_ts_ms(et))
+    else:
+        end = build_log_segment(storage, path).version
+    if start > end:
+        raise ValueError(f"start {start} > end {end}")
+    return start, end
+
+
+def _cdf_event_schema():
+    import pyarrow as pa
+
+    from delta_kernel_rs_spark.sources.pyreplay import DV_TYPE
+
+    return pa.schema(
+        [
+            ("kind", pa.string()),
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("partition_values", pa.map_(pa.string(), pa.string())),
+            ("dv_old", DV_TYPE),
+            ("dv_new", DV_TYPE),
+            ("version", pa.int64()),
+            ("ts_ms", pa.int64()),
+        ]
+    )
+
+
+def _plan_cdf_events(storage, table_path: str, start: int, end: int):
+    """One Arrow table of (kind, path, pv, dvs, version, ts) change events
+    for the range — cdc supersedes add/remove per commit, remove+add of
+    the same path is a DV swap, bare adds/removes are whole-file
+    inserts/deletes; a mid-range metaData that disables CDF fails the
+    whole range (reference table_changes/mod.rs:90-162)."""
+    import pyarrow as pa
+
+    from delta_kernel_rs_spark.sources.pyreplay import _iter_actions
+
+    log_dir = f"{table_path}/_delta_log"
+    listing = {e.path.rsplit("/", 1)[-1]: e for e in storage.list_dir(log_dir)}
+    rows: list[dict] = []
+    for v in range(start, end + 1):
+        name = f"{v:020d}.json"
+        entry = listing.get(name)
+        if entry is None:
+            raise ValueError(
+                f"commit {v} is missing from the log — the requested CDF "
+                f"range [{start}, {end}] is unavailable (log retention may "
+                "have expired it)"
+            )
+        ict: int | None = None
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        cdcs: list[dict] = []
+        for action in _iter_actions(storage, f"{log_dir}/{name}"):
+            if "commitInfo" in action:
+                t = (action["commitInfo"] or {}).get("inCommitTimestamp")
+                if t is not None:
+                    ict = int(t)
+            elif "metaData" in action:
+                if not _cdf_enabled(action["metaData"]):
+                    raise ValueError(
+                        f"change data feed was not enabled at version {v}; "
+                        "the requested range cannot be served"
+                    )
+            elif "add" in action and action["add"].get("dataChange"):
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action and action["remove"].get("dataChange"):
+                removes[action["remove"]["path"]] = action["remove"]
+            elif "cdc" in action:
+                cdcs.append(action["cdc"])
+        ts = ict if ict is not None else entry.last_modified_ms
+
+        def event(kind, src, dv_old=None, dv_new=None, _v=v, _ts=ts):
+            return {
+                "kind": kind,
+                "path": src["path"],
+                "size": int(src.get("size") or 0),
+                "partition_values": list((src.get("partitionValues") or {}).items()),
+                "dv_old": dv_old,
+                "dv_new": dv_new,
+                "version": _v,
+                "ts_ms": _ts,
+            }
+
+        if cdcs:  # cdc supersedes add/remove for its commit
+            rows.extend(event("cdc", c) for c in cdcs)
+            continue
+        for p, a in adds.items():
+            if p in removes:
+                rows.append(
+                    event(
+                        "swap",
+                        a,
+                        dv_old=removes[p].get("deletionVector"),
+                        dv_new=a.get("deletionVector"),
+                    )
+                )
+            else:
+                rows.append(event("insert", a, dv_new=a.get("deletionVector")))
+        rows.extend(
+            event("delete", r, dv_old=r.get("deletionVector"))
+            for p, r in removes.items()
+            if p not in adds
+        )
+    return pa.Table.from_pylist(rows, schema=_cdf_event_schema())
+
+
+class DeltaKernelCDFReader(DataSourceReader):
+    def __init__(self, options: dict):
+        opts = _opts(options)
+        self._path = opts["path"].rstrip("/")
+        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        storage = storage_for_uri(self._path)
+        self._start, self._end = _resolve_cdf_range(storage, self._path, opts)
+        end_seg = build_log_segment(storage, self._path, self._end)
+        meta, proto = snapshot_metadata(storage, end_seg)
+        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
+        if not _cdf_enabled(meta):
+            raise ValueError(
+                "change data feed is not enabled (delta.enableChangeDataFeed)"
+            )
+        # CDF must have been on for the WHOLE range: commits written while
+        # it was off carry no metaData at all, so the in-range metaData
+        # gate alone cannot catch them — also check AS OF start.
+        if self._start < end_seg.version:
+            start_seg = build_log_segment(storage, self._path, self._start)
+            start_meta, _ = snapshot_metadata(storage, start_seg)
+            if not _cdf_enabled(start_meta):
+                raise ValueError(
+                    f"change data feed was not enabled at version "
+                    f"{self._start}; the requested range cannot be served"
+                )
+        self._table_schema = parse_schema_string(meta["schemaString"])
+        self._pcols = list(meta.get("partitionColumns") or [])
+        self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
+
+    # -- planning (driver-side worker) -----------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        storage = storage_for_uri(self._path)
+        events = _plan_cdf_events(storage, self._path, self._start, self._end)
+        slices = bin_pack_by_size(events, self._target_bytes)
+        if not slices:
+            return [_FileSliceTask(ipc_serialize(events))]  # empty range
+        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
+
+    # -- execution (workers) ----------------------------------------------
+    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+        import urllib.parse
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from delta_kernel_rs_spark.functions.dv import read_dv_row_indexes
+
+        events = ipc_deserialize(partition.ipc)
+        if events.num_rows == 0:
+            return
+        storage = storage_for_uri(self._path)
+        pset = set(self._pcols)
+        data_fields = [f for f in self._out_fields if f.name not in pset]
+
+        def dv_rows(dv: dict | None) -> set[int]:
+            if not dv or not dv.get("storageType"):
+                return set()
+            return set(read_dv_row_indexes(storage, self._path, dv))
+
+        for i in range(events.num_rows):
+            kind = events.column("kind")[i].as_py()
+            rel = urllib.parse.unquote(events.column("path")[i].as_py())
+            abs_path = (
+                rel if "://" in rel or rel.startswith("/") else f"{self._path}/{rel}"
+            )
+            pv = dict(events.column("partition_values")[i].as_py() or [])
+            version = events.column("version")[i].as_py()
+            ts_ms = events.column("ts_ms")[i].as_py()
+            avail = pq_read_schema_names(abs_path)
+            phys_cols = [
+                physical_name(f) for f in data_fields if physical_name(f) in avail
+            ]
+
+            if kind == "cdc":
+                # cdc parquet physically carries _change_type (never
+                # column-mapped — an internal column, like the reference's
+                # physical_to_logical.rs injection)
+                cols = phys_cols + (
+                    ["_change_type"] if "_change_type" in avail else []
+                )
+                table = pq_read(abs_path, columns=cols)
+                ct = (
+                    table.column("_change_type").cast(pa.string())
+                    if "_change_type" in table.column_names
+                    else pa.nulls(table.num_rows, type=pa.string())
+                )
+                yield self._cdf_batch(table, pv, ct, version, ts_ms)
+            elif kind == "swap":
+                old_set = dv_rows(events.column("dv_old")[i].as_py())
+                new_set = dv_rows(events.column("dv_new")[i].as_py())
+                newly_deleted = sorted(new_set - old_set)
+                restored = sorted(old_set - new_set)
+                if not newly_deleted and not restored:
+                    continue
+                table = pq_read(abs_path, columns=phys_cols)
+                idx = pa.array(newly_deleted + restored, type=pa.int64())
+                picked = table.take(idx)
+                ct = pa.array(
+                    ["delete"] * len(newly_deleted) + ["insert"] * len(restored),
+                    type=pa.string(),
+                )
+                yield self._cdf_batch(picked, pv, ct, version, ts_ms)
+            else:  # insert / delete: whole file minus its DV-hidden rows
+                hidden = dv_rows(
+                    events.column("dv_new" if kind == "insert" else "dv_old")[
+                        i
+                    ].as_py()
+                )
+                table = pq_read(abs_path, columns=phys_cols)
+                if hidden:
+                    indices = pa.array(range(table.num_rows), type=pa.int64())
+                    keep = pc.invert(
+                        pc.is_in(
+                            indices,
+                            value_set=pa.array(sorted(hidden), type=pa.int64()),
+                        )
+                    )
+                    table = table.filter(keep)
+                ct = pa.array([kind] * table.num_rows, type=pa.string())
+                yield self._cdf_batch(table, pv, ct, version, ts_ms)
+
+    def _cdf_batch(self, table, pv: dict, ct, version: int, ts_ms: int):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from delta_kernel_rs_spark.streaming.cdf_source import _parse_pv_py
+
+        n = table.num_rows
+        pset = set(self._pcols)
+        arrays, names = [], []
+        for f in self._out_fields:
+            at = to_arrow_type(f.dataType)
+            if f.name in pset:
+                raw = pv.get(physical_name(f), pv.get(f.name))
+                arrays.append(pa.array([_parse_pv_py(raw, f.dataType)] * n, type=at))
+            else:
+                pn = physical_name(f)
+                if pn in table.column_names:
+                    arrays.append(table.column(pn).cast(at))
+                else:
+                    arrays.append(pa.nulls(n, type=at))
+            names.append(f.name)
+        arrays.append(ct)
+        names.append("_change_type")
+        arrays.append(pa.array([version] * n, type=pa.int64()))
+        names.append("_commit_version")
+        ts_type = to_arrow_type(T.TimestampType())
+        arrays.append(
+            pa.array([ts_ms * 1000] * n, type=pa.int64()).cast(ts_type)
+        )
+        names.append("_commit_timestamp")
+        return pa.RecordBatch.from_arrays(
+            [
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in arrays
+            ],
+            names,
+        )
 
 
 class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
