@@ -30,6 +30,21 @@ from delta_kernel_rs_spark.sources.storage import CommitConflict
 #: the distributed full compute is the right path (write_crc_full)
 MAX_INCREMENTAL_COMMIT_BYTES = 16 << 20
 
+#: commit action kinds whose state effect the incremental fold models
+#: (the Delta action vocabulary, kernel/src/actions/mod.rs:46-72 minus
+#: the checkpoint-only kinds which never appear in commits); anything
+#: else makes the fold bail rather than risk a wrong CRC
+_KNOWN_ACTION_KINDS = frozenset(
+    {"add", "remove", "metaData", "protocol", "txn", "commitInfo", "cdc",
+     "domainMetadata"}
+)
+
+
+def _dv_uid(dv: dict | None) -> str:
+    if not dv or not dv.get("storageType"):
+        return ""
+    return f"{dv.get('storageType')}{dv.get('pathOrInlineDv')}@{dv.get('offset')}"
+
 
 def crc_path(table_path: str, version: int) -> str:
     return f"{table_path.rstrip('/')}/{LOG_DIR}/{version:020d}.crc"
@@ -144,6 +159,7 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
         else None
     )
     ict: int | None = None
+    seen_removes: set[str] = set()
     for line in text.splitlines():
         line = line.strip()
         if not line:
@@ -152,18 +168,32 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
             action = json.loads(line)
         except ValueError:
             continue
+        if not _KNOWN_ACTION_KINDS.intersection(action):
+            # foreign commit with an action kind this fold doesn't model:
+            # its effect on table state is unknowable — a wrong CRC is
+            # worse than none (reference state.rs folds only known kinds
+            # and new kinds arrive protocol-gated)
+            return False
         if "add" in action:
             n_files += 1
             size_bytes += action["add"].get("size") or 0
         elif "remove" in action:
             # a remove ALWAYS shrinks the live file set — dataChange=false
             # (OPTIMIZE/PURGE rewrites) flags logical content, not layout
+            rm = action["remove"]
+            key = f"{rm.get('path')}\x00{_dv_uid(rm.get('deletionVector'))}"
+            if key in seen_removes:
+                # duplicate remove of the same (path, dv) in ONE commit:
+                # a foreign writer's double tombstone must not
+                # double-decrement the live count — bail instead
+                return False
+            seen_removes.add(key)
             n_files -= 1
-            if action["remove"].get("size") is None:
+            if rm.get("size") is None:
                 # foreign remove without extended metadata: the byte
                 # delta is unknowable — a wrong CRC is worse than none
                 return False
-            size_bytes -= action["remove"]["size"]
+            size_bytes -= rm["size"]
         elif "metaData" in action:
             metadata = action["metaData"]
         elif "protocol" in action:
@@ -182,6 +212,11 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
         elif "commitInfo" in action:
             ict = (action["commitInfo"] or {}).get("inCommitTimestamp")
     if metadata is None or protocol is None:
+        return False
+    if n_files < 0 or size_bytes < 0:
+        # a fold can only go negative when a remove's key was not live
+        # (cross-commit duplicate tombstone from a foreign writer) —
+        # definite corruption signal, never write it
         return False
     doc = _crc_doc(
         n_files,

@@ -162,3 +162,127 @@ def test_crc_carries_complete_txn_and_domain_state(spark, tmp_path):
             f.unlink()
     assert fast == {a: t.latest_txn_version(a) for a in ("appA", "appB", "appC")}
     assert dm_fast == t.snapshot().get_domain_metadata("delta.rowTracking")
+
+
+# ---------------------------------------------------------------------------
+# Foreign commits + concurrency (r8 VERDICT next #6): the incremental
+# fold assumed this engine's own commit shapes — adversarial cases here.
+
+
+def _foreign_commit(path, version, lines):
+    commit = f"{path}/_delta_log/{version:020d}.json"
+    with open(commit, "w") as fh:
+        fh.write("\n".join(json.dumps(x) for x in lines) + "\n")
+
+
+def test_crc_fold_bails_on_unknown_action_kind(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20))
+    _foreign_commit(path, 1, [
+        {"commitInfo": {"operation": "FOREIGN"}},
+        {"futureAction": {"payload": 1}},  # unknown kind: effect unknowable
+        {"add": {"path": "x.parquet", "partitionValues": {}, "size": 10,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    storage = LocalStorage()
+    assert update_crc_incremental(spark, path, storage, 1) is False
+    assert read_crc(storage, path, 1) is None
+
+
+def test_crc_fold_bails_on_remove_without_size(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20))
+    rel = t.snapshot().scan().files()[0].path.rsplit("/", 1)[-1]
+    _foreign_commit(path, 1, [
+        {"commitInfo": {"operation": "FOREIGN DELETE"}},
+        {"remove": {"path": rel, "dataChange": True}},  # no extended metadata
+    ])
+    storage = LocalStorage()
+    assert update_crc_incremental(spark, path, storage, 1) is False
+    assert read_crc(storage, path, 1) is None
+
+
+def test_crc_fold_bails_on_duplicate_remove_in_commit(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20))
+    f = t.snapshot().scan().files()[0]
+    rel = f.path.rsplit("/", 1)[-1]
+    rm = {"path": rel, "dataChange": True, "size": f.size,
+          "extendedFileMetadata": True, "partitionValues": {}}
+    _foreign_commit(path, 1, [
+        {"commitInfo": {"operation": "FOREIGN"}},
+        {"remove": rm},
+        {"remove": dict(rm)},  # double tombstone: must not double-decrement
+    ])
+    storage = LocalStorage()
+    assert update_crc_incremental(spark, path, storage, 1) is False
+    assert read_crc(storage, path, 1) is None
+
+
+def test_crc_fold_bails_when_counts_go_negative(spark, tmp_path):
+    """Cross-commit duplicate tombstone: a remove whose key was not live
+    drives numFiles below zero — definite corruption, never written."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 20).coalesce(1))
+    files = t.snapshot().scan().files()
+    assert len(files) == 1  # single tombstone must empty the table
+    f = files[0]
+    rel = f.path.rsplit("/", 1)[-1]
+    rm = {"path": rel, "dataChange": True, "size": f.size,
+          "extendedFileMetadata": True, "partitionValues": {}}
+    _foreign_commit(path, 1, [{"commitInfo": {}}, {"remove": rm}])
+    _foreign_commit(path, 2, [{"commitInfo": {}}, {"remove": dict(rm)}])
+    storage = LocalStorage()
+    assert update_crc_incremental(spark, path, storage, 1) is True  # legit
+    assert update_crc_incremental(spark, path, storage, 2) is False
+    assert read_crc(storage, path, 2) is None
+
+
+def test_crc_fold_accepts_dv_swap_commit(spark, tmp_path):
+    """remove+add of the same path with different DVs (a DV delete) is
+    NOT a duplicate remove — the fold nets to zero file-count change."""
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 50))
+    delete_with_dvs(t, "k % 5 = 0")
+    storage = LocalStorage()
+    crc = read_crc(storage, path, 1)
+    assert crc is not None
+    files = t.snapshot().scan().files()
+    assert crc["numFiles"] == len(files)
+    assert crc["tableSizeBytes"] == sum(f.size for f in files)
+
+
+def test_crc_concurrent_fold_race_single_winner(spark, tmp_path):
+    """Two writers folding v -> v+1 concurrently: put-if-absent keeps the
+    chain consistent — exactly one write wins, and the surviving file is
+    byte-identical to what either writer computed."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 30))
+    v = t.append(_ints(spark, 30, 60))
+    storage = LocalStorage()
+    crc_file = tmp_path / "tbl" / "_delta_log" / f"{v:020d}.crc"
+    crc_file.unlink()  # re-open the race the commit path already won
+
+    results = []
+    barrier = threading.Barrier(4)
+
+    def fold():
+        barrier.wait()
+        results.append(update_crc_incremental(spark, path, storage, v))
+
+    threads = [threading.Thread(target=fold) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    # every fold reports success-or-already-present, never an error; the
+    # file exists exactly once and matches the true state
+    assert all(r in (True, False) for r in results)
+    crc = read_crc(storage, path, v)
+    files = t.snapshot().scan().files()
+    assert crc["numFiles"] == len(files)
+    assert crc["tableSizeBytes"] == sum(f.size for f in files)
