@@ -10,6 +10,12 @@ this engine's analogues, per BASELINE.md's replication list:
   checkpoint), after a V1 checkpoint, after a V2+sidecar checkpoint.
 - ``crc*/snapshotLatest``: Snapshot.create (P&M resolution) with a fresh
   CRC at the tip vs a stale one far behind vs none at all.
+- ``300k*``: the same two paths on the reference's pathological
+  300k-add / 100-partition-column log (mem-test/tests/
+  dhat_large_table_log.rs gates the reference on this exact table) —
+  metadata regressions AT SCALE are gated per-round, not just the 10k
+  happy path. ``--skip-large`` omits it (table extraction needs the
+  reference checkout).
 
 Prints ONE JSON line so the per-round artifact can feed
 scripts/bench_compare.py exactly like BENCH does:
@@ -63,6 +69,29 @@ def _build_table(spark, path: str, adds: int, commits: int):
     return t
 
 
+#: reference fixture: 300k add actions over 100 partition columns
+#: (kernel/tests/data/300k-add-files-100-col-partitioned.tar.zst)
+LARGE_TABLE = "300k-add-files-100-col-partitioned"
+LARGE_TABLE_TAR = f"/root/reference/kernel/tests/data/{LARGE_TABLE}.tar.zst"
+EXTRACT_ROOT = "/tmp/dkrs_ref_data"  # shared with tests' extract cache
+
+
+def _extract_large_table() -> str | None:
+    import subprocess
+
+    if not os.path.exists(LARGE_TABLE_TAR):
+        return None
+    dest = os.path.join(EXTRACT_ROOT, LARGE_TABLE)
+    if not os.path.isdir(dest):
+        os.makedirs(EXTRACT_ROOT, exist_ok=True)
+        subprocess.run(
+            ["tar", "--use-compress-program=unzstd", "-xf", LARGE_TABLE_TAR],
+            cwd=EXTRACT_ROOT,
+            check=True,
+        )
+    return dest
+
+
 def _timed(fn, reps: int = 2) -> float:
     best = float("inf")
     for _ in range(reps):
@@ -76,6 +105,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--adds", type=int, default=10_000)
     ap.add_argument("--commits", type=int, default=20)
+    ap.add_argument("--skip-large", action="store_true",
+                    help="omit the 300k-add pathological-log cases")
     args = ap.parse_args()
 
     from delta_kernel_rs_spark.session import get_spark
@@ -127,6 +158,21 @@ def main() -> int:
         for f in crcs:  # restore the chain
             os.rename(os.path.join(root, f), os.path.join(log_dir, f))
 
+    large_files = None
+    if not args.skip_large:
+        large = _extract_large_table()
+        if large is not None:
+
+            def read_metadata_large():
+                snap = Snapshot.create(spark, large)
+                return snap.scan().scan_files_df().count()
+
+            large_files = read_metadata_large()  # warm the extract/footers
+            results["read_metadata_300k"] = _timed(read_metadata_large)
+            results["snapshot_latest_300k"] = _timed(
+                lambda: Snapshot.create(spark, large).version
+            )
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -138,6 +184,7 @@ def main() -> int:
                 "adds": args.adds,
                 "commits": args.commits,
                 "files_seen": n_files,
+                "large_table_files": large_files,
             }
         )
     )
