@@ -45,6 +45,29 @@ _LIVE_ADDS_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _LIVE_ADDS_CACHE_MAX = 64
 
 
+def cached_files_frame(key: tuple, builder) -> DataFrame:
+    """Persist-and-reuse a metadata-sized frame under a stable LRU key.
+
+    One code path for every immutable snapshot-derived frame (live adds,
+    incremental merges): the first caller persists, later callers with
+    the same key share the SAME persisted DataFrame object; evictees are
+    unpersisted. Keys must pin everything the frame depends on
+    (application, table, version range, checkpoint shape)."""
+    df = _LIVE_ADDS_CACHE.get(key)
+    if df is not None:
+        _LIVE_ADDS_CACHE.move_to_end(key)
+        return df
+    df = builder().persist()
+    _LIVE_ADDS_CACHE[key] = df
+    while len(_LIVE_ADDS_CACHE) > _LIVE_ADDS_CACHE_MAX:
+        _, old = _LIVE_ADDS_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped
+            pass
+    return df
+
+
 def dv_unique_id(dv_col: Column) -> Column:
     """Unique id of a deletion vector (reference FileActionKey dv part:
     kernel/src/log_replay/mod.rs:28-56 — storageType+path+offset)."""
@@ -300,19 +323,7 @@ class Scan:
             seg.checkpoint_version,
             len(seg.commit_files),
         )
-        df = _LIVE_ADDS_CACHE.get(key)
-        if df is None:
-            df = self.add_actions_df().persist()
-            _LIVE_ADDS_CACHE[key] = df
-            while len(_LIVE_ADDS_CACHE) > _LIVE_ADDS_CACHE_MAX:
-                _, old = _LIVE_ADDS_CACHE.popitem(last=False)
-                try:
-                    old.unpersist()
-                except Exception:  # session already stopped
-                    pass
-        else:
-            _LIVE_ADDS_CACHE.move_to_end(key)
-        return df
+        return cached_files_frame(key, self.add_actions_df)
 
     def add_actions_df(self) -> DataFrame:
         """Live ``add`` actions (+ commit version) after full replay."""
@@ -516,17 +527,17 @@ class Scan:
         subtree several times (head collect, DV descriptors, constants),
         and unlike the default path this frame has no persisted replay
         underneath it — measured 2.4→2.0 s on the d03 incr arm at sf0.1.
-        Evictees are unpersisted by the LRU."""
-        if persist:
-            key = ("files_df_override", self.snapshot.table_path, id(files_df))
-            files_df = files_df.persist()
-            _LIVE_ADDS_CACHE[key] = files_df
-            while len(_LIVE_ADDS_CACHE) > _LIVE_ADDS_CACHE_MAX:
-                _, old = _LIVE_ADDS_CACHE.popitem(last=False)
-                try:
-                    old.unpersist()
-                except Exception:  # session already stopped
-                    pass
+        A frame that is ALREADY persisted (e.g. the stable-key cached
+        merge from ``Snapshot.scan_files_df_from``) is used as-is — no
+        duplicate persist, no id()-keyed LRU churn. Evictees are
+        unpersisted by the LRU."""
+        from pyspark import StorageLevel
+
+        if persist and files_df.storageLevel == StorageLevel.NONE:
+            cached_files_frame(
+                ("files_df_override", self.snapshot.table_path, id(files_df)),
+                lambda: files_df,
+            )
         self._files_df_override = files_df
         self._files_cache = None
         return self

@@ -493,12 +493,40 @@ class Snapshot:
         with the (base, this] diff entirely in-plan — the columnar
         prior-state handoff of the reference's scan_metadata_from
         (kernel/src/scan/mod.rs:880-1024). Feed the result to
-        ``Scan.with_files_df``. None when the range is unservable."""
+        ``Scan.with_files_df``. None when the range is unservable.
+
+        The merged frame for a fixed (table, base, target, prior plan) is
+        immutable, so it lands in the same stable-key LRU the live-adds
+        replay uses — a repeated refresh (dashboard poll, per-trigger
+        streaming plan, bench rerun) reuses ONE persisted merge instead of
+        re-running replay + anti-join each time. The prior frame's
+        Catalyst semantic hash pins the key to the prior PLAN, so a
+        different prior (e.g. predicate-filtered) can never alias."""
         from delta_kernel_rs_spark.sources.incremental import (
             refresh_scan_files_df,
         )
 
-        return refresh_scan_files_df(self, base_version, prior_df)
+        merged = refresh_scan_files_df(self, base_version, prior_df)
+        if merged is None or merged is prior_df:
+            return merged
+        try:
+            sem = prior_df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:  # internal API unavailable: skip cross-call reuse
+            return merged
+        from delta_kernel_rs_spark.sources.scan import cached_files_frame
+
+        seg = self.log_segment
+        key = (
+            "incr_merge",
+            self.spark.sparkContext.applicationId,
+            self.table_path,
+            base_version,
+            self.version,
+            seg.checkpoint_version,
+            len(seg.commit_files),
+            sem,
+        )
+        return cached_files_frame(key, lambda: merged)
 
     def timestamp_ms(self) -> int:
         """Commit timestamp of this snapshot's version (file mtime)."""

@@ -116,3 +116,25 @@ def test_refresh_df_unservable_and_noop(spark, table):
         assert latest.scan_files_df_from(0, prior_df) is None
     finally:
         os.rename(victim + ".bak", victim)
+
+
+def test_refresh_merge_cached_by_stable_key(spark, tmp_path):
+    """The merged (base, target] frame is immutable for a fixed prior
+    PLAN, so repeated refreshes share one persisted frame (stable-key
+    LRU, r9); a semantically different prior must never alias into it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 40))
+    t.append(_ints(spark, 40, 80))
+    base = t.snapshot(version=0)
+    latest = t.snapshot()
+
+    m1 = latest.scan_files_df_from(0, base.scan().scan_files_df())
+    m1b = latest.scan_files_df_from(0, base.scan().scan_files_df())
+    assert m1 is m1b  # identical prior plan -> the SAME persisted frame
+
+    empty_prior = base.scan().scan_files_df().filter(F.lit(False))
+    m2 = latest.scan_files_df_from(0, empty_prior)
+    assert m2 is not m1
+    assert m1.count() > m2.count()  # no aliasing across different priors
