@@ -201,10 +201,13 @@ class DeltaKernelDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         if self._is_cdf():
+            # end-version schema + the three CDF columns. Start-side
+            # validation happens in the BATCH reader only — the streaming
+            # CDF reader defaults startingVersion itself.
             opts = _opts(self.options)
             path = opts["path"].rstrip("/")
             storage = storage_for_uri(path)
-            _, end = _resolve_cdf_range(storage, path, opts)
+            end = _resolve_cdf_end(storage, path, opts)
             seg = build_log_segment(storage, path, end)
             meta, proto = snapshot_metadata(storage, seg)
             protocol_of(proto).ensure_read_supported(
@@ -248,7 +251,16 @@ class DeltaKernelDataSource(DataSource):
             raise ValueError("delta_kernel streaming sink is append-only")
         return DeltaKernelStreamWriter(schema, self.options)
 
-    def streamReader(self, schema: T.StructType) -> "DeltaKernelStreamReader":
+    def streamReader(self, schema: T.StructType):
+        if self._is_cdf():
+            # delta-spark idiom: readStream + readChangeFeed on the SAME
+            # format serves the streaming change feed (the standalone
+            # "delta_cdf" format remains as the explicit spelling)
+            from delta_kernel_rs_spark.streaming.cdf_source import (
+                DeltaCdfStreamReader,
+            )
+
+            return DeltaCdfStreamReader(schema, dict(self.options))
         return DeltaKernelStreamReader(schema, self.options)
 
 
@@ -476,35 +488,43 @@ def _cdf_enabled(meta: dict) -> bool:
     return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
 
 
+def _resolve_cdf_end(storage, path: str, opts: dict) -> int:
+    """End version for CDF reads: endingVersion, endingTimestamp (last
+    commit at/before it), or the current tip."""
+    ev, et = opts.get("endingversion"), opts.get("endingtimestamp")
+    if ev is not None and et is not None:
+        raise ValueError("set endingVersion or endingTimestamp, not both")
+    if ev is not None:
+        return int(ev)
+    if et is not None:
+        from delta_kernel_rs_spark.sources.history import (
+            version_at_timestamp_for_storage,
+        )
+
+        return version_at_timestamp_for_storage(storage, path, _parse_ts_ms(et))
+    return build_log_segment(storage, path).version
+
+
 def _resolve_cdf_range(storage, path: str, opts: dict) -> tuple[int, int]:
     """CDF range from options; raises on contradictory or invalid ranges
     (range-validation errors must surface through the facade, not produce
     silently-empty feeds)."""
     sv, st = opts.get("startingversion"), opts.get("startingtimestamp")
-    ev, et = opts.get("endingversion"), opts.get("endingtimestamp")
     if sv is not None and st is not None:
         raise ValueError("set startingVersion or startingTimestamp, not both")
-    if ev is not None and et is not None:
-        raise ValueError("set endingVersion or endingTimestamp, not both")
     if sv is None and st is None:
         raise ValueError(
             "readChangeFeed requires startingVersion or startingTimestamp"
         )
-    from delta_kernel_rs_spark.sources.history import (
-        first_version_after_for_storage,
-        version_at_timestamp_for_storage,
-    )
-
     if sv is not None:
         start = int(sv)
     else:
+        from delta_kernel_rs_spark.sources.history import (
+            first_version_after_for_storage,
+        )
+
         start = first_version_after_for_storage(storage, path, _parse_ts_ms(st))
-    if ev is not None:
-        end = int(ev)
-    elif et is not None:
-        end = version_at_timestamp_for_storage(storage, path, _parse_ts_ms(et))
-    else:
-        end = build_log_segment(storage, path).version
+    end = _resolve_cdf_end(storage, path, opts)
     if start > end:
         raise ValueError(f"start {start} > end {end}")
     return start, end

@@ -126,3 +126,29 @@ def test_stream_sees_update_images(spark, tmp_path):
     assert by_type["update_postimage"] == {108, 109}
     # the initial create arrives as inserts; kept rows emit nothing else
     assert by_type["insert"] == set(range(10))
+
+
+def test_stream_readchangefeed_via_delta_kernel_format(spark, cdf_table):
+    """delta-spark idiom: readStream + readChangeFeed on the SAME
+    delta_kernel format serves the streaming change feed, identical to
+    the explicit delta_cdf spelling and the batch CDF arms."""
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", cdf_table.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("s_rk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_rk")
+    batch = cdf_table.changes(0)
+    a = {(r.k, r._change_type, r._commit_version) for r in got.collect()}
+    b = {(r.k, r._change_type, r._commit_version) for r in batch.collect()}
+    assert a == b
