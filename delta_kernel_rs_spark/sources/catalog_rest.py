@@ -169,7 +169,15 @@ class UCCatalogServer:
     """
 
     def __init__(self) -> None:
+        import threading
+
         self._tables: dict[tuple[str, str, str], _TableState] = {}
+        #: ratification is an atomic check-then-append — behind the real
+        #: ThreadingHTTPServer two concurrent add-commit POSTs for the same
+        #: next version would otherwise BOTH pass the version check (the
+        #: reference's in_memory.rs holds a mutex around TableData for the
+        #: same reason)
+        self._mutate = threading.Lock()
 
     # -- test/bootstrap hook (mirrors in_memory.rs insert_table) ----------
     def register_table(
@@ -256,6 +264,10 @@ class UCCatalogServer:
         }
 
     def _update_table(self, key: tuple[str, str, str], body: dict) -> dict:
+        with self._mutate:
+            return self._update_table_locked(key, body)
+
+    def _update_table_locked(self, key: tuple[str, str, str], body: dict) -> dict:
         st = self._state(key)
         validate_update_table_request(body)
         for req in body.get("requirements", []):

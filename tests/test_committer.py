@@ -10,6 +10,7 @@ go through the catalog's committer.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -477,3 +478,52 @@ def test_rest_dml_rides_the_contract(spark, tmp_path, rest_transport):
     assert v == 1
     snap = _cm_snapshot(spark, t, cat)
     assert snap.scan().to_df().count() == 90
+
+
+def test_rest_concurrent_commit_race_over_http(spark, tmp_path, rest_transport):
+    """6 committer threads race the catalog's next-version slot through
+    the transport simultaneously (over the real socket in the http
+    param): ratification must be atomic — every loser gets a 409 and
+    retries at the refreshed version, the ledger ends contiguous with
+    one commit per version, and the replayed snapshot sees all rows."""
+    import threading
+
+    from delta_kernel_rs_spark.sources.storage import CommitConflict, LocalStorage
+
+    t, server, client, cat = _rest_table(
+        spark, str(tmp_path / "t"), spark.range(2).toDF("x"), rest_transport
+    )
+    storage = LocalStorage()
+    n = 6
+    barrier = threading.Barrier(n)
+    landed: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def writer(i: int):
+        # pre-serialized single-action commit payload (no SparkSession in
+        # threads); version re-targets on conflict like the transaction
+        payload_for = lambda v: (
+            json.dumps({"commitInfo": {"operation": "WRITE", "writer": i}})
+            + "\n"
+        ).encode()
+        barrier.wait()
+        version = 1
+        for _ in range(40):
+            try:
+                resp = cat.commit(storage, t.path, version, payload_for(version))
+                landed[i] = resp.version
+                return
+            except CommitConflict:
+                version = max(c.version for c in cat._catalog_commits()) + 1
+        errors.append(RuntimeError(f"writer {i} never committed"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    assert not errors
+    assert sorted(landed.values()) == list(range(1, n + 1))  # contiguous
+    resp = client.load_table("main", "ds", "tbl")
+    assert resp["latest-table-version"] == n
+    assert [c["version"] for c in resp["commits"]] == list(range(n, 0, -1))
