@@ -629,46 +629,14 @@ def _plan_cdf_events(storage, table_path: str, start: int, end: int):
     return pa.Table.from_pylist(rows, schema=_cdf_event_schema())
 
 
-class DeltaKernelCDFReader(DataSourceReader):
-    def __init__(self, options: dict):
-        opts = _opts(options)
-        self._path = opts["path"].rstrip("/")
-        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
-        storage = storage_for_uri(self._path)
-        self._start, self._end = _resolve_cdf_range(storage, self._path, opts)
-        end_seg = build_log_segment(storage, self._path, self._end)
-        meta, proto = snapshot_metadata(storage, end_seg)
-        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
-        if not _cdf_enabled(meta):
-            raise ValueError(
-                "change data feed is not enabled (delta.enableChangeDataFeed)"
-            )
-        # CDF must have been on for the WHOLE range: commits written while
-        # it was off carry no metaData at all, so the in-range metaData
-        # gate alone cannot catch them — also check AS OF start.
-        if self._start < end_seg.version:
-            start_seg = build_log_segment(storage, self._path, self._start)
-            start_meta, _ = snapshot_metadata(storage, start_seg)
-            if not _cdf_enabled(start_meta):
-                raise ValueError(
-                    f"change data feed was not enabled at version "
-                    f"{self._start}; the requested range cannot be served"
-                )
-        self._table_schema = parse_schema_string(meta["schemaString"])
-        self._pcols = list(meta.get("partitionColumns") or [])
-        self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
+class _CdfEventReadMixin:
+    """Executor-side read of a CDF event slice — shared by the batch CDF
+    reader and the streaming change-feed source. Requires attributes
+    ``_path``, ``_table_schema``, ``_pcols``, ``_out_fields``. DV bitmaps
+    decode on EXECUTORS (the driver ships descriptors, never row
+    indexes)."""
 
-    # -- planning (driver-side worker) -----------------------------------
-    def partitions(self) -> Sequence[InputPartition]:
-        storage = storage_for_uri(self._path)
-        events = _plan_cdf_events(storage, self._path, self._start, self._end)
-        slices = bin_pack_by_size(events, self._target_bytes)
-        if not slices:
-            return [_FileSliceTask(ipc_serialize(events))]  # empty range
-        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
-
-    # -- execution (workers) ----------------------------------------------
-    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+    def _read_cdf_events(self, partition: "_FileSliceTask") -> Iterator[Any]:
         import urllib.parse
 
         import pyarrow as pa
@@ -787,6 +755,49 @@ class DeltaKernelCDFReader(DataSourceReader):
             ],
             names,
         )
+
+
+class DeltaKernelCDFReader(_CdfEventReadMixin, DataSourceReader):
+    def __init__(self, options: dict):
+        opts = _opts(options)
+        self._path = opts["path"].rstrip("/")
+        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        storage = storage_for_uri(self._path)
+        self._start, self._end = _resolve_cdf_range(storage, self._path, opts)
+        end_seg = build_log_segment(storage, self._path, self._end)
+        meta, proto = snapshot_metadata(storage, end_seg)
+        protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
+        if not _cdf_enabled(meta):
+            raise ValueError(
+                "change data feed is not enabled (delta.enableChangeDataFeed)"
+            )
+        # CDF must have been on for the WHOLE range: commits written while
+        # it was off carry no metaData at all, so the in-range metaData
+        # gate alone cannot catch them — also check AS OF start.
+        if self._start < end_seg.version:
+            start_seg = build_log_segment(storage, self._path, self._start)
+            start_meta, _ = snapshot_metadata(storage, start_seg)
+            if not _cdf_enabled(start_meta):
+                raise ValueError(
+                    f"change data feed was not enabled at version "
+                    f"{self._start}; the requested range cannot be served"
+                )
+        self._table_schema = parse_schema_string(meta["schemaString"])
+        self._pcols = list(meta.get("partitionColumns") or [])
+        self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
+
+    # -- planning (driver-side worker) -----------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        storage = storage_for_uri(self._path)
+        events = _plan_cdf_events(storage, self._path, self._start, self._end)
+        slices = bin_pack_by_size(events, self._target_bytes)
+        if not slices:
+            return [_FileSliceTask(ipc_serialize(events))]  # empty range
+        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
+
+    # -- execution (workers) ----------------------------------------------
+    def read(self, partition: _FileSliceTask) -> Iterator[Any]:
+        return self._read_cdf_events(partition)
 
 
 class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):

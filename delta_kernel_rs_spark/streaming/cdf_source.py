@@ -24,16 +24,13 @@ Usage::
 from __future__ import annotations
 
 import datetime as _dt
-import json
 from collections.abc import Iterator, Sequence
-from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from delta_kernel_rs_spark.functions.dv import read_dv_row_indexes
 from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string, physical_name
 from delta_kernel_rs_spark.sources.storage import storage_for_uri
 
@@ -50,6 +47,7 @@ def register_cdf_source(spark) -> None:
 
 from delta_kernel_rs_spark.sources.batch_source import (  # noqa: E402
     _PYARROW_READER_FEATURES,
+    _CdfEventReadMixin,
 )
 
 
@@ -91,20 +89,7 @@ def _parse_pv_py(raw: str | None, dtype: T.DataType) -> Any:
     return raw
 
 
-@dataclass
-class _CdfTask(InputPartition):
-    """One per-file read task of a micro-batch."""
-
-    kind: str  # 'whole' | 'rows_at' | 'rows_excluding' | 'cdc'
-    file_path: str
-    change_type: str | None  # None for cdc (physical column carries it)
-    partition_values: dict
-    row_indexes: list[int] = field(default_factory=list)
-    version: int = 0
-    ts_ms: int = 0
-
-
-class DeltaCdfStreamReader(DataSourceStreamReader):
+class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         # Spark lower-cases data source option keys.
         opts = {k.lower(): v for k, v in options.items()}
@@ -120,6 +105,8 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._out_schema = schema
+        #: data projection the shared CDF read mixin emits (full schema)
+        self._out_fields = list(self._table_schema.fields)
         # admission control: at most N commits of changes per micro-batch
         # (CDF change sets are per-commit, so the commit is the natural
         # admission unit). Same cursor + Spark-authoritative floor pattern
@@ -158,131 +145,35 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
 
     # -- planning (driver) ----------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Classify the micro-batch's commits into CDF events via the
+        SAME planner the batch facade uses (sources/batch_source.py
+        _plan_cdf_events) and bin-pack them into read tasks. DV bitmaps
+        decode on EXECUTORS — the driver ships descriptors, never row
+        indexes (the pre-r9 per-file tasks decoded DVs driver-side)."""
+        from delta_kernel_rs_spark.sources.batch_source import (
+            DEFAULT_TARGET_BYTES,
+            _FileSliceTask,
+            _plan_cdf_events,
+        )
+        from delta_kernel_rs_spark.sources.pyreplay import (
+            bin_pack_by_size,
+            ipc_serialize,
+        )
+
         sv = max(start["version"], self._floor)
         self._floor = sv
         self._cursor = max(self._cursor, end["version"])
-        tasks: list[_CdfTask] = []
-        for v in range(sv, end["version"]):
-            commit_path = f"{_log_dir(self._path)}/{v:020d}.json"
-            adds, removes, cdcs, ict = [], [], [], None
-            for line in self._storage.read_text(commit_path).splitlines():
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    action = json.loads(line)
-                except ValueError:
-                    continue
-                if "add" in action:
-                    adds.append(action["add"])
-                elif "remove" in action:
-                    removes.append(action["remove"])
-                elif "cdc" in action:
-                    cdcs.append(action["cdc"])
-                elif "commitInfo" in action:
-                    ict = action["commitInfo"].get("inCommitTimestamp")
-            ts = ict if ict is not None else self._storage.stat(commit_path).last_modified_ms
-
-            def abs_path(rel: str) -> str:
-                import urllib.parse
-
-                rel = urllib.parse.unquote(rel)
-                if "://" in rel or rel.startswith("/"):
-                    return rel
-                return f"{self._path}/{rel}"
-
-            if cdcs:
-                tasks.extend(
-                    _CdfTask("cdc", abs_path(c["path"]), None,
-                             c.get("partitionValues") or {}, [], v, ts)
-                    for c in cdcs
-                )
-                continue
-            adds_by = {a["path"]: a for a in adds if a.get("dataChange")}
-            removes_by = {r["path"]: r for r in removes if r.get("dataChange")}
-            for path, add in adds_by.items():
-                remove = removes_by.pop(path, None)
-                pv = add.get("partitionValues") or {}
-                if remove is None:
-                    if add.get("deletionVector"):
-                        rows = read_dv_row_indexes(self._storage, self._path, add["deletionVector"])
-                        tasks.append(_CdfTask("rows_excluding", abs_path(path), "insert", pv, rows, v, ts))
-                    else:
-                        tasks.append(_CdfTask("whole", abs_path(path), "insert", pv, [], v, ts))
-                    continue
-                old = set(
-                    read_dv_row_indexes(self._storage, self._path, remove["deletionVector"])
-                    if remove.get("deletionVector") else []
-                )
-                new = set(
-                    read_dv_row_indexes(self._storage, self._path, add["deletionVector"])
-                    if add.get("deletionVector") else []
-                )
-                if new - old:
-                    tasks.append(_CdfTask("rows_at", abs_path(path), "delete", pv, sorted(new - old), v, ts))
-                if old - new:
-                    tasks.append(_CdfTask("rows_at", abs_path(path), "insert", pv, sorted(old - new), v, ts))
-            for path, remove in removes_by.items():
-                pv = remove.get("partitionValues") or {}
-                if remove.get("deletionVector"):
-                    rows = read_dv_row_indexes(self._storage, self._path, remove["deletionVector"])
-                    tasks.append(_CdfTask("rows_excluding", abs_path(path), "delete", pv, rows, v, ts))
-                else:
-                    tasks.append(_CdfTask("whole", abs_path(path), "delete", pv, [], v, ts))
-        return tasks
+        if sv >= end["version"]:
+            return []
+        events = _plan_cdf_events(
+            self._storage, self._path, sv, end["version"] - 1
+        )
+        slices = bin_pack_by_size(events, DEFAULT_TARGET_BYTES)
+        return [_FileSliceTask(ipc_serialize(s)) for s in slices]
 
     # -- execution (workers) ---------------------------------------------
-    def read(self, partition: _CdfTask) -> Iterator:  # yields arrow batches
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        task = partition
-        table = pq.read_table(task.file_path)
-        if task.kind in ("rows_at", "rows_excluding"):
-            import pyarrow.compute as pc
-
-            mask_idx = pa.array(task.row_indexes, type=pa.int64())
-            indices = pa.array(range(table.num_rows), type=pa.int64())
-            member = pc.is_in(indices, value_set=mask_idx)
-            if task.kind == "rows_excluding":
-                member = pc.invert(member)
-            table = table.filter(member)
-
-        pset = set(self._pcols)
-        fields_by_name = {f.name: f for f in self._table_schema.fields}
-        arrays, names = [], []
-        n = table.num_rows
-        for f in self._table_schema.fields:
-            at = to_arrow_type(f.dataType)
-            if f.name in pset:
-                val = _parse_pv_py(
-                    task.partition_values.get(physical_name(f))
-                    if physical_name(f) in task.partition_values
-                    else task.partition_values.get(f.name),
-                    f.dataType,
-                )
-                arrays.append(pa.array([val] * n, type=at))
-            else:
-                col = table.column(physical_name(f)) if physical_name(f) in table.column_names else None
-                if col is None:
-                    arrays.append(pa.nulls(n, type=at))
-                else:
-                    arrays.append(col.cast(at))
-            names.append(f.name)
-        if task.kind == "cdc":
-            ct = table.column("_change_type").cast(pa.string())
-        else:
-            ct = pa.array([task.change_type] * n, type=pa.string())
-        arrays.append(ct)
-        names.append("_change_type")
-        arrays.append(pa.array([task.version] * n, type=pa.int64()))
-        names.append("_commit_version")
-        ts = _dt.datetime.fromtimestamp(task.ts_ms / 1000, tz=_dt.timezone.utc).replace(tzinfo=None)
-        arrays.append(pa.array([ts] * n, type=pa.timestamp("us")))
-        names.append("_commit_timestamp")
-        out = pa.table(dict(zip(names, arrays)))
-        yield from out.to_batches(max_chunksize=1 << 16)
+    def read(self, partition) -> Iterator:  # yields arrow batches
+        return self._read_cdf_events(partition)
 
 
 class DeltaCdfDataSource(DataSource):

@@ -316,6 +316,32 @@ def test_cross_product_read_write(spark, tmp_path, ls_name, fs_name, layout_idx)
         inserts = cdc.filter(F.col("_change_type") == "insert")
         assert inserts.count() == (LATEST - lo + 1) * ROWS_PER_COMMIT
 
+        # 6b. the facade CDF read (readChangeFeed option, r9) must agree
+        # with table_changes over the SAME log shape — cm modes, ICT,
+        # checkpoints, and cleanup all crossed here for free
+        from delta_kernel_rs_spark.sources.batch_source import (
+            register_batch_source,
+        )
+
+        register_batch_source(spark)
+        facade = (
+            spark.read.format("delta_kernel")
+            .option("path", t.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", lo)
+            .option("endingVersion", LATEST)
+            .load()
+        )
+        fa = sorted(
+            (r["id"], r["_change_type"], r["_commit_version"])
+            for r in facade.select("id", "_change_type", "_commit_version").collect()
+        )
+        tb = sorted(
+            (r["id"], r["_change_type"], r["_commit_version"])
+            for r in cdc.select("id", "_change_type", "_commit_version").collect()
+        )
+        assert fa == tb
+
 
 # --- DML phase over the same axes (reference write-suite crossings) ----------
 
