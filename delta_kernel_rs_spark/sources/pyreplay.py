@@ -92,6 +92,12 @@ def snapshot_metadata(storage, seg) -> tuple[dict, dict]:
             hits = tbl.filter(pc.is_valid(pc.struct_field(col, "id")))
             if hits.num_rows:
                 meta = hits.column("metaData")[0].as_py()
+                # pyarrow renders parquet MAP columns as [(k, v), ...];
+                # commit-JSON metaData carries dicts — normalize so every
+                # consumer sees ONE shape regardless of where the newest
+                # metaData lived
+                if isinstance(meta.get("configuration"), list):
+                    meta["configuration"] = dict(meta["configuration"])
         if proto is None and "protocol" in tbl.column_names:
             col = tbl.column("protocol")
             hits = tbl.filter(pc.is_valid(pc.struct_field(col, "minReaderVersion")))
