@@ -762,6 +762,18 @@ class DeltaKernelCDFReader(_CdfEventReadMixin, DataSourceReader):
         opts = _opts(options)
         self._path = opts["path"].rstrip("/")
         self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        # options the CDF path does not implement must fail fast, never
+        # silently no-op (a predicate that doesn't filter is a wrong answer)
+        if opts.get("predicate"):
+            raise ValueError(
+                "predicate is not supported with readChangeFeed; "
+                ".filter() the returned DataFrame instead"
+            )
+        if opts.get("versionasof") is not None or opts.get("timestampasof") is not None:
+            raise ValueError(
+                "versionAsOf/timestampAsOf don't apply to readChangeFeed; "
+                "use startingVersion/endingVersion (or the Timestamp forms)"
+            )
         storage = storage_for_uri(self._path)
         self._start, self._end = _resolve_cdf_range(storage, self._path, opts)
         end_seg = build_log_segment(storage, self._path, self._end)

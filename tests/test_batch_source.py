@@ -763,3 +763,33 @@ def test_format_cdf_enabled_later_gates_early_range(spark, orders, tmp_path):
     # from the enable version onward the feed serves fine
     got = _read_fmt(spark, path, readChangeFeed="true", startingVersion=2)
     assert got.count() == 100
+
+
+def test_format_cdf_rejects_unsupported_options(spark, orders, tmp_path):
+    """Options the CDF path doesn't implement fail fast — a silently
+    ignored predicate would be a wrong answer, not a degraded one."""
+    t = _cdf_fixture(spark, orders, str(tmp_path / "t"))
+    with pytest.raises(Exception, match="predicate is not supported"):
+        _read_fmt(
+            spark, t.path, readChangeFeed="true", startingVersion=0,
+            predicate="o_orderkey > 5",
+        ).collect()
+    with pytest.raises(Exception, match="don't apply to readChangeFeed"):
+        _read_fmt(
+            spark, t.path, readChangeFeed="true", startingVersion=0,
+            versionAsOf=1,
+        ).collect()
+
+
+def test_format_cdf_columns_option_prunes(spark, orders, tmp_path):
+    t = _cdf_fixture(spark, orders, str(tmp_path / "t"))
+    got = _read_fmt(
+        spark, t.path, readChangeFeed="true", startingVersion=0,
+        columns="o_orderkey,o_totalprice",
+    )
+    assert got.columns == [
+        "o_orderkey", "o_totalprice",
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+    want = t.changes(0).select(*got.columns)
+    assert _cdf_rows(got) == _cdf_rows(want)

@@ -147,3 +147,38 @@ def test_cdf_driver_collects_are_commit_sized(spark, tmp_path, monkeypatch):
     # prepass rows (<= commits) + one row per change kind for the path
     # lists; 120 driver rows would mean per-file-action materialization
     assert planned <= 10, f"driver collected {planned} rows during CDF planning"
+
+
+def test_facade_cdf_planning_never_decodes_dvs_on_driver(spark, tmp_path, monkeypatch):
+    """The facade/streaming CDF planner ships DV DESCRIPTORS in the event
+    slices; bitmap decode happens only in executor-side read() (r9 — the
+    pre-r9 streaming source decoded on the driver). Forbid the decoder
+    for the whole planning phase."""
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark import sources
+    from delta_kernel_rs_spark.sources import batch_source
+    from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+    from delta_kernel_rs_spark.sources.storage import LocalStorage
+    from delta_kernel_rs_spark.sources.table import DeltaTable
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.range(200).select(F.col("id").alias("k")),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(spark.range(200, 300).select(F.col("id").alias("k")))
+    delete_with_dvs(t, "k % 7 = 0")
+
+    import delta_kernel_rs_spark.functions.dv as dv_mod
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("DV bitmap decoded on the driver during CDF planning")
+
+    monkeypatch.setattr(dv_mod, "read_dv_row_indexes", boom)
+    events = batch_source._plan_cdf_events(LocalStorage(), path, 0, t.snapshot().version)
+    assert events.num_rows >= 3
+    kinds = set(events.column("kind").to_pylist())
+    assert "swap" in kinds  # the DV delete classified without decoding
