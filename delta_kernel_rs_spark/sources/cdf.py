@@ -247,11 +247,30 @@ def table_changes(
         .join(F.broadcast(ts_df), "version")
     )
 
+    # The classified events frame is commit-METADATA-sized (one row per
+    # file action in the range, never row-level data), immutable for a
+    # fixed (table, start, end), and re-executed by every arm's constants
+    # join + DV-descriptor subtree — exactly the live-adds cache shape, so
+    # it lands in the same bounded stable-key LRU (evictees unpersisted).
+    # NOTE the r7 reverted experiment persisted the WIDE row-level change
+    # frame — that one costs more to materialize than it saves and defeats
+    # per-arm column pruning; this is the small planning frame instead.
+    from delta_kernel_rs_spark.sources.scan import cached_files_frame
+
+    events = cached_files_frame(
+        (
+            "cdf_events",
+            spark.sparkContext.applicationId,
+            table_path,
+            start_version,
+            end_version,
+        ),
+        lambda: events,
+    )
+
     # ONE job yields every arm's path list (strings only on the driver)
     # plus whether the arm carries any DV descriptors — DV-free arms skip
-    # the exclusion subplan entirely. events is NOT persisted: each arm
-    # re-derives it from the (small) commit JSONs, which costs a re-read
-    # but never leaks session-lifetime cache across table_changes calls.
+    # the exclusion subplan entirely.
     kind_rows = (
         events.groupBy("kind")
         .agg(
