@@ -514,6 +514,21 @@ def changes_by_row_tracking(
     common = pre_scan.file_keys_df().join(
         post_scan.file_keys_df(), ["x_path", "x_dv", "x_brid"], "semi"
     )
+    # the unchanged-file key set is file-list-sized, immutable for the
+    # (table, base, end) pair, and consumed by BOTH exclusion anti-joins —
+    # stable-key LRU persist executes the semi-join once, not per side
+    from delta_kernel_rs_spark.sources.scan import cached_files_frame
+
+    common = cached_files_frame(
+        (
+            "rtc_common",
+            spark.sparkContext.applicationId,
+            table_path.rstrip("/"),
+            base_version,
+            end_version,
+        ),
+        lambda: common,
+    )
     pre_scan.exclude_file_keys(common)
     post_scan.exclude_file_keys(common)
 
