@@ -1301,6 +1301,15 @@ class Transaction:
                         f"gave up after {attempts} commit attempts at {self.table_path}"
                     ) from None
                 latest = self._revalidate()
+                if self._txn_actions:
+                    # A transaction carrying app-level idempotency (txn
+                    # actions) must NOT rebase past a racing commit that
+                    # set the same appId: the staleness check ran against
+                    # the old snapshot, and silently re-targeting would
+                    # double-apply the micro-batch. Delta's
+                    # ConcurrentTransaction rule — fail, let the caller
+                    # re-run its idempotency check.
+                    self._check_txn_conflicts(version, latest.version)
                 if self._extra_actions or self._stream_factory is not None:
                     # Non-append transactions (removes / DV swaps / cdc) can
                     # be REBASED instead of failed outright: examine the
@@ -1330,6 +1339,48 @@ class Transaction:
                 if body and body.get("path"):
                     out.add(body["path"])
         return out
+
+    def _check_txn_conflicts(self, from_version: int, to_version: int) -> None:
+        """Fail the retry when a racing commit carries a ``txn`` action for
+        any appId this transaction sets (Delta's ConcurrentTransaction
+        rule): the pre-commit idempotency check was made against the stale
+        snapshot, so the only safe move is to surface the conflict and let
+        the caller re-check ``latest_txn_version``."""
+        ours = {
+            a["txn"]["appId"] for a in self._txn_actions if a.get("txn", {}).get("appId")
+        }
+        if not ours:
+            return
+        tail_paths = (
+            {e.version: e.path for e in self.committer.log_tail()}
+            if self.committer is not None
+            else {}
+        )
+        for v in range(from_version, to_version + 1):
+            path = tail_paths.get(
+                v, f"{self.table_path}/{LOG_DIR}/{commit_filename(v)}"
+            )
+            try:
+                text = self.storage.read_text(path)
+            except OSError as e:
+                raise ConcurrentModificationError(
+                    f"cannot examine racing commit {v} ({e}); "
+                    "re-run against a fresh snapshot"
+                ) from e
+            for line in text.splitlines():
+                if '"txn"' not in line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except ValueError:
+                    continue
+                t = action.get("txn")
+                if t and t.get("appId") in ours:
+                    raise ConcurrentModificationError(
+                        f"concurrent transaction for app id {t['appId']!r} "
+                        f"committed at version {v}; re-check the app's "
+                        "latest transaction version and re-run"
+                    )
 
     def _check_rebase_conflicts(self, from_version: int, to_version: int) -> None:
         """Examine the commits that won the race (``[from_version,

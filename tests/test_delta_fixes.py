@@ -366,3 +366,40 @@ def test_foreign_table_with_plus_in_partition_path(spark, tmp_path):
         for r in spark.read.format("delta_kernel").option("path", root).load().collect()
     )
     assert rows2 == rows
+
+
+def test_concurrent_same_app_txn_conflicts(spark, tmp_path):
+    """Delta's ConcurrentTransaction rule: a commit carrying a txn action
+    must NOT rebase past a racing commit that set the SAME appId — the
+    idempotency check ran against the stale snapshot, and a silent
+    re-target would double-apply the micro-batch."""
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 10))
+    snap = t.snapshot()
+
+    # writer A (same stream) wins the race with (app, 5)
+    (
+        Transaction(spark, path, operation="WRITE", read_snapshot=snap)
+        .write_data(_ints(spark, 10, 20))
+        .with_transaction_id("stream-1", 5)
+        .commit()
+    )
+    # writer B replays the SAME micro-batch from the stale snapshot
+    with pytest.raises(ConcurrentModificationError, match="stream-1"):
+        (
+            Transaction(spark, path, operation="WRITE", read_snapshot=snap)
+            .write_data(_ints(spark, 10, 20))
+            .with_transaction_id("stream-1", 5)
+            .commit()
+        )
+    # a DIFFERENT app id rebases fine (blind appends stay safe)
+    v = (
+        Transaction(spark, path, operation="WRITE", read_snapshot=snap)
+        .write_data(_ints(spark, 20, 30))
+        .with_transaction_id("stream-2", 5)
+        .commit()
+    )
+    assert v == 2
+    # the caller-side recheck now sees app stream-1 at version 5
+    assert t.latest_txn_version("stream-1") == 5
+    assert t.to_df().count() == 30  # no double-applied batch
