@@ -1301,14 +1301,17 @@ class Transaction:
                         f"gave up after {attempts} commit attempts at {self.table_path}"
                     ) from None
                 latest = self._revalidate()
-                if self._txn_actions:
+                if self._txn_actions or self._domain_metadata:
                     # A transaction carrying app-level idempotency (txn
                     # actions) must NOT rebase past a racing commit that
                     # set the same appId: the staleness check ran against
                     # the old snapshot, and silently re-targeting would
                     # double-apply the micro-batch. Delta's
                     # ConcurrentTransaction rule — fail, let the caller
-                    # re-run its idempotency check.
+                    # re-run its idempotency check. Same shape for domain
+                    # metadata: concurrent writers of the SAME domain
+                    # conflict (last-writer-wins would silently drop the
+                    # racing writer's domain state).
                     self._check_txn_conflicts(version, latest.version)
                 if self._extra_actions or self._stream_factory is not None:
                     # Non-append transactions (removes / DV swaps / cdc) can
@@ -1349,7 +1352,12 @@ class Transaction:
         ours = {
             a["txn"]["appId"] for a in self._txn_actions if a.get("txn", {}).get("appId")
         }
-        if not ours:
+        our_domains = {
+            d["domainMetadata"]["domain"]
+            for d in self._domain_metadata
+            if d.get("domainMetadata", {}).get("domain")
+        }
+        if not ours and not our_domains:
             return
         tail_paths = (
             {e.version: e.path for e in self.committer.log_tail()}
@@ -1368,7 +1376,7 @@ class Transaction:
                     "re-run against a fresh snapshot"
                 ) from e
             for line in text.splitlines():
-                if '"txn"' not in line:
+                if '"txn"' not in line and '"domainMetadata"' not in line:
                     continue
                 try:
                     action = json.loads(line)
@@ -1380,6 +1388,13 @@ class Transaction:
                         f"concurrent transaction for app id {t['appId']!r} "
                         f"committed at version {v}; re-check the app's "
                         "latest transaction version and re-run"
+                    )
+                d = action.get("domainMetadata")
+                if d and d.get("domain") in our_domains:
+                    raise ConcurrentModificationError(
+                        f"concurrent writer set domain metadata "
+                        f"{d['domain']!r} at version {v}; re-read the "
+                        "domain and re-run"
                     )
 
     def _check_rebase_conflicts(self, from_version: int, to_version: int) -> None:

@@ -57,3 +57,36 @@ def test_removal_survives_checkpoint(spark, tmp_path):
     assert snap.log_segment.checkpoint_parts  # replay goes through the checkpoint
     assert snap.get_domain_metadata(DOMAIN) is None
     assert snap.get_domain_metadata("app.other") == '{"keep": true}'
+
+
+def test_concurrent_same_domain_conflicts(spark, tmp_path):
+    """Concurrent writers of the SAME domain conflict on rebase; disjoint
+    domains serialize cleanly (Delta domain-metadata conflict rule)."""
+    import pytest as _pytest
+
+    from delta_kernel_rs_spark.sources.transaction import (
+        ConcurrentModificationError,
+        Transaction,
+    )
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=spark.range(5).toDF("x"))
+    snap = t.snapshot()
+
+    (
+        Transaction(spark, path, operation="SET DOMAIN", read_snapshot=snap)
+        .with_domain_metadata("app.domain", '{"v": 1}')
+        .commit()
+    )
+    with _pytest.raises(ConcurrentModificationError, match="app.domain"):
+        (
+            Transaction(spark, path, operation="SET DOMAIN", read_snapshot=snap)
+            .with_domain_metadata("app.domain", '{"v": 2}')
+            .commit()
+        )
+    v = (
+        Transaction(spark, path, operation="SET DOMAIN", read_snapshot=snap)
+        .with_domain_metadata("other.domain", '{"v": 1}')
+        .commit()
+    )
+    assert v == 2
