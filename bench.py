@@ -19,10 +19,15 @@ statistically-settled criterion estimates rather than single runs):
 * ``queries`` holds the per-query MIN across passes (the least-noise
   estimator for wall-clock floor),
 * ``value`` is the sum of those mins,
-* ``runs`` is each pass's total and ``spread`` = (max-min)/min of those
-  totals — scripts/bench_compare.py refuses to pass/fail a round whose
-  recorded spread exceeds the gate threshold (a gate whose measurement
-  noise exceeds its margin gates nothing).
+* ``runs`` is each pass's total, ``spread`` = (max-min)/min of those
+  totals, and ``min_spread`` = (second_min-min)/min — the replication
+  quality of the MIN estimator the gate actually compares. A co-tenant
+  can blow one pass up (observed 80/58/51 s on identical code) without
+  moving the min; min_spread stays honest about whether the min itself
+  is reproduced. scripts/bench_compare.py refuses to pass/fail a round
+  whose recorded min_spread (spread for legacy artifacts) exceeds the
+  gate margin — a gate whose measurement noise exceeds its margin gates
+  nothing.
 
 Per-query per-pass detail lands in bench/last_run_detail.json for triage;
 stdout stays a single driver-parseable line.
@@ -88,6 +93,12 @@ def main() -> None:
         if min(run_totals) > 0
         else 0.0
     )
+    ordered = sorted(run_totals)
+    min_spread = (
+        round((ordered[1] - ordered[0]) / ordered[0], 4)
+        if len(ordered) > 1 and ordered[0] > 0
+        else 0.0
+    )
 
     try:
         detail_dir = Path(_REPO) / "bench"
@@ -95,7 +106,8 @@ def main() -> None:
         (detail_dir / "last_run_detail.json").write_text(
             json.dumps(
                 {"sf": sf, "passes": passes, "run_totals": run_totals,
-                 "spread": spread, "per_query_runs": detail},
+                 "spread": spread, "min_spread": min_spread,
+                 "per_query_runs": detail},
                 indent=1,
             )
         )
@@ -112,6 +124,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "runs": run_totals,
         "spread": spread,
+        "min_spread": min_spread,
         "passes": passes,
         "sf": sf if sf is not None else sf_dir,
     }

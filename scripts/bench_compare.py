@@ -37,15 +37,18 @@ import sys
 
 
 def load_queries(path: str) -> tuple[dict[str, float], float | None]:
-    """Returns (per-query timings, recorded spread or None for pre-r9
-    single-run artifacts that carry no spread)."""
+    """Returns (per-query timings, recorded noise estimate or None for
+    pre-r9 single-run artifacts). The noise estimate is ``min_spread``
+    (replication of the min totals — what the gate compares) when the
+    artifact carries it, else the coarser max-min ``spread``: a co-tenant
+    blowing ONE pass up inflates the latter without moving the min."""
     with open(path) as f:
         doc = json.load(f)
     parsed = doc.get("parsed") or doc  # accept raw bench line or driver wrapper
     q = parsed.get("queries")
     if not isinstance(q, dict) or not q:
         raise ValueError(f"{path}: no 'queries' dict found")
-    spread = parsed.get("spread")
+    spread = parsed.get("min_spread", parsed.get("spread"))
     return {k: float(v) for k, v in q.items()}, (
         float(spread) if spread is not None else None
     )

@@ -115,3 +115,24 @@ def test_gate_treats_missing_spread_as_legacy_single_run(tmp_path):
     new = _write(tmp_path, "new.json", {"q1": 1.05})
     rc, verdict = _run(old, new)
     assert rc == 0 and verdict["pass"] is True and verdict["new_spread"] is None
+
+
+def test_gate_prefers_min_spread_over_total_spread(tmp_path):
+    """A co-tenant can blow ONE pass up without moving the min: the gate
+    trusts min_spread (replication of the compared estimator) when the
+    artifact carries it, not the coarser max-min spread."""
+    old = _write(tmp_path, "old.json", {"q1": 1.0})
+    p = tmp_path / "new.json"
+    p.write_text(json.dumps({
+        "metric": "total_query_wall_sec", "queries": {"q1": 1.05},
+        "runs": [80.0, 51.2, 50.9], "spread": 0.57, "min_spread": 0.006,
+    }))
+    rc, verdict = _run(old, str(p))
+    assert rc == 0 and verdict["pass"] is True  # min replicated -> verdict
+
+    p.write_text(json.dumps({
+        "metric": "total_query_wall_sec", "queries": {"q1": 1.05},
+        "runs": [80.0, 70.0, 50.9], "spread": 0.57, "min_spread": 0.375,
+    }))
+    rc, verdict = _run(old, str(p))
+    assert rc == 3 and verdict["pass"] is None  # min NOT replicated
