@@ -138,3 +138,38 @@ def test_cdf_invalid_range_errors(spark, name, start, end):
     table = os.path.join(root, name) if os.path.isdir(os.path.join(root, name)) else root
     with pytest.raises((ChangeDataFeedError, Exception)):
         table_changes(spark, table, start, end).collect()
+
+
+@pytest.mark.parametrize(
+    "name,start,end,header,expected",
+    POSITIVE,
+    ids=[f"{c[0]}@{c[1]}-{c[2]}" for c in POSITIVE],
+)
+def test_facade_cdf_matches_reference_pin(spark, name, start, end, header, expected):
+    """The SAME reference-pinned expectations through the facade
+    (readChangeFeed option, SparkSession-free planning + executor-side
+    DV diffs) — the user-facing CDF spelling must be bit-equal to the
+    engine API on the reference's own tables."""
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    root = _extract(name)
+    table = os.path.join(root, name) if os.path.isdir(os.path.join(root, name)) else root
+    register_batch_source(spark)
+    r = (
+        spark.read.format("delta_kernel")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", start)
+    )
+    if end is not None:
+        r = r.option("endingVersion", end)
+    ch = r.load()
+    cols = [F.col("`" + c.replace("`", "``") + "`") for c in header]
+    got = sorted(
+        tuple(_stringify(r_[i]) for i in range(len(header)))
+        for r_ in ch.select(*cols).collect()
+    )
+    want = sorted(tuple(row) for row in expected)
+    assert got == want, f"facade {name}[{start},{end}]"
