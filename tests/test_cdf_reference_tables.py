@@ -173,3 +173,26 @@ def test_facade_cdf_matches_reference_pin(spark, name, start, end, header, expec
     )
     want = sorted(tuple(row) for row in expected)
     assert got == want, f"facade {name}[{start},{end}]"
+
+
+@pytest.mark.parametrize(
+    "name,start,end",
+    [(c[0], c[1], c[2]) for c in NEGATIVE],
+    ids=[f"{c[0]}@{c[1]}-{c[2]}" for c in NEGATIVE],
+)
+def test_facade_cdf_invalid_range_errors(spark, name, start, end):
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    root = _extract(name)
+    table = os.path.join(root, name) if os.path.isdir(os.path.join(root, name)) else root
+    register_batch_source(spark)
+    with pytest.raises(Exception):
+        r = (
+            spark.read.format("delta_kernel")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", start)
+        )
+        if end is not None:
+            r = r.option("endingVersion", end)
+        r.load().collect()
