@@ -32,7 +32,6 @@ from delta_kernel_rs_spark.functions.stats import (
     stats_selection,
 )
 from delta_kernel_rs_spark.sources.delta_paths import LOG_DIR, commit_filename
-from delta_kernel_rs_spark.sources.log_segment import TableNotFoundError
 from delta_kernel_rs_spark.sources.storage import CommitConflict, storage_for
 
 ENGINE_INFO = "delta_kernel_rs_spark/0.1"

@@ -31,7 +31,7 @@ from typing import Any
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string, physical_name
+from delta_kernel_rs_spark.functions.schema_codec import parse_schema_string
 from delta_kernel_rs_spark.sources.storage import storage_for_uri
 
 CDF_COLS = [
