@@ -27,6 +27,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Make sure scan-level pushdown is on (it is by default; be explicit —
     # the skipping layer in plans/data_skipping.py builds on it).
     "spark.sql.parquet.filterPushdown": "true",
+    # Python Data Source filter pushdown: lets .filter() on a facade read
+    # reach DeltaKernelBatchReader.pushFilters (partition pruning + file
+    # skipping + pyarrow row-group pruning). Spark REFUSES to plan a
+    # source that implements pushFilters while this is off, so the facade
+    # requires it.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # INT64 timestamps carry parquet row-group min/max stats (INT96 does
     # not) — required for the footer-based write stats in functions/stats.py.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",

@@ -89,6 +89,13 @@ _PYARROW_READER_FEATURES = _Protocol.SUPPORTED_READER_FEATURES - {
 
 
 def register_batch_source(spark) -> None:
+    # The reader implements pushFilters, and Spark refuses to plan such a
+    # source unless Python filter pushdown is enabled — turn it on for the
+    # registering session (it is dynamic and in session.RUNTIME_CONFS too).
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover - immutable on exotic sessions
+        pass
     spark.dataSource.register(DeltaKernelDataSource)
 
 
@@ -149,6 +156,68 @@ def _parse_predicate_opt(pred_str: str | None, table_schema: T.StructType):
     ast = coerce_literals(ast, table_schema)
     to_arrow_expr(ast, {f.name: physical_name(f) for f in table_schema.fields})
     return ast
+
+
+def _filter_to_ast(f, table_schema: T.StructType):
+    """Translate one pushed :class:`pyspark.sql.datasource.Filter` into the
+    engine's typed predicate AST (plans/expressions.py), or None when the
+    filter's shape is outside what the engine can use for skipping
+    (nested column paths, non-scalar literals, patterns with wildcards).
+
+    Returning None is always safe: every pushed filter is ALSO returned
+    to Spark for re-application (see :meth:`DeltaKernelBatchReader
+    .pushFilters`), so translation only ever ADDS pruning power."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from pyspark.sql import datasource as DS
+
+    from delta_kernel_rs_spark.plans import expressions as E
+
+    if isinstance(f, DS.Not):
+        child = _filter_to_ast(f.child, table_schema)
+        return E.Not(child) if child is not None else None
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested struct paths stay Spark-side
+    name = attr[0]
+    if name not in {fl.name for fl in table_schema.fields}:
+        return None
+    col = E.Col(name)
+    scalar = (bool, int, float, str, Decimal, _dt.date, _dt.datetime)
+
+    def ok(v) -> bool:
+        return v is None or isinstance(v, scalar)
+
+    cmp_ops = {
+        DS.EqualTo: "eq",
+        DS.GreaterThan: "gt",
+        DS.GreaterThanOrEqual: "ge",
+        DS.LessThan: "lt",
+        DS.LessThanOrEqual: "le",
+    }
+    for cls, op in cmp_ops.items():
+        if isinstance(f, cls):
+            return E.Compare(op, col, E.Literal(f.value)) if ok(f.value) else None
+    if isinstance(f, DS.EqualNullSafe):
+        return E.NotDistinct(col, E.Literal(f.value)) if ok(f.value) else None
+    if isinstance(f, DS.In):
+        vals = tuple(f.value)
+        return E.In(col, vals) if all(ok(v) for v in vals) else None
+    if isinstance(f, DS.IsNull):
+        return E.IsNull(col)
+    if isinstance(f, DS.IsNotNull):
+        return E.IsNotNull(col)
+    if isinstance(f, (DS.StringStartsWith, DS.StringEndsWith, DS.StringContains)):
+        s = f.value
+        if not isinstance(s, str) or any(ch in s for ch in ("%", "_", "\\")):
+            return None  # would need LIKE escaping the AST doesn't model
+        if isinstance(f, DS.StringStartsWith):
+            return E.Like(col, s + "%")
+        if isinstance(f, DS.StringEndsWith):
+            return E.Like(col, "%" + s)
+        return E.Like(col, "%" + s + "%")
+    return None
 
 
 def _select_fields(schema: T.StructType, columns: str | None) -> list:
@@ -255,7 +324,23 @@ class DeltaKernelDataSource(DataSource):
         if self._is_cdf():
             # delta-spark idiom: readStream + readChangeFeed on the SAME
             # format serves the streaming change feed (the standalone
-            # "delta_cdf" format remains as the explicit spelling)
+            # "delta_cdf" format remains as the explicit spelling).
+            # Batch-only options must fail fast here, never silently no-op
+            # (the stream is unbounded, so an ending bound cannot be
+            # honored; predicate is a batch-reader feature).
+            opts = _opts(self.options)
+            for key, label in (
+                ("endingversion", "endingVersion"),
+                ("endingtimestamp", "endingTimestamp"),
+                ("predicate", "predicate"),
+                ("versionasof", "versionAsOf"),
+                ("timestampasof", "timestampAsOf"),
+            ):
+                if opts.get(key) is not None:
+                    raise ValueError(
+                        f"{label} is not supported for streaming "
+                        "readChangeFeed; it applies to batch reads only"
+                    )
             from delta_kernel_rs_spark.streaming.cdf_source import (
                 DeltaCdfStreamReader,
             )
@@ -431,28 +516,85 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
         protocol_of(proto).ensure_read_supported(supported=_PYARROW_READER_FEATURES)
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
+        self._configuration = meta.get("configuration") or {}
         self._predicate = _parse_predicate_opt(
             opts.get("predicate"), self._table_schema
         )
         self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
 
+    # -- filter pushdown (driver-side worker, before partitions()) --------
+    def pushFilters(self, filters):
+        """Spark's pushed filters drive the engine's file skipping.
+
+        The reference treats the scan predicate as a first-class builder
+        input (kernel/src/scan/mod.rs:383-437, PhysicalPredicate::try_new
+        :439-509); the Spark-idiomatic spelling is this hook — a bare
+        ``.filter("x > 5")`` on a facade read prunes partitions at
+        planning, skips files, and row-group-prunes the parquet reads,
+        with no ``predicate`` option needed (the option remains as the
+        explicit spelling and composes via AND).
+
+        Every filter is returned to Spark for re-application. That is the
+        reference's own scan contract — data skipping is best-effort and
+        "engines must re-apply the predicate" (scan/mod.rs docs) — so the
+        translation layer only ever ADDS pruning, never owns row-level
+        correctness. Requires spark.sql.python.filterPushdown.enabled
+        (set by session.RUNTIME_CONFS; Spark fails fast when off).
+        """
+        translated = []
+        name_map = {f.name: physical_name(f) for f in self._table_schema.fields}
+        for f in filters:
+            ast = _filter_to_ast(f, self._table_schema)
+            if ast is None:
+                continue
+            try:
+                from delta_kernel_rs_spark.plans.py_predicate import (
+                    coerce_literals,
+                    to_arrow_expr,
+                )
+
+                ast = coerce_literals(ast, self._table_schema)
+                to_arrow_expr(ast, name_map)  # must compile for executors
+            except Exception:
+                continue  # stays Spark-side only
+            translated.append(ast)
+        if translated:
+            from delta_kernel_rs_spark.plans import expressions as E
+
+            parts = ([self._predicate] if self._predicate is not None else []) + translated
+            self._predicate = parts[0] if len(parts) == 1 else E.And(tuple(parts))
+            self._pred_cols = None  # invalidate the cached column set
+        return filters
+
     # -- planning (driver-side worker; no per-file Python objects) -------
     def partitions(self) -> Sequence[InputPartition]:
         storage = storage_for_uri(self._path)
         files = live_files_arrow(storage, self._seg)
-        if self._predicate is not None and self._pcols:
-            # exact partition pruning: drop files whose partition values
-            # make the predicate definitively False (3VL; unknown keeps)
-            from delta_kernel_rs_spark.plans.py_predicate import eval_3vl
+        if self._predicate is not None and files.num_rows:
+            # unified file skipping: exact partition pruning (typed 3VL
+            # over partitionValues) + stats-based min/max skipping from
+            # add.stats — the facade twin of plans/data_skipping.py
+            # (reference data_skipping.rs keep-rule: drop a file only on a
+            # definitively-False verdict; unknown always keeps)
+            from delta_kernel_rs_spark.plans.expressions import normalize
+            from delta_kernel_rs_spark.plans.py_skipping import FileSkipEvaluator
 
-            known = set(self._pcols)
+            ev = FileSkipEvaluator(
+                self._table_schema, self._pcols, self._configuration
+            )
+            pred = normalize(self._predicate)
             keep = [
-                eval_3vl(self._predicate, self._pv_typed(pv), known) is not False
-                for pv in files.column("partition_values").to_pylist()
+                ev.verdict(pred, self._pv_typed(pv), st) is not False
+                for pv, st in zip(
+                    files.column("partition_values").to_pylist(),
+                    files.column("stats").to_pylist(),
+                )
             ]
             import pyarrow as pa
 
             files = files.filter(pa.array(keep, type=pa.bool_()))
+        # stats served planning; keep them off the executor IPC tasks
+        files = files.drop_columns(["stats"])
         slices = bin_pack_by_size(files, self._target_bytes)
         if not slices:
             return [_FileSliceTask(ipc_serialize(files))]  # empty table
@@ -549,18 +691,29 @@ def _cdf_event_schema():
     )
 
 
-def _plan_cdf_events(storage, table_path: str, start: int, end: int):
+def _plan_cdf_events(storage, table_path: str, start: int, end: int, listing=None):
     """One Arrow table of (kind, path, pv, dvs, version, ts) change events
     for the range — cdc supersedes add/remove per commit, remove+add of
     the same path is a DV swap, bare adds/removes are whole-file
     inserts/deletes; a mid-range metaData that disables CDF fails the
-    whole range (reference table_changes/mod.rs:90-162)."""
+    whole range (reference table_changes/mod.rs:90-162).
+
+    ``listing`` (name → FileEntry) lets a caller that already listed the
+    log reuse it; otherwise only the [start, end] commit files are
+    stat()ed — O(range), never O(log size). A long-lived streaming table
+    must not pay a full directory listing per trigger."""
     import pyarrow as pa
 
     from delta_kernel_rs_spark.sources.pyreplay import _iter_actions
 
     log_dir = f"{table_path}/_delta_log"
-    listing = {e.path.rsplit("/", 1)[-1]: e for e in storage.list_dir(log_dir)}
+    if listing is None:
+        listing = {}
+        for v in range(start, end + 1):
+            name = f"{v:020d}.json"
+            p = f"{log_dir}/{name}"
+            if storage.exists(p):
+                listing[name] = storage.stat(p)
     rows: list[dict] = []
     for v in range(start, end + 1):
         name = f"{v:020d}.json"
@@ -783,9 +936,15 @@ class DeltaKernelCDFReader(_CdfEventReadMixin, DataSourceReader):
             raise ValueError(
                 "change data feed is not enabled (delta.enableChangeDataFeed)"
             )
+        self._table_schema = parse_schema_string(meta["schemaString"])
         # CDF must have been on for the WHOLE range: commits written while
         # it was off carry no metaData at all, so the in-range metaData
-        # gate alone cannot catch them — also check AS OF start.
+        # gate alone cannot catch them — also check AS OF start. The same
+        # start snapshot drives the reference's range-boundary schema rule
+        # (table_changes/mod.rs:378-385, CdfMode::ChangeDataFeed requires
+        # start schema == end schema): a range spanning an incompatible
+        # schema change must ERROR, never silently null-fill old files
+        # under the end-version schema.
         if self._start < end_seg.version:
             start_seg = build_log_segment(storage, self._path, self._start)
             start_meta, _ = snapshot_metadata(storage, start_seg)
@@ -794,7 +953,13 @@ class DeltaKernelCDFReader(_CdfEventReadMixin, DataSourceReader):
                     f"change data feed was not enabled at version "
                     f"{self._start}; the requested range cannot be served"
                 )
-        self._table_schema = parse_schema_string(meta["schemaString"])
+            if parse_schema_string(start_meta["schemaString"]) != self._table_schema:
+                raise ValueError(
+                    f"change data feed range [{self._start}, {self._end}] "
+                    "spans a schema change: the start and end version "
+                    "schemas are different — split the read at the schema "
+                    "change"
+                )
         self._pcols = list(meta.get("partitionColumns") or [])
         self._out_fields = _select_fields(self._table_schema, opts.get("columns"))
 
@@ -1043,7 +1208,7 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
             lo = si if v == sv else 0
             hi = ei if v == ev else len(commit_adds)
             adds.extend(commit_adds[lo:hi])
-        files = _adds_from_pylist(adds)
+        files = _adds_from_pylist(adds).drop_columns(["stats"])
         slices = bin_pack_by_size(files, self._target_bytes)
         if not slices:
             return [_FileSliceTask(ipc_serialize(files))]  # empty batch

@@ -108,6 +108,17 @@ def table_changes(
                 f"change data feed was not enabled at version {start_version}; "
                 "the requested range cannot be served"
             )
+        # Range-boundary schema rule (reference table_changes/mod.rs:378-385,
+        # CdfMode::ChangeDataFeed ⇒ start schema must EQUAL end schema): a
+        # range spanning an incompatible schema change must error — serving
+        # it under the end schema would null-fill columns absent from older
+        # files, i.e. wrong rows instead of an error.
+        if start_snap.schema != snapshot.schema:
+            raise ChangeDataFeedError(
+                f"change data feed range [{start_version}, {end_version}] "
+                "spans a schema change: the start and end version schemas "
+                "are different — split the read at the schema change"
+            )
     storage = storage_for(spark, table_path)
     log_dir = f"{table_path}/_delta_log"
 

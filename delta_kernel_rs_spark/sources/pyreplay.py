@@ -44,6 +44,10 @@ FILES_SCHEMA = pa.schema(
         ("dv", DV_TYPE),
         ("base_row_id", pa.int64()),
         ("default_row_commit_version", pa.int64()),
+        # raw add.stats JSON — drives planning-time file skipping in the
+        # facade (plans/py_skipping.py); dropped before tasks ship to
+        # executors so checkpoint-sized stats bulk never rides the IPC
+        ("stats", pa.string()),
     ]
 )
 
@@ -156,6 +160,7 @@ def _adds_from_pylist(adds: list[dict]) -> pa.Table:
             "dv": a.get("deletionVector"),
             "base_row_id": a.get("baseRowId"),
             "default_row_commit_version": a.get("defaultRowCommitVersion"),
+            "stats": a.get("stats"),
         }
         for a in adds
     ]
@@ -214,6 +219,7 @@ def _checkpoint_adds_arrow(seg) -> pa.Table:
         dv,
         _struct_subfield(add, "baseRowId", pa.int64(), n),
         _struct_subfield(add, "defaultRowCommitVersion", pa.int64(), n),
+        _struct_subfield(add, "stats", pa.string(), n),
     ]
     return pa.Table.from_arrays(cols, schema=FILES_SCHEMA)
 

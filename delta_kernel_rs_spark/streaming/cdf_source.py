@@ -94,10 +94,24 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         # Spark lower-cases data source option keys.
         opts = {k.lower(): v for k, v in options.items()}
         self._path = opts["path"].rstrip("/")
-        self._start = int(opts.get("startingversion", 0))
         # Resolved from the table URI (pyarrow.fs for remote schemes) —
         # works on the driver and executors without a SparkSession.
         self._storage = storage_for_uri(self._path)
+        sv = opts.get("startingversion")
+        st = opts.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError("set startingVersion or startingTimestamp, not both")
+        if st is not None:
+            from delta_kernel_rs_spark.sources.batch_source import _parse_ts_ms
+            from delta_kernel_rs_spark.sources.history import (
+                first_version_after_for_storage,
+            )
+
+            self._start = first_version_after_for_storage(
+                self._storage, self._path, _parse_ts_ms(st)
+            )
+        else:
+            self._start = int(sv if sv is not None else 0)
         meta = _latest_metadata(self._storage, self._path)
         conf = meta.get("configuration") or {}
         if conf.get("delta.enableChangeDataFeed", "false").lower() != "true":
@@ -105,8 +119,32 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         self._table_schema = parse_schema_string(meta["schemaString"])
         self._pcols = list(meta.get("partitionColumns") or [])
         self._out_schema = schema
-        #: data projection the shared CDF read mixin emits (full schema)
-        self._out_fields = list(self._table_schema.fields)
+        from delta_kernel_rs_spark.sources.batch_source import DEFAULT_TARGET_BYTES
+
+        self._target_bytes = int(opts.get("targetbytes", DEFAULT_TARGET_BYTES))
+        #: data projection the shared CDF read mixin emits — derived from
+        #: the DECLARED schema (the facade's columns option prunes it;
+        #: emitted batches must agree with it, batch reader parity), mapped
+        #: back to the table schema's fields so column-mapping metadata
+        #: rides along. The three CDF meta columns are appended by
+        #: _cdf_batch, not projected here.
+        if schema is None:  # direct construction (tests/tools): full schema
+            self._out_fields = list(self._table_schema.fields)
+        else:
+            meta_names = {f.name for f in CDF_COLS}
+            by_name = {f.name: f for f in self._table_schema.fields}
+            unknown = [
+                f.name
+                for f in schema.fields
+                if f.name not in meta_names and f.name not in by_name
+            ]
+            if unknown:
+                raise ValueError(
+                    f"declared schema names unknown table columns: {unknown}"
+                )
+            self._out_fields = [
+                by_name[f.name] for f in schema.fields if f.name not in meta_names
+            ]
         # admission control: at most N commits of changes per micro-batch
         # (CDF change sets are per-commit, so the commit is the natural
         # admission unit). Same cursor + Spark-authoritative floor pattern
@@ -126,14 +164,20 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        entries = self._storage.list_dir(_log_dir(self._path))
+        base = max(self._cursor, self._floor)
+        # list_from with the consumed floor as the start key: on a
+        # long-lived table only names >= the cursor are examined (local
+        # scandir skips below-key names before any stat; Hadoop streams),
+        # never the full log directory per trigger.
+        entries = self._storage.list_from(
+            _log_dir(self._path), f"{base:020d}.json"
+        )
         versions = [
             int(e.path[-25:-5])
             for e in entries
             if e.path.endswith(".json") and e.path[-25:-5].isdigit()
         ]
-        tip = (max(versions) + 1) if versions else self._start
-        base = max(self._cursor, self._floor)
+        tip = max(max(versions) + 1, base) if versions else base
         if self._max_commits is None:
             self._cursor = max(base, tip)
         else:
@@ -151,7 +195,6 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         decode on EXECUTORS — the driver ships descriptors, never row
         indexes (the pre-r9 per-file tasks decoded DVs driver-side)."""
         from delta_kernel_rs_spark.sources.batch_source import (
-            DEFAULT_TARGET_BYTES,
             _FileSliceTask,
             _plan_cdf_events,
         )
@@ -168,7 +211,7 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         events = _plan_cdf_events(
             self._storage, self._path, sv, end["version"] - 1
         )
-        slices = bin_pack_by_size(events, DEFAULT_TARGET_BYTES)
+        slices = bin_pack_by_size(events, self._target_bytes)
         return [_FileSliceTask(ipc_serialize(s)) for s in slices]
 
     # -- execution (workers) ---------------------------------------------

@@ -793,3 +793,175 @@ def test_format_cdf_columns_option_prunes(spark, orders, tmp_path):
     ]
     want = t.changes(0).select(*got.columns)
     assert _cdf_rows(got) == _cdf_rows(want)
+
+
+def test_format_cdf_schema_change_range_errors(spark, orders, tmp_path):
+    """A CDF range spanning a schema change must ERROR, never silently
+    null-fill old files under the end-version schema (reference
+    table_changes/mod.rs:378-385 — CdfMode::ChangeDataFeed requires the
+    start and end version schemas to be equal)."""
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.sources.cdf import ChangeDataFeedError
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=orders.limit(50).select("o_orderkey"),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(orders.limit(80).subtract(orders.limit(50)).select("o_orderkey"))
+    change_v = t.add_column("extra", T.LongType())
+    t.append(
+        orders.limit(100).subtract(orders.limit(80))
+        .select("o_orderkey", (F.col("o_orderkey") * 2).alias("extra"))
+    )
+    # facade spelling: spans the change -> error
+    with pytest.raises(Exception, match="spans a schema change"):
+        _read_fmt(spark, path, readChangeFeed="true", startingVersion=0).collect()
+    # Python API spelling: same error
+    with pytest.raises(ChangeDataFeedError, match="spans a schema change"):
+        t.changes(0)
+    # a range entirely AT/after the change still serves
+    got = _read_fmt(
+        spark, path, readChangeFeed="true", startingVersion=change_v
+    )
+    assert got.count() == 20
+    want = t.changes(change_v)
+    assert _cdf_rows(got) == _cdf_rows(want.select(*got.columns))
+
+
+def test_plan_cdf_events_never_lists_the_log(spark, orders, tmp_path, monkeypatch):
+    """_plan_cdf_events must stat only the [start, end] commit files —
+    a full _delta_log listing per plan (streaming: per trigger) is
+    O(log size) on long-lived tables."""
+    from delta_kernel_rs_spark.sources.batch_source import _plan_cdf_events
+    from delta_kernel_rs_spark.sources.storage import storage_for_uri
+
+    t = _cdf_fixture(spark, orders, str(tmp_path / "t"))
+    storage = storage_for_uri(t.path)
+
+    def boom(*a, **k):
+        raise AssertionError("list_dir called during CDF event planning")
+
+    monkeypatch.setattr(type(storage), "list_dir", boom)
+    events = _plan_cdf_events(storage, t.path, 1, 2)
+    assert events.num_rows > 0
+    assert set(events.column("version").to_pylist()) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Filter pushdown (r9 VERDICT next #1): DataSourceReader.pushFilters
+
+
+def _reader_for(path, **options):
+    from delta_kernel_rs_spark.sources.batch_source import DeltaKernelBatchReader
+
+    return DeltaKernelBatchReader(None, {"path": path, **options})
+
+
+def _planned_files(reader):
+    from delta_kernel_rs_spark.sources.pyreplay import ipc_deserialize
+
+    out = []
+    for p in reader.partitions():
+        t = ipc_deserialize(p.ipc)
+        out.extend(
+            zip(t.column("path").to_pylist(),
+                [dict(pv or []) for pv in t.column("partition_values").to_pylist()])
+        )
+    return out
+
+
+def test_pushfilters_partition_pruning_unit(spark, orders, tmp_path):
+    """A pushed partition filter prunes whole files at planning — the
+    engine reads fewer files, not just fewer rows."""
+    from pyspark.sql import datasource as DS
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=orders.limit(600), partition_by=["o_orderstatus"])
+    r = _reader_for(path)
+    all_files = _planned_files(r)
+    statuses = {pv["o_orderstatus"] for _, pv in all_files}
+    assert len(statuses) > 1
+
+    r2 = _reader_for(path)
+    returned = list(r2.pushFilters([DS.EqualTo(("o_orderstatus",), "F")]))
+    assert len(returned) == 1  # every filter handed back for re-application
+    pruned = _planned_files(r2)
+    assert 0 < len(pruned) < len(all_files)
+    assert {pv["o_orderstatus"] for _, pv in pruned} == {"F"}
+
+
+def test_pushfilters_unsupported_shapes_no_op(spark, orders, tmp_path):
+    """Nested paths / unknown columns / wildcard prefixes translate to
+    nothing — returned to Spark, planning unchanged."""
+    from pyspark.sql import datasource as DS
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=orders.limit(300), partition_by=["o_orderstatus"])
+    r = _reader_for(path)
+    baseline = len(_planned_files(r))
+    r2 = _reader_for(path)
+    filters = [
+        DS.EqualTo(("a", "b"), 1),                     # nested
+        DS.EqualTo(("nope",), 1),                      # unknown column
+        DS.StringStartsWith(("o_orderstatus",), "F%"), # wildcard in prefix
+    ]
+    assert list(r2.pushFilters(filters)) == filters
+    assert r2._predicate is None
+    assert len(_planned_files(r2)) == baseline
+
+
+def test_pushfilters_composes_with_predicate_option(spark, orders, tmp_path):
+    """Pushed filters AND the explicit predicate option."""
+    from pyspark.sql import datasource as DS
+
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=orders.limit(600), partition_by=["o_orderstatus"])
+    r = _reader_for(path, predicate="o_orderstatus = 'F'")
+    only_f = len(_planned_files(r))
+    r2 = _reader_for(path, predicate="o_orderstatus = 'F'")
+    r2.pushFilters([DS.EqualTo(("o_orderstatus",), "O")])
+    # contradictory AND -> everything pruned
+    assert len(_planned_files(r2)) < only_f
+    assert _planned_files(r2) == []
+
+
+def test_pushdown_e2e_parity_with_predicate_option(spark, orders, tmp_path):
+    """.filter() on a facade read returns the same rows as the explicit
+    predicate option and as a plain DataFrame filter, across filter
+    shapes (comparison, IN, IS NULL, startswith, date)."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=orders.limit(800), partition_by=["o_orderstatus"]
+    )
+    cases = [
+        "o_orderstatus = 'F' AND o_totalprice > 100000",
+        "o_orderkey IN (1, 7, 33, 1000000)",
+        "o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'",
+        "o_orderdate >= DATE'1995-01-01'",
+        "o_orderpriority LIKE '1%'",
+    ]
+    base = t.to_df()
+    for pred in cases:
+        got = _read_fmt(spark, path).filter(pred)
+        want = base.filter(pred)
+        assert _rows(got) == _rows(want), pred
+        opt = _read_fmt(spark, path, predicate=pred).filter(pred)
+        assert _rows(got) == _rows(opt), pred
+
+
+def test_pushdown_disabled_conf_fails_fast(spark, orders, tmp_path):
+    """Spark refuses to plan a pushFilters-implementing source when the
+    conf is off — proves the worker actually SEES our pushFilters (a
+    silently-ignored hook would pass this with no error)."""
+    path = str(tmp_path / "t")
+    DeltaTable.create(spark, path, df=orders.limit(100))
+    register_batch_source(spark)  # re-enables the conf; disable AFTER
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="filterPushdown"):
+            spark.read.format("delta_kernel").option("path", path).load().collect()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    assert _read_fmt(spark, path).count() == 100

@@ -152,3 +152,132 @@ def test_stream_readchangefeed_via_delta_kernel_format(spark, cdf_table):
     a = {(r.k, r._change_type, r._commit_version) for r in got.collect()}
     b = {(r.k, r._change_type, r._commit_version) for r in batch.collect()}
     assert a == b
+
+
+def _two_col(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_stream_readchangefeed_honors_columns_option(spark, tmp_path):
+    """The facade's columns option prunes the DECLARED schema, so the
+    streaming reader must emit exactly those fields — a full-schema batch
+    against a pruned declaration would misbind positionally."""
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    path = str(tmp_path / "cols")
+    t = DeltaTable.create(spark, path, df=_two_col(spark, 0, 20), properties=CDF_PROPS)
+    t.append(_two_col(spark, 20, 30))
+    register_batch_source(spark)
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("columns", "v")
+        .load()
+        .writeStream.format("memory")
+        .queryName("s_cols")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_cols")
+    assert got.columns == ["v", "_change_type", "_commit_version", "_commit_timestamp"]
+    want = t.changes(0).select("v", "_change_type", "_commit_version")
+    assert {(r.v, r._change_type, r._commit_version) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_stream_readchangefeed_rejects_batch_only_options(spark, cdf_table):
+    """endingVersion/endingTimestamp/predicate cannot be honored by the
+    unbounded stream — they must raise, never silently no-op (the same
+    fail-fast rule the batch CDF reader applies)."""
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+
+    def start(**opts):
+        r = (
+            spark.readStream.format("delta_kernel")
+            .option("path", cdf_table.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("memory")
+            .queryName("s_rej")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    for bad in (
+        {"endingVersion": 1},
+        {"endingTimestamp": "2100-01-01T00:00:00"},
+        {"predicate": "k > 3"},
+    ):
+        with pytest.raises(Exception, match="not supported for streaming"):
+            start(**bad)
+
+
+def test_stream_starting_timestamp(spark, cdf_table):
+    """startingTimestamp resolves to the first commit at/after it (same
+    rule as the batch facade and the append stream source)."""
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
+    # epoch 0 → everything
+    q = (
+        spark.readStream.format("delta_kernel")
+        .option("path", cdf_table.path)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("s_ts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("s_ts")
+    batch = cdf_table.changes(0)
+    assert got.count() == batch.count()
+
+
+def test_stream_trigger_never_lists_full_log(spark, cdf_table, monkeypatch):
+    """Per-trigger planning and offset resolution must be O(range):
+    latestOffset uses list_from (start-key listing) and the shared CDF
+    planner stats only the in-range commit files — list_dir over the
+    whole _delta_log is forbidden on the trigger path."""
+    from pyspark.sql import types as T
+
+    from delta_kernel_rs_spark.streaming.cdf_source import (
+        CDF_COLS,
+        DeltaCdfStreamReader,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), True)] + CDF_COLS
+    )
+    reader = DeltaCdfStreamReader(
+        schema, {"path": cdf_table.path, "startingVersion": "0"}
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("list_dir called on the trigger path")
+
+    monkeypatch.setattr(type(reader._storage), "list_dir", boom)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end["version"] > start["version"]
+    parts = reader.partitions(start, end)
+    assert parts
