@@ -172,19 +172,31 @@ class _SkippingRewriter:
         """Literal cast to the stat column's type for min/max comparison.
 
         Returns None (⇒ unknown, never prunes) when the cast would be
-        lossy: a fractional double against an integral column truncates
-        toward zero under Spark's non-ANSI cast (``x < 0.5`` on an int
-        column would rewrite to ``min < 0`` and wrongly prune a file whose
-        min is 0), and an out-of-range integer wraps.  Sound because the
-        residual row filter still evaluates the true predicate.
+        lossy: a fractional double OR DECIMAL against an integral column
+        truncates toward zero under Spark's non-ANSI cast (``x < 0.5`` on
+        an int column would rewrite to ``min < 0`` and wrongly prune a
+        file whose min is 0), an out-of-range integer wraps, and a
+        datetime with any time-of-day against a DATE column FLOORS
+        (``d < TIMESTAMP'2020-06-15 12:00'`` would rewrite to ``min <
+        DATE'2020-06-15'`` and wrongly prune a file whose min date
+        matches at midnight — caught by tests/test_skipping_fuzz.py).
+        Sound because the residual row filter still evaluates the true
+        predicate.
         """
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
         t = self.stat_types[name]
         bound = self._INT_BOUNDS.get(type(t))
         if bound is not None:
-            if isinstance(value, float) and value != int(value):
+            if isinstance(value, (float, _Dec)) and value != int(value):
                 return None
-            if isinstance(value, (int, float)) and not -bound - 1 <= value <= bound:
+            if isinstance(value, (int, float, _Dec)) and not -bound - 1 <= value <= bound:
                 return None
+        if isinstance(t, T.DateType) and isinstance(value, _dt.datetime):
+            # Spark promotes the COLUMN to timestamp here, it never floors
+            # the literal — a date-typed rewrite cannot represent that
+            return None
         return F.lit(value).cast(t)
 
     # -- classification ---------------------------------------------------

@@ -87,6 +87,12 @@ def _coerce_value(v: Any, dt) -> Any:
         if isinstance(dt, (T.FloatType, T.DoubleType)):
             if isinstance(v, str):
                 return float(v.strip())
+            if isinstance(v, Decimal):
+                # Spark promotes decimal to double when compared against a
+                # float column; exact-Decimal comparison would diverge (a
+                # file whose max IS the promoted double would be skipped by
+                # ``f = 0.1BD`` — caught by tests/test_skipping_fuzz.py)
+                return float(v)
             return v
         if isinstance(dt, T.DecimalType):
             if isinstance(v, str):

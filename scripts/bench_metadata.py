@@ -158,6 +158,48 @@ def main() -> int:
         for f in crcs:  # restore the chain
             os.rename(os.path.join(root, f), os.path.join(log_dir, f))
 
+        # -- write path (r9 VERDICT next #3): append / DV delete / OPTIMIZE
+        # / checkpoint, on a purpose-built 200-file table so the arms stay
+        # comparable across rounds regardless of the metadata table's
+        # shape. Same min-of-N protocol; OPTIMIZE is timed once (its first
+        # run compacts the fragmentation away — a min over reps would time
+        # the no-op).
+        from pyspark.sql import functions as F
+
+        from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
+        from delta_kernel_rs_spark.sources.delete import delete_with_dvs
+        from delta_kernel_rs_spark.sources.table import DeltaTable
+
+        wpath = os.path.join(root, "wtbl")
+        wdf = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        wt = DeltaTable.create(spark, wpath, df=wdf.repartition(100))
+        wt.append(wdf.repartition(100), auto_checkpoint=False)  # 200 files
+
+        frame = spark.range(20_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        ).repartition(8)
+        frame.collect()  # materialize inputs outside the timed window
+        results["write_append_commit"] = _timed(
+            lambda: wt.append(frame, auto_checkpoint=False)
+        )
+
+        # ~1% of rows (one of 97 v-buckets), DVs across many files — the
+        # realistic worst case for row-level deletes
+        preds = iter(["v = 3", "v = 5"])
+        results["write_dv_delete_1pct"] = _timed(
+            lambda: delete_with_dvs(wt, next(preds))
+        )
+
+        t0 = time.perf_counter()
+        wt.optimize()
+        results["write_optimize_compact"] = round(time.perf_counter() - t0, 4)
+
+        results["write_checkpoint_v1"] = _timed(
+            lambda: write_checkpoint(spark, wpath)
+        )
+
     large_files = None
     if not args.skip_large:
         large = _extract_large_table()

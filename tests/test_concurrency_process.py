@@ -192,3 +192,84 @@ def test_multiprocess_all_blind_appends_no_coordinator(spark, tmp_path):
         versions.append(int(out.split()[1]))
     assert sorted(versions) == list(range(1, n + 1))  # contiguous, no gaps
     assert t.to_df().count() == 10 + n * 50
+
+
+def test_multiprocess_checkpoint_race_pins_its_version(spark, tmp_path):
+    """r9 VERDICT next #6: a checkpoint writer racing concurrent commits.
+
+    The reference's checkpoint is version-pinned by construction
+    (kernel/src/checkpoint/mod.rs:1-90 — it snapshots, then writes THAT
+    version). Here one process checkpoints version v while 6 OS
+    processes commit v+1..v+6 through the pure-Python path:
+
+    * the checkpoint contains exactly v's file set — none of the racing
+      commits leak in,
+    * _last_checkpoint never points above a complete, parseable
+      checkpoint,
+    * replay THROUGH the mid-race checkpoint (checkpoint + commit tail)
+      serves the full post-race state.
+    """
+    import pyarrow.parquet as pq
+
+    from delta_kernel_rs_spark.sources.checkpoint import write_checkpoint
+
+    path = str(tmp_path / "tbl")
+    t = DeltaTable.create(spark, path, df=_ints(spark, 0, 60))
+    t.append(_ints(spark, 60, 90), auto_checkpoint=False)
+    pin_v = t.snapshot().version  # v=1: the version the checkpoint pins
+    pinned_paths = {
+        f.path.rsplit("/", 1)[-1] for f in t.snapshot(version=pin_v).scan().files()
+    }
+
+    go_file = str(tmp_path / "go")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD.format(repo=repo), path, str(i), "80", go_file],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(N_WORKERS)
+    ]
+    # open the barrier, then checkpoint v IN the commit window
+    with open(go_file, "w") as fh:
+        fh.write("go")
+    ck_v = write_checkpoint(spark, path, version=pin_v)
+    assert ck_v == pin_v
+
+    versions = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, f"child failed: {err[-2000:]}"
+        versions.append(int(out.split()[1]))
+    assert sorted(versions) == list(range(pin_v + 1, pin_v + 1 + N_WORKERS))
+
+    # -- the checkpoint is exactly v's state -------------------------------
+    storage = LocalStorage()
+    ck_file = f"{path}/_delta_log/{pin_v:020d}.checkpoint.parquet"
+    assert storage.exists(ck_file)
+    ck = pq.read_table(ck_file)
+    ck_adds = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in ck.column("add").to_pylist()
+        if r is not None and r.get("path")
+    }
+    assert ck_adds == pinned_paths  # no racing commit leaked in
+
+    # -- _last_checkpoint points at a complete checkpoint ------------------
+    hint = json.loads(
+        storage.read_bytes(f"{path}/_delta_log/_last_checkpoint").decode()
+    )
+    assert hint["version"] == pin_v
+    assert storage.exists(
+        f"{path}/_delta_log/{hint['version']:020d}.checkpoint.parquet"
+    )
+
+    # -- replay through the mid-race checkpoint ----------------------------
+    fresh = DeltaTable(spark, path)
+    assert fresh.snapshot().version == pin_v + N_WORKERS
+    assert fresh.to_df().count() == 90 + N_WORKERS * 80
+    # and the checkpoint is actually CONSUMED (log segment anchors on it)
+    seg = fresh.snapshot().log_segment
+    assert any(str(pin_v) in p or f"{pin_v:020d}" in p for p in seg.checkpoint_parts)
