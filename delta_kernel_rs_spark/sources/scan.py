@@ -690,6 +690,12 @@ class Scan:
             )
         if needs_dv or self.with_row_ids:
             df = df.withColumn("__row_index", F.col("_metadata.row_index"))
+        if needs_dv:
+            # row ids need __row_index only; the deleted-rows anti-join
+            # (shuffle + an Arrow Python crossing to decode descriptors)
+            # exists solely to drop DV-hidden rows — a DV-free snapshot
+            # must not pay it (measured 1.4 s -> 0.6 s on the d07 lineage
+            # arm's base-snapshot read, PLANS.md round 10)
             from delta_kernel_rs_spark.functions.dv import (
                 deleted_rows_df,
                 deleted_rows_from_desc_df,
