@@ -384,12 +384,176 @@ def substitute(p: Predicate, row: dict[str, Any], known: set[str]) -> Predicate:
 # pyarrow dataset Expression compilation
 
 
-def to_arrow_expr(p: Predicate, name_map: dict[str, str] | None = None):
+class _CastTs:
+    """Arrow-compile-internal marker: read ``col`` as timestamp[us]
+    (tz=UTC when ``tz``), expressing Spark's DATE → TIMESTAMP promotion.
+    Never escapes :func:`to_arrow_expr`."""
+
+    __slots__ = ("col", "tz")
+
+    def __init__(self, col: Col, tz: bool):
+        self.col = col
+        self.tz = tz
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"_CastTs({self.col!r}, tz={self.tz})"
+
+
+def _temporal_kinds(schema) -> dict[str, str]:
+    """Logical path → 'tz' (TimestampType) / 'ntz' (TimestampNTZType) /
+    'date' (DateType) / 'int' (integral types)."""
+    from pyspark.sql import types as T
+
+    kinds: dict[str, str] = {}
+
+    def collect(prefix: str, st) -> None:
+        for f in st.fields:
+            path = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.TimestampType):
+                kinds[path] = "tz"
+            elif isinstance(f.dataType, T.TimestampNTZType):
+                kinds[path] = "ntz"
+            elif isinstance(f.dataType, T.DateType):
+                kinds[path] = "date"
+            elif isinstance(
+                f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                kinds[path] = "int"
+            elif isinstance(f.dataType, T.StructType):
+                collect(path + ".", f.dataType)
+
+    collect("", schema)
+    return kinds
+
+
+def _align_temporal(p: Predicate, kinds: dict[str, str]) -> Predicate:
+    """Align temporal operands with their Arrow storage types, mirroring
+    Spark's implicit promotions (session tz pinned to UTC, session.py;
+    the engine's literal domain is naive-means-UTC):
+
+    * naive datetime literal vs TimestampType column → literal gains UTC
+      tzinfo (parquet stores ``timestamp[us, tz=UTC]``; Arrow refuses
+      aware-vs-naive comparisons outright — found by test_facade_fuzz,
+      seed 20260815: every ``ts <cmp> TIMESTAMP literal`` residual crashed
+      with ArrowTypeError before this pass);
+    * aware literal vs TimestampNTZ column → naive UTC;
+    * DateType column vs datetime (literal or timestamp column) → the DATE
+      side is wrapped in :class:`_CastTs`, compiling to an expression-level
+      cast to timestamp — Spark promotes DATE to TIMESTAMP at comparison,
+      so ``d = TIMESTAMP '... 12:00'`` is False for every date, NOT
+      floored to the day (the same bug test_skipping_fuzz shrank out of
+      the stats rewriter);
+    * tz vs ntz column comparison is refused — no Arrow spelling keeps
+      both 3VL and instant semantics."""
+
+    def col_kind(e) -> str | None:
+        return kinds.get(e.path) if isinstance(e, Col) else None
+
+    def lit_dt(e) -> bool:
+        return isinstance(e, Literal) and isinstance(e.value, _dt.datetime)
+
+    def to_aware(v: _dt.datetime) -> _dt.datetime:
+        return v.replace(tzinfo=_dt.timezone.utc) if v.tzinfo is None else v
+
+    def to_naive(v: _dt.datetime) -> _dt.datetime:
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    def fix_pair(a, b):
+        ka, kb = col_kind(a), col_kind(b)
+        if {ka, kb} == {"tz", "ntz"}:
+            raise UnsupportedPredicate(
+                "timestamp vs timestamp_ntz column comparison has no Arrow form"
+            )
+        # literal ↔ column alignment
+        if lit_dt(a) and kb:
+            a = Literal(to_aware(a.value) if kb == "tz" else to_naive(a.value))
+        if lit_dt(b) and ka:
+            b = Literal(to_aware(b.value) if ka == "tz" else to_naive(b.value))
+        # DATE promotion: cast the date column when the other side is a
+        # datetime (column or literal)
+        if ka == "date" and (kb in ("tz", "ntz") or lit_dt(b)):
+            a = _CastTs(a, tz=kb == "tz")
+        if kb == "date" and (ka in ("tz", "ntz") or lit_dt(a)):
+            b = _CastTs(b, tz=ka == "tz")
+        return a, b
+
+    def walk(node: Predicate) -> Predicate:
+        if isinstance(node, Compare):
+            a, b = fix_pair(node.left, node.right)
+            return Compare(node.op, a, b)
+        if isinstance(node, (Distinct, NotDistinct)):
+            a, b = fix_pair(node.left, node.right)
+            return type(node)(a, b)
+        if isinstance(node, In):
+            k = col_kind(node.expr)
+            if k == "tz":
+                vals = tuple(
+                    to_aware(v) if isinstance(v, _dt.datetime) else v
+                    for v in node.values
+                )
+                return In(node.expr, vals)
+            if k == "ntz":
+                vals = tuple(
+                    to_naive(v) if isinstance(v, _dt.datetime) else v
+                    for v in node.values
+                )
+                return In(node.expr, vals)
+            if k == "int" and any(isinstance(v, Decimal) for v in node.values):
+                # Arrow's is_in cannot promote int64 against decimal values
+                # ("Precision is not great enough", found by
+                # test_facade_fuzz seed 777); integral decimals ARE ints and
+                # fractional decimals can never equal one — dropping them is
+                # exact, and an emptied list becomes the NULL-preserving
+                # never-true ``e != e``
+                vals = tuple(
+                    int(v) if isinstance(v, Decimal) else v
+                    for v in node.values
+                    if not isinstance(v, Decimal) or v == v.to_integral_value()
+                )
+                if not vals:
+                    return Compare("ne", node.expr, node.expr)
+                return In(node.expr, vals)
+            if k == "date" and any(
+                isinstance(v, _dt.datetime) for v in node.values
+            ):
+                # promote the whole list to timestamp midnight/naive
+                vals = tuple(
+                    to_naive(v)
+                    if isinstance(v, _dt.datetime)
+                    else _dt.datetime(v.year, v.month, v.day)
+                    if isinstance(v, _dt.date)
+                    else v
+                    for v in node.values
+                )
+                return In(_CastTs(node.expr, tz=False), vals)
+            return node
+        if isinstance(node, And):
+            return And(tuple(walk(c) for c in node.children))
+        if isinstance(node, Or):
+            return Or(tuple(walk(c) for c in node.children))
+        if isinstance(node, Not):
+            return Not(walk(node.child))
+        return node
+
+    return walk(p)
+
+
+def to_arrow_expr(
+    p: Predicate, name_map: dict[str, str] | None = None, schema=None
+):
     """Compile to a pyarrow Expression (logical → physical names via
-    ``name_map``). Raises UnsupportedPredicate for inexpressible nodes."""
+    ``name_map``; datetime literals tz-aligned to ``schema``'s timestamp
+    columns when given). Raises UnsupportedPredicate for inexpressible
+    nodes."""
     import pyarrow.dataset as pads
 
     nm = name_map or {}
+    if schema is not None:
+        kinds = _temporal_kinds(schema)
+        if kinds:
+            p = _align_temporal(p, kinds)
 
     def field(path: str):
         if "." in path:
@@ -408,6 +572,15 @@ def to_arrow_expr(p: Predicate, name_map: dict[str, str] | None = None):
             )
         if isinstance(e, Col):
             return field(e.path)
+        if isinstance(e, _CastTs):
+            import pyarrow as pa
+
+            out = expr(e.col).cast(pa.timestamp("us"))
+            if e.tz:
+                # date32 → naive midnight → assume-UTC instant (session tz
+                # is pinned to UTC, so this IS Spark's promotion)
+                out = out.cast(pa.timestamp("us", tz="UTC"))
+            return out
         if isinstance(e, Arith):
             a, b = expr(e.left), expr(e.right)
             if e.op == "plus":
@@ -439,19 +612,36 @@ def to_arrow_expr(p: Predicate, name_map: dict[str, str] | None = None):
         return expr(p.expr).is_null()
     if isinstance(p, IsNotNull):
         return expr(p.expr).is_valid()
-    if isinstance(p, NotDistinct):
+    if isinstance(p, (NotDistinct, Distinct)):
+        import pyarrow.compute as pc
+
         a, b = expr(p.left), expr(p.right)
-        return (a == b) | (a.is_null() & b.is_null())
-    if isinstance(p, Distinct):
-        a, b = expr(p.left), expr(p.right)
-        return ~((a == b) | (a.is_null() & b.is_null()))
+        # ``a == b`` is NULL (not False) when exactly one side is NULL, and
+        # a null verdict flips observably under an enclosing NOT — <=> must
+        # never be NULL, so coalesce the equality to False first (found by
+        # test_facade_fuzz seed 20260815 pred#9: ``p <=> NULL`` inside
+        # NOT(AND(...)) dropped rows Spark keeps)
+        same = pc.coalesce(a == b, pads.scalar(False)) | (
+            a.is_null() & b.is_null()
+        )
+        return same if isinstance(p, NotDistinct) else ~same
     if isinstance(p, In):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         if any(v is None for v in p.values):
             # a NULL in the list makes every non-match UNKNOWN; that is not
             # representable as a bare isin, and "drop the NULL" flips the
             # verdict under an enclosing NOT — refuse instead
             raise UnsupportedPredicate("IN list containing NULL")
-        return expr(p.expr).isin(list(p.values))
+        e = expr(p.expr)
+        # Arrow's is_in maps NULL input to False; SQL says NULL — keep the
+        # verdict NULL so an enclosing NOT cannot resurrect the row (found
+        # by test_facade_fuzz seed 20260815 pred#17: facade returned rows
+        # Spark excludes)
+        return pc.if_else(
+            e.is_valid(), e.isin(list(p.values)), pa.scalar(None, pa.bool_())
+        )
     if isinstance(p, Like):
         import pyarrow.compute as pc
 

@@ -154,7 +154,11 @@ def _parse_predicate_opt(pred_str: str | None, table_schema: T.StructType):
             "grammar; drop the option and .filter() instead"
         )
     ast = coerce_literals(ast, table_schema)
-    to_arrow_expr(ast, {f.name: physical_name(f) for f in table_schema.fields})
+    to_arrow_expr(
+        ast,
+        {f.name: physical_name(f) for f in table_schema.fields},
+        table_schema,
+    )
     return ast
 
 
@@ -449,7 +453,9 @@ class _FileSliceReadMixin:
                     continue
                 if verdict is None:
                     row_filter = to_arrow_expr(
-                        substitute(self._predicate, known_row, known), name_map
+                        substitute(self._predicate, known_row, known),
+                        name_map,
+                        self._table_schema,
                     )
 
             dv = files.column("dv")[i].as_py()
@@ -554,7 +560,9 @@ class DeltaKernelBatchReader(_FileSliceReadMixin, DataSourceReader):
                 )
 
                 ast = coerce_literals(ast, self._table_schema)
-                to_arrow_expr(ast, name_map)  # must compile for executors
+                to_arrow_expr(  # must compile for executors
+                    ast, name_map, self._table_schema
+                )
             except Exception:
                 continue  # stays Spark-side only
             translated.append(ast)
@@ -1351,7 +1359,7 @@ class _DeltaKernelWriterBase:
             if ast is not None:
                 ast = coerce_literals(ast, self._table_schema)
                 try:
-                    to_arrow_expr(ast, {})
+                    to_arrow_expr(ast, {}, self._table_schema)
                 except UnsupportedPredicate:
                     ast = None
             if ast is None:
@@ -1375,7 +1383,9 @@ class _DeltaKernelWriterBase:
             from delta_kernel_rs_spark.plans.py_predicate import to_arrow_expr
 
             for name, sql, ast in self._checks:
-                ok = tbl.filter(to_arrow_expr(ast, {})).num_rows
+                ok = tbl.filter(
+                    to_arrow_expr(ast, {}, self._table_schema)
+                ).num_rows
                 if ok != tbl.num_rows:
                     raise ValueError(
                         f"constraint {name} violated by {tbl.num_rows - ok} "
