@@ -471,11 +471,20 @@ def net_changes(changes: DataFrame, key_columns: list[str]) -> DataFrame:
         for c in changes.columns
         if not c.startswith("_") and c not in set(key_columns)
     ]
+    # Tie-break WITHIN one commit: a delete ranks below insert/postimage —
+    # the reference sorts "a remove before an add at the same commit"
+    # (net_changes.rs:20,73 `(commit_version, is_add)`), because a commit
+    # that swaps a key between files (RESTORE re-adding a previously
+    # removed file) emits delete + insert for the same key and the key IS
+    # present afterwards (found by tests/test_history_fuzz.py seed
+    # 20260815: net of a range containing a restore dropped 7 live keys).
     w = F.max_by(
         F.struct(CHANGE_TYPE_COL, *value_cols),
         F.struct(
             COMMIT_VERSION_COL,
-            F.when(F.col(CHANGE_TYPE_COL) == "update_postimage", 1).otherwise(0),
+            F.when(F.col(CHANGE_TYPE_COL) == "update_postimage", 2)
+            .when(F.col(CHANGE_TYPE_COL) == "insert", 1)
+            .otherwise(0),
         ),
     )
     latest = (

@@ -12,6 +12,7 @@ scan); only the driver-side rename of the single output file is local.
 from __future__ import annotations
 
 import json
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,7 +23,11 @@ from delta_kernel_rs_spark.sources.delta_paths import (
     classic_checkpoint_filename,
     compacted_filename,
 )
-from delta_kernel_rs_spark.sources.scan import dv_unique_id, resolved_checkpoint_df
+from delta_kernel_rs_spark.sources.scan import (
+    canonical_log_path,
+    dv_unique_id,
+    resolved_checkpoint_df,
+)
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 from delta_kernel_rs_spark.sources.storage import storage_for
 from delta_kernel_rs_spark.sources.transaction import _now_ms
@@ -77,7 +82,11 @@ def _full_replay(snapshot: Snapshot) -> DataFrame:
         df = df.unionByName(a)
     df = df.filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
     keyed = df.select(
-        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("key_path"),
+        # decoded file identity (scan.canonical_log_path): the fold must
+        # collapse differently-encoded spellings of the same file
+        canonical_log_path(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+        ).alias("key_path"),
         F.when(
             F.col("add").isNotNull(), dv_unique_id(F.col("add.deletionVector"))
         )
@@ -487,11 +496,21 @@ def write_log_compaction(
                 continue
             if "add" in action:
                 dv = action["add"].get("deletionVector") or {}
-                key = (action["add"]["path"], dv.get("storageType"), dv.get("pathOrInlineDv"))
+                # decoded file identity (scan.canonical_log_path twin):
+                # mixed percent-encodings of one file collapse to one key
+                key = (
+                    urllib.parse.unquote(action["add"]["path"]),
+                    dv.get("storageType"),
+                    dv.get("pathOrInlineDv"),
+                )
                 actions_by_key[key] = (v, action)
             elif "remove" in action:
                 dv = action["remove"].get("deletionVector") or {}
-                key = (action["remove"]["path"], dv.get("storageType"), dv.get("pathOrInlineDv"))
+                key = (
+                    urllib.parse.unquote(action["remove"]["path"]),
+                    dv.get("storageType"),
+                    dv.get("pathOrInlineDv"),
+                )
                 actions_by_key[key] = (v, action)
             elif "metaData" in action:
                 pm["metaData"] = action

@@ -20,6 +20,7 @@ writes never overwrite (put-if-absent).
 from __future__ import annotations
 
 import json
+import urllib.parse
 
 from pyspark.sql import functions as F
 
@@ -181,7 +182,10 @@ def update_crc_incremental(spark, table_path: str, storage, version: int) -> boo
             # a remove ALWAYS shrinks the live file set — dataChange=false
             # (OPTIMIZE/PURGE rewrites) flags logical content, not layout
             rm = action["remove"]
-            key = f"{rm.get('path')}\x00{_dv_uid(rm.get('deletionVector'))}"
+            key = (
+                f"{urllib.parse.unquote(rm.get('path') or '')}"
+                f"\x00{_dv_uid(rm.get('deletionVector'))}"
+            )
             if key in seen_removes:
                 # duplicate remove of the same (path, dv) in ONE commit:
                 # a foreign writer's double tombstone must not

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 from delta_kernel_rs_spark.sources.actions import SCAN_ACTIONS_SCHEMA
 from delta_kernel_rs_spark.sources.scan import (
     ScanFile,
+    absolutize_decoded_path,
+    canonical_log_path,
     dv_unique_id,
-    resolve_add_path,
 )
 
 
@@ -85,7 +86,11 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
         .join(F.broadcast(version_map), "log_filename")
         .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
         .select(
-            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("key_path"),
+            # decoded file identity — mixed percent-encodings across the
+            # range's commits must collapse to one key (canonical_log_path)
+            canonical_log_path(
+                F.coalesce(F.col("add.path"), F.col("remove.path"))
+            ).alias("key_path"),
             F.when(F.col("add").isNotNull(), dv_unique_id(F.col("add.deletionVector")))
             .otherwise(dv_unique_id(F.col("remove.deletionVector")))
             .alias("key_dv"),
@@ -106,7 +111,9 @@ def incremental_actions_df(snapshot, base_version: int) -> DataFrame | None:
         )
     )
     table_path = snapshot.table_path
-    abs_path = resolve_add_path(F.col("key_path"), table_path)
+    # key_path is already decoded — absolutize only (a second url_decode
+    # would mangle a file literally named like an escape, e.g. '100%25')
+    abs_path = absolutize_decoded_path(F.col("key_path"), table_path)
     return latest.select(
         F.when(F.col("add").isNotNull(), F.lit("add")).otherwise(F.lit("remove")).alias(
             "action"

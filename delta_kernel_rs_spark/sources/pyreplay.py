@@ -126,6 +126,13 @@ def protocol_of(proto: dict):
     )
 
 
+def _unq(p: str) -> str:
+    """Percent-DECODED log path — the file-identity key (twin of
+    scan.canonical_log_path; ``urllib.parse.unquote`` leaves '+' alone, so
+    no form-decoding protection is needed here)."""
+    return urllib.parse.unquote(p) if "%" in p else p
+
+
 def _dv_uid_py(dv: dict | None) -> str:
     if not dv or not dv.get("storageType"):
         return ""
@@ -144,10 +151,10 @@ def replay_commit_tail(storage, seg) -> dict[tuple[str, str], dict | None]:
         for action in _iter_actions(storage, c.path):
             if "add" in action:
                 a = action["add"]
-                actions[(a["path"], _dv_uid_py(a.get("deletionVector")))] = a
+                actions[(_unq(a["path"]), _dv_uid_py(a.get("deletionVector")))] = a
             elif "remove" in action:
                 r = action["remove"]
-                actions[(r["path"], _dv_uid_py(r.get("deletionVector")))] = None
+                actions[(_unq(r["path"]), _dv_uid_py(r.get("deletionVector")))] = None
     return actions
 
 
@@ -240,9 +247,15 @@ def _arrow_keys(tbl: pa.Table) -> pa.Array:
         ),
         pa.scalar("", pa.string()),
     )
-    return pc.binary_join_element_wise(
-        tbl.column("path").combine_chunks().cast(pa.string()), uid, "\x00"
-    )
+    paths = tbl.column("path").combine_chunks().cast(pa.string())
+    if pc.any(pc.match_substring(paths, "%")).as_py():
+        # decode to the canonical file identity (see _unq) — a remove in
+        # the tail must shadow a checkpoint add spelled differently
+        paths = pa.array(
+            [p if p is None else _unq(p) for p in paths.to_pylist()],
+            type=pa.string(),
+        )
+    return pc.binary_join_element_wise(paths, uid, "\x00")
 
 
 def live_files_arrow(storage, seg) -> pa.Table:

@@ -103,21 +103,42 @@ def normalize_file_path(col: Column) -> Column:
     return _strip_scheme(decoded)
 
 
+def canonical_log_path(col: Column) -> Column:
+    """Percent-DECODED log path — the FILE-IDENTITY key for replay dedup.
+
+    Writers legitimately differ in how much they percent-encode add/remove
+    paths (this engine quotes ``=`` in partition directories, delta-spark
+    leaves it raw), and the protocol keys file actions by the FILE, not the
+    spelling: a remove must shadow the add it targets even when the two
+    commits encoded the path differently. Keying on the raw string let a
+    RESTORE's removes (written with a different spelling than the
+    checkpointed adds) silently resurrect deleted rows on every partitioned
+    table — found by tests/test_history_fuzz.py, seed 20260815, op trace
+    ``checkpoint → restore``. Literal '+' is protected first:
+    ``F.url_decode`` is FORM decoding ('+' → space)."""
+    return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+
+
+def absolutize_decoded_path(col: Column, table_path: str) -> Column:
+    """ALREADY-DECODED relative path → absolute path, in-plan. Absolute
+    inputs (URI or '/'-rooted) pass through undecorated with the table
+    root."""
+    return (
+        F.when(col.contains("://"), _strip_scheme(col))
+        .when(col.startswith("/"), col)
+        .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), col))
+    )
+
+
 def resolve_add_path(col: Column, table_path: str) -> Column:
     """Log-relative add/remove/cdc path → absolute path, in-plan.
 
     Delta log paths are RFC-2396 percent-encoded; ``F.url_decode`` is
     FORM decoding ('+' → space — a literal '+' in a partition value would
-    mangle), so literal '+' is protected before decoding. Absolute inputs
-    (URI or '/'-rooted) pass through undecorated with the table root.
-    Shared by the scan, CDF, and incremental replays."""
-    rel = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
-    return (
-        # already decoded above — only the scheme needs stripping here
-        F.when(rel.contains("://"), _strip_scheme(rel))
-        .when(rel.startswith("/"), rel)
-        .otherwise(F.concat(F.lit(table_path.rstrip("/") + "/"), rel))
-    )
+    mangle), so literal '+' is protected before decoding (see
+    :func:`canonical_log_path`). Shared by the scan, CDF, and incremental
+    replays."""
+    return absolutize_decoded_path(canonical_log_path(col), table_path)
 
 
 def _conform_struct(src_type: T.DataType, prefix: str, target: T.StructType) -> Column:
@@ -342,7 +363,12 @@ class Scan:
                 .join(F.broadcast(self._version_map_df()), "log_filename")
                 .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
                 .select(
-                    F.coalesce(F.col("add.path"), F.col("remove.path")).alias("key_path"),
+                    # file identity is the DECODED path: a remove written
+                    # with a different percent-encoding than the add it
+                    # shadows must still match (canonical_log_path docstring)
+                    canonical_log_path(
+                        F.coalesce(F.col("add.path"), F.col("remove.path"))
+                    ).alias("key_path"),
                     # dv_unique_id never returns NULL (missing DV → ""), so
                     # pick the branch by which action is present.
                     F.when(
@@ -363,7 +389,7 @@ class Scan:
                 checkpoint_arm = (
                     ckpt.filter(F.col("add").isNotNull())
                     .select(
-                        F.col("add.path").alias("key_path"),
+                        canonical_log_path(F.col("add.path")).alias("key_path"),
                         dv_unique_id(F.col("add.deletionVector")).alias("key_dv"),
                         "add",
                         F.lit(seg.checkpoint_version).cast("long").alias("version"),

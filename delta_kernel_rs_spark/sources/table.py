@@ -548,13 +548,19 @@ class DeltaTable:
 
         actions: list[dict] = []
         missing_on_disk: list[str] = []
+        from delta_kernel_rs_spark.sources.transaction import _encode_rel_path
+
         for row in changed:
             if row["tgt"] is None:  # in current only → remove
                 r = row["cur"]
                 actions.append(
                     {
                         "remove": {
-                            "path": self._rel(r["file_path"]),
+                            # the scan's file_path is DECODED — re-encode to
+                            # the engine's canonical log spelling so this
+                            # remove shadows the add it targets even in logs
+                            # read by raw-string-keyed implementations
+                            "path": _encode_rel_path(self._rel(r["file_path"])),
                             "deletionTimestamp": now,
                             "dataChange": True,
                             "extendedFileMetadata": True,
@@ -566,7 +572,7 @@ class DeltaTable:
                 )
                 continue
             r = row["tgt"]  # in target only → re-add
-            rel = self._rel(r["file_path"])
+            rel = _encode_rel_path(self._rel(r["file_path"]))
             # exists() is the storage-portable probe: stat() raises
             # backend-specific errors (Py4J on Hadoop) or returns a
             # zero-size entry (pyarrow) for missing files
