@@ -321,7 +321,7 @@ def dv_diff_from_df(desc_df, table_path: str):
     import pandas as pd
 
     def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.fs as pafs
+        from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
 
         blob_cache: dict[str, bytes] = {}
 
@@ -337,9 +337,7 @@ def dv_diff_from_df(desc_df, table_path: str):
             )
             blob = blob_cache.get(abs_path)
             if blob is None:
-                fs, rel = pafs.FileSystem.from_uri(
-                    abs_path if "://" in abs_path else f"file://{abs_path}"
-                )
+                fs, rel = arrow_fs_and_path(abs_path)
                 with fs.open_input_stream(rel) as fh:
                     blob = fh.read()
                 blob_cache[abs_path] = blob
@@ -391,7 +389,7 @@ def deleted_rows_from_desc_df(desc_df, table_path: str):
     import pandas as pd
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.fs as pafs
+        from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
 
         blob_cache: dict[str, bytes] = {}
         for pdf in batches:
@@ -405,9 +403,7 @@ def deleted_rows_from_desc_df(desc_df, table_path: str):
                     )
                     blob = blob_cache.get(dv_path)
                     if blob is None:
-                        fs, rel = pafs.FileSystem.from_uri(
-                            dv_path if "://" in dv_path else f"file://{dv_path}"
-                        )
+                        fs, rel = arrow_fs_and_path(dv_path)
                         with fs.open_input_stream(rel) as fh:
                             blob = fh.read()
                         blob_cache[dv_path] = blob
@@ -443,7 +439,7 @@ def dv_blobs_from_hits_df(hits_df, table_path: str):
     import pandas as pd
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pyarrow.fs as pafs
+        from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
 
         path = pdf["__file_path"].iloc[0]
         idx = {int(i) for i in pdf["__row_index"]}
@@ -456,9 +452,7 @@ def dv_blobs_from_hits_df(hits_df, table_path: str):
                     table_path,
                     {"storageType": st, "pathOrInlineDv": pdf["old_p"].iloc[0]},
                 )
-                fs, rel = pafs.FileSystem.from_uri(
-                    abs_path if "://" in abs_path else f"file://{abs_path}"
-                )
+                fs, rel = arrow_fs_and_path(abs_path)
                 with fs.open_input_stream(rel) as fh:
                     blob = fh.read()
                 off = pdf["old_off"].iloc[0]

@@ -8,6 +8,17 @@ dates ``YYYY-MM-DD``, timestamps ``YYYY-MM-DD HH:MM:SS[.ffffff]``, decimals
 plain, booleans ``true/false``, null = JSON null (and
 ``__HIVE_DEFAULT_PARTITION__`` in directory names). Empty string parses to
 NULL for every type except string/binary.
+
+WRITE-path caveat (tests/test_partition_fuzz.py): the hive directory
+sentinel is not injective — Spark's dir escaper maps both NULL and the
+EMPTY STRING to ``__HIVE_DEFAULT_PARTITION__`` (and writes the literal
+sentinel string verbatim). Writers deriving partitionValues from directory
+names (this engine, delta-spark's commit protocol alike) therefore
+collapse ``''`` to NULL on write — the documented delta-spark quirk this
+engine matches — and this engine REFUSES a literal-sentinel string value
+outright (transaction._guard_hive_sentinel_literal) rather than corrupt it
+to NULL. The READ path still honors a foreign-written ``""`` in
+add.partitionValues as a real empty string.
 """
 
 from __future__ import annotations

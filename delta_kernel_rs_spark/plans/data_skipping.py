@@ -56,6 +56,7 @@ from delta_kernel_rs_spark.plans.expressions import (
     Predicate,
     UnknownPredicate,
     normalize,
+    safe_lit,
 )
 
 STATS_COLUMN = "stats"  # column name in scan_files_df
@@ -197,7 +198,7 @@ class _SkippingRewriter:
             # Spark promotes the COLUMN to timestamp here, it never floors
             # the literal — a date-typed rewrite cannot represent that
             return None
-        return F.lit(value).cast(t)
+        return safe_lit(value).cast(t)
 
     # -- classification ---------------------------------------------------
     def _col_lit(self, p: Compare) -> Compare | None:
@@ -258,7 +259,18 @@ class _SkippingRewriter:
             p = shape  # col-on-left; p.op is the (possibly flipped) op
             c, v = p.left, p.right
             if self._is_partition_col(c):
-                return _compare(p.op, self._partition_value(c.path), F.lit(v.value))
+                if v.value is None:
+                    # col <op> NULL matches no rows under SQL-WHERE
+                    return F.lit(False)
+                pv = self._partition_value(c.path)
+                # SQL-WHERE null-intolerance on the EXACT partition value:
+                # a null value makes the comparison unsatisfiable for every
+                # row in the file, so the verdict is FALSE (skip), not
+                # UNKNOWN (reference eval_sql_where — data_skipping.rs:85,
+                # predicates/mod.rs eval_sql_where adds the IS NOT NULL
+                # conjuncts). Sound because the scan always re-applies the
+                # predicate as the residual row filter.
+                return pv.isNotNull() & _compare(p.op, pv, safe_lit(v.value))
             if not self._has_stats(c):
                 return None
             lo, hi = self._min(c.path), self._max(c.path)
@@ -305,7 +317,20 @@ class _SkippingRewriter:
             if isinstance(p.expr, Col):
                 c = p.expr
                 if self._is_partition_col(c):
-                    return self._partition_value(c.path).isin(list(p.values))
+                    pv = self._partition_value(c.path)
+                    out = None
+                    # NULL members can never match under IN's equality
+                    # semantics; dropping them (and guarding pv) gives the
+                    # exact SQL-WHERE verdict: FALSE for a null partition
+                    # value instead of UNKNOWN-keep.
+                    for v in p.values:
+                        if v is None:
+                            continue
+                        eq = pv == safe_lit(v)
+                        out = eq if out is None else (out | eq)
+                    if out is None:
+                        return F.lit(False)
+                    return pv.isNotNull() & out
                 if self._has_stats(c):
                     lo, hi = self._min(c.path), self._max(c.path)
                     out = None
@@ -367,7 +392,7 @@ class _SkippingRewriter:
                 c, v = p.left, p.right
                 if self._is_partition_col(c):
                     pv = self._partition_value(c.path)
-                    eq = pv.eqNullSafe(F.lit(v.value))
+                    eq = pv.eqNullSafe(safe_lit(v.value))
                     return ~eq if isinstance(p, Distinct) else eq
                 if not self._has_stats(c):
                     return None

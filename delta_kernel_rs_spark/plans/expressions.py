@@ -27,6 +27,29 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _needs_safe_lit(value: Any) -> bool:
+    return isinstance(value, _dt.date) and value.year < 1000
+
+
+def safe_lit(value: Any) -> Column:
+    """``F.lit`` that survives py4j's Date/Timestamp string conversion.
+
+    py4j converts ``datetime.date`` via ``Date.valueOf(strftime('%Y-%m-%d'))``
+    (and datetimes via the Timestamp twin); ``strftime`` does NOT zero-pad
+    years < 1000, so ``date(1, 1, 1)`` becomes ``"1-01-01"`` and the JVM
+    throws. Spell such literals as an ISO-8601 string cast instead —
+    ``isoformat()`` zero-pads — keeping the exact same typed literal in the
+    plan (found by test_partition_fuzz on the skipping rewriter's
+    partition-value compare)."""
+    if isinstance(value, _dt.datetime):
+        if value.year < 1000:
+            return F.lit(value.isoformat(sep=" ")).cast("timestamp")
+        return F.lit(value)
+    if isinstance(value, _dt.date) and value.year < 1000:
+        return F.lit(value.isoformat()).cast("date")
+    return F.lit(value)
+
+
 # ---------------------------------------------------------------------------
 # Expressions
 # ---------------------------------------------------------------------------
@@ -83,7 +106,7 @@ class Literal(Expr):
     value: Any
 
     def to_spark(self) -> Column:
-        return F.lit(self.value)
+        return safe_lit(self.value)
 
 
 @dataclass(frozen=True, eq=False)
@@ -285,6 +308,16 @@ class In(Predicate):
     values: tuple[Any, ...]
 
     def to_spark(self) -> Column:
+        if any(_needs_safe_lit(v) for v in self.values):
+            # py4j's Date/Timestamp converters reject year < 1000; expand
+            # to the OR-of-equals form IN is defined as (same 3VL,
+            # including NULL members) so every literal goes through
+            # safe_lit.
+            out = None
+            for v in self.values:
+                eq = self.expr.to_spark() == safe_lit(v)
+                out = eq if out is None else (out | eq)
+            return out if out is not None else F.lit(False)
         return self.expr.to_spark().isin(list(self.values))
 
 

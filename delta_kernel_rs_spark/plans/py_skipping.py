@@ -283,6 +283,16 @@ class FileSkipEvaluator:
             if shape is None:
                 return None
             c, lit = shape.left, shape.right.value
+            if c.path in self.pcols:
+                # SQL-WHERE null-intolerance on the exact partition value:
+                # a NULL on either side makes the comparison unsatisfiable
+                # for every row of the file — FALSE, not unknown-keep
+                # (parity with the Spark rewriter / reference
+                # eval_sql_where). A non-null cross-type mismatch stays
+                # unknown.
+                if pv.get(c.path) is None or lit is None:
+                    return False
+                return None
             if not self._has_stats(c):
                 return None
             lo, hi = self._min(c.path, stats), self._max(c.path, stats)
@@ -311,6 +321,12 @@ class FileSkipEvaluator:
                 return self._not_all_null(p.expr.path, stats)
             return None
         if isinstance(p, In):
+            if isinstance(p.expr, Col) and p.expr.path in self.pcols:
+                # NULL partition value (or all-NULL member list): IN can
+                # never be TRUE — sql-where FALSE, matching the rewriter
+                if pv.get(p.expr.path) is None:
+                    return False
+                return None  # non-null mismatches handled by eval_3vl above
             if not (isinstance(p.expr, Col) and self._has_stats(p.expr)):
                 return None
             c = p.expr
@@ -324,6 +340,8 @@ class FileSkipEvaluator:
         if isinstance(p, Like):
             if not isinstance(p.expr, Col):
                 return None
+            if p.expr.path in self.pcols and pv.get(p.expr.path) is None:
+                return False  # NULL LIKE anything is never TRUE (sql-where)
             c = p.expr
             if not isinstance(self.types.get(c.path), T.StringType):
                 return None

@@ -321,15 +321,16 @@ def _write_cdc_files(table, rows_df, snap, change_type: str) -> list[dict]:
     from delta_kernel_rs_spark.functions.partition_codec import parse_hive_partition_path
     from delta_kernel_rs_spark.sources.transaction import _cleanup_dir
 
-    import pyarrow.fs as pafs
+    from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
     import pyarrow.parquet as pq
 
     actions = []
     for entry in table.storage.list_recursive(staging):
         if not entry.path.endswith(".parquet"):
             continue
-        uri = entry.path if "://" in entry.path else f"file://{entry.path}"
-        fs, fs_rel = pafs.FileSystem.from_uri(uri)
+        # NEVER from_uri on a hive partition path — spaces/unicode/percent
+        # signs in partition dirs are legal and break URI parsing
+        fs, fs_rel = arrow_fs_and_path(entry.path)
         if pq.read_metadata(fs_rel, filesystem=fs).num_rows == 0:
             continue  # schema-only part file — no change rows to publish
         rel = entry.path[len(staging.rstrip("/")) + 1 :]

@@ -92,3 +92,24 @@ def compacted_filename(start: int, end: int) -> str:
 
 def crc_filename(version: int) -> str:
     return f"{version:020d}.crc"
+
+
+def arrow_fs_and_path(path: str):
+    """(pyarrow FileSystem, fs-relative path) for a table/file path.
+
+    Local paths (no scheme, or file://) get a LocalFileSystem DIRECTLY —
+    never ``FileSystem.from_uri``, whose URI parser rejects raw spaces /
+    unicode / percent signs that are perfectly legal in hive partition
+    directory names (Spark's dir escaper leaves them unencoded; found by
+    tests/test_history_fuzz.py with a ``cat=x%3Dy%2Fü %25`` partition).
+    Remote URIs keep from_uri, whose encoding contract pyarrow owns.
+
+    Importable on executors (leaf module, no Spark imports).
+    """
+    import pyarrow.fs as pafs
+
+    if path.startswith("file://"):
+        return pafs.LocalFileSystem(), path[len("file://"):]
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    return pafs.FileSystem.from_uri(path)

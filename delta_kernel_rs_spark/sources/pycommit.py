@@ -35,9 +35,18 @@ class PyCommitError(Exception):
 
 
 def _json_line(action: dict) -> str:
+    # Omit null STRUCT fields but preserve null MAP entries — a NULL
+    # partition value must stay in partitionValues as an explicit JSON
+    # null (same contract as transaction._json_line).
+    _nullable_maps = ("partitionValues", "tags")
+
     def prune(obj):
         if isinstance(obj, dict):
-            return {k: prune(v) for k, v in obj.items() if v is not None}
+            return {
+                k: (v if k in _nullable_maps and isinstance(v, dict) else prune(v))
+                for k, v in obj.items()
+                if v is not None
+            }
         return obj
 
     return json.dumps(prune(action), separators=(",", ":"))

@@ -316,10 +316,10 @@ class ArrowStorage:
     def __init__(self, base_url: str):
         import urllib.parse
 
-        import pyarrow.fs as pafs
+        from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
 
         uri = self._uri(base_url)
-        self._fs, base_rel = pafs.FileSystem.from_uri(uri)
+        self._fs, base_rel = arrow_fs_and_path(uri)
         # scheme://authority prefix that turns a filesystem-relative path
         # back into a full URI. Two layouts exist: S3/GCS fold the bucket
         # into the fs path ("bucket/key"), so the prefix is bare
@@ -345,9 +345,9 @@ class ArrowStorage:
         # paths double as LocalFileSystem paths; S3 paths are bucket/key).
         if "://" not in path:
             return path
-        import pyarrow.fs as pafs
+        from delta_kernel_rs_spark.sources.delta_paths import arrow_fs_and_path
 
-        _, rel = pafs.FileSystem.from_uri(path)
+        _, rel = arrow_fs_and_path(path)
         return rel
 
     def list_dir(self, directory: str) -> list[FileEntry]:

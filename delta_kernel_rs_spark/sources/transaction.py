@@ -66,13 +66,27 @@ def _schema_has_variant(dt: T.DataType) -> bool:
     return False
 
 
+#: map<string,string> action fields whose ENTRIES may be legitimately null —
+#: the omit-null contract applies to struct FIELDS, not map values; a NULL
+#: partition value must serialize as an explicit JSON null or readers lose
+#: the key entirely (found by tests/test_partition_fuzz.py: a null
+#: partition value vanished from add.partitionValues, defeating partition
+#: pruning on the remaining files).
+_NULLABLE_MAP_FIELDS = frozenset({"partitionValues", "tags"})
+
+
 def _json_line(action: dict) -> str:
-    """Serialize one action omitting null fields (reference
-    JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760)."""
+    """Serialize one action omitting null STRUCT fields (reference
+    JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760) while
+    preserving null MAP entries (partitionValues / tags)."""
 
     def prune(obj):
         if isinstance(obj, dict):
-            return {k: prune(v) for k, v in obj.items() if v is not None}
+            return {
+                k: (v if k in _NULLABLE_MAP_FIELDS and isinstance(v, dict) else prune(v))
+                for k, v in obj.items()
+                if v is not None
+            }
         return obj
 
     return json.dumps(prune(action), separators=(",", ":"))
@@ -623,6 +637,52 @@ class Transaction:
             == "supported"
         )
 
+    def _guard_hive_sentinel_literal(self, staged_entries, staging: str) -> None:
+        """Refuse writes where a STRING partition value is the literal
+        ``__HIVE_DEFAULT_PARTITION__``.
+
+        The hive directory sentinel is not injective: Spark's dir escaper
+        writes the literal string verbatim, so partitionValues derived
+        from directory names (this writer, delta-spark's commit protocol
+        alike) would silently collapse the value to NULL on read-back —
+        wrong rows, not an error. Zero cost on the normal path: only when
+        a staged directory actually contains the sentinel segment (which
+        legitimate NULLs also produce) does ONE bounded probe over the
+        staged frame disambiguate; literal hits abort the txn (reporting
+        an error beats corrupting data — reference error posture,
+        kernel/src/error.rs). Found by tests/test_partition_fuzz.py."""
+        sentinel = "__HIVE_DEFAULT_PARTITION__"
+        if not self.partition_columns or self._staged_df is None:
+            return
+        suspicious = any(
+            seg.partition("=")[2] == sentinel
+            for e in staged_entries
+            for seg in e.path[len(staging.rstrip("/")) + 1 :].split("/")[:-1]
+        )
+        if not suspicious:
+            return
+        str_parts = [
+            f.name
+            for f in self.schema.fields
+            if f.name in self.partition_columns
+            and isinstance(f.dataType, T.StringType)
+        ]
+        if not str_parts:
+            return  # non-string types cannot hold the literal — real NULLs
+        from pyspark.sql import functions as F
+
+        probe = None
+        for name in str_parts:
+            eq = F.col("`" + name.replace("`", "``") + "`") == F.lit(sentinel)
+            probe = eq if probe is None else (probe | eq)
+        if not self._staged_df.filter(probe).isEmpty():
+            _cleanup_dir(self.storage, staging)
+            raise ValueError(
+                f"partition value {sentinel!r} collides with the hive NULL "
+                f"directory sentinel and cannot be represented losslessly; "
+                f"write refused (columns checked: {str_parts})"
+            )
+
     # -- physical write --------------------------------------------------
     def _stage_files(self) -> list[dict]:
         """Write the staged DataFrame and return fully-built add actions.
@@ -726,6 +786,7 @@ class Transaction:
             for e in self.storage.list_recursive(staging)
             if e.path.endswith(".parquet")
         ]
+        self._guard_hive_sentinel_literal(staged, staging)
         # Move into place preserving partition-dir structure; Spark part
         # file names embed a task UUID so collisions are impossible. Size
         # and mtime come from the staging listing we already have — never

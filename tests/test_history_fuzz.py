@@ -42,7 +42,10 @@ from delta_kernel_rs_spark.sources.table import DeltaTable
 SEED = int(os.environ.get("SPARK_GRAFT_HISTFUZZ_SEED", "20260815"))
 N_OPS = int(os.environ.get("SPARK_GRAFT_HISTFUZZ_OPS", "26"))
 
-CATS = ["a", "b", "c"]
+# partition pool includes NULL (hive default-partition sentinel on disk,
+# explicit JSON null in partitionValues — round-10 _json_line fix) and a
+# hive-escaped metachar value, so every history op replays them too
+CATS = ["a", "b", "c", None, "x=y/ü %"]
 DDL = "uid long, val long, cat string"
 
 
@@ -139,7 +142,7 @@ def _run_history(spark, path: str, rng: random.Random):
                 del state[u]
         elif op == "delete_partition":
             c = rng.choice(CATS)
-            t.delete(f"cat = '{c}'")
+            t.delete("cat IS NULL" if c is None else f"cat = '{c}'")
             for u in [u for u, (_, uc) in state.items() if uc == c]:
                 del state[u]
         elif op == "update":
@@ -157,7 +160,7 @@ def _run_history(spark, path: str, rng: random.Random):
             t.upsert(_mkdf(spark, rows), ["uid"])
             state.update({u: (v, c) for u, v, c in rows})
         elif op == "replace_where":
-            c = rng.choice(CATS)
+            c = rng.choice([v for v in CATS if v is not None])
             rows = [(u, v, c) for u, v, _ in fresh_rows(rng.randrange(2, 8))]
             t.overwrite_where(_mkdf(spark, rows), f"cat = '{c}'")
             for u in [u for u, (_, uc) in state.items() if uc == c]:
