@@ -88,6 +88,22 @@ def _strip_scheme(col: Column) -> Column:
     return F.regexp_replace(col, r"^file:/+", "/")
 
 
+def _tolerant_url_decode(col: Column) -> Column:
+    """``F.url_decode`` with python-``urllib.parse.unquote`` semantics.
+
+    Foreign writers ship paths with a raw ``%`` that is not a valid escape
+    (``cat=100%/part.parquet``); Spark's ``url_decode`` THROWS
+    CANNOT_DECODE_URL on those and one malformed path would kill the whole
+    replay, while the pure-Python twin (pyreplay ``unquote``) decodes the
+    valid escapes and passes invalid ones through. Match the twin (and
+    python) exactly: re-escape any ``%`` not followed by two hex digits to
+    ``%25`` (decodes back to the literal), protect literal ``+`` (FORM
+    decoding maps it to space), then decode. Found by
+    tests/test_foreign_log_fuzz.py."""
+    esc = F.regexp_replace(col, r"%(?![0-9A-Fa-f]{2})", "%25")
+    return F.url_decode(F.replace(esc, F.lit("+"), F.lit("%2B")))
+
+
 def normalize_file_path(col: Column) -> Column:
     """``_metadata.file_path`` → plain absolute filesystem path.
 
@@ -99,8 +115,7 @@ def normalize_file_path(col: Column) -> Column:
     match (caught by the golden tables ``kernel-timestamp-*`` and
     ``data-reader-escaped-chars``). Literal '+' is protected first:
     ``F.url_decode`` is FORM decoding ('+' → space)."""
-    decoded = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
-    return _strip_scheme(decoded)
+    return _strip_scheme(_tolerant_url_decode(col))
 
 
 def canonical_log_path(col: Column) -> Column:
@@ -114,9 +129,10 @@ def canonical_log_path(col: Column) -> Column:
     RESTORE's removes (written with a different spelling than the
     checkpointed adds) silently resurrect deleted rows on every partitioned
     table — found by tests/test_history_fuzz.py, seed 20260815, op trace
-    ``checkpoint → restore``. Literal '+' is protected first:
-    ``F.url_decode`` is FORM decoding ('+' → space)."""
-    return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+    ``checkpoint → restore``. Decoding is TOLERANT of malformed escapes
+    (see :func:`_tolerant_url_decode`) so one foreign-written path can
+    never kill a replay."""
+    return _tolerant_url_decode(col)
 
 
 def absolutize_decoded_path(col: Column, table_path: str) -> Column:
