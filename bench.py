@@ -4,7 +4,7 @@
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "runs": [t1, t2, t3],
-     "spread": 0.06, "passes": 3, "sf": 0.1}
+     "spread": 0.06, "min_spread": 0.02, "passes": 3, "sf": 0.1}
 
 Noise protocol (mirrors the intent of the reference's critcmp baseline
 comparison, benchmarks/ci/parse_critcmp.py:27-31, which compares
@@ -28,6 +28,15 @@ statistically-settled criterion estimates rather than single runs):
   whose recorded min_spread (spread for legacy artifacts) exceeds the
   gate margin — a gate whose measurement noise exceeds its margin gates
   nothing.
+* SELF-HEALING (round 11, after BENCH_r10 was refused as UNRELIABLE at
+  min_spread 22.6%): when min_spread still exceeds the gate margin
+  (default 0.15 = the compare threshold's margin,
+  $SPARK_GRAFT_BENCH_MARGIN) after the initial passes, run bounded EXTRA
+  passes (default cap 7 total, $SPARK_GRAFT_BENCH_MAX_PASSES) until the
+  min replicates; ``passes`` records honestly how many it took. If even
+  the cap doesn't replicate the min, the artifact still records the
+  over-margin min_spread and bench_compare keeps refusing to verdict —
+  extra passes repair the signal, they never fake it.
 
 Per-query per-pass detail lands in bench/last_run_detail.json for triage;
 stdout stays a single driver-parseable line.
@@ -48,6 +57,56 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+#: gate margin the adaptive pass loop targets — matches bench_compare's
+#: default regression threshold (1.15) margin
+GATE_MARGIN = 0.15
+#: hard cap on total passes; keeps one bench run's wall-clock bounded even
+#: on a hopelessly loaded box
+MAX_PASSES = 7
+
+
+def spread_of(run_totals: list[float]) -> float:
+    """(max-min)/min over pass totals — the coarse whole-run noise."""
+    lo = min(run_totals)
+    return round((max(run_totals) - lo) / lo, 4) if lo > 0 else 0.0
+
+
+def min_spread_of(run_totals: list[float]) -> float:
+    """(second_min-min)/min — replication quality of the MIN estimator."""
+    ordered = sorted(run_totals)
+    if len(ordered) < 2 or ordered[0] <= 0:
+        return 0.0
+    return round((ordered[1] - ordered[0]) / ordered[0], 4)
+
+
+def run_adaptive_passes(
+    run_pass,
+    passes: int = 3,
+    margin: float = GATE_MARGIN,
+    max_passes: int = MAX_PASSES,
+) -> tuple[dict[str, list[float]], list[float]]:
+    """Run ``passes`` full passes, then bounded extras until the min
+    replicates (min_spread <= margin) or ``max_passes`` is reached.
+
+    ``run_pass()`` executes ONE full pass and returns {query: seconds}.
+    Returns (per-query timings across all passes, per-pass totals).
+    Pure pass-loop policy — SparkSession-free so the adaptive path is
+    unit-testable (tests/test_bench_compare.py)."""
+    detail: dict[str, list[float]] = {}
+    totals: list[float] = []
+
+    def one() -> None:
+        res = run_pass()
+        for name, t in res.items():
+            detail.setdefault(name, []).append(t)
+        totals.append(round(sum(res.values()), 2))
+
+    for _ in range(max(1, passes)):
+        one()
+    while len(totals) < max_passes and min_spread_of(totals) > margin:
+        one()
+    return detail, totals
+
 
 def _force(df) -> None:
     """Fully execute a DataFrame without driver-side materialization."""
@@ -57,6 +116,10 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    margin = float(os.environ.get("SPARK_GRAFT_BENCH_MARGIN", str(GATE_MARGIN)))
+    max_passes = max(
+        passes, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", str(MAX_PASSES)))
+    )
     sf = None
     tail = Path(sf_dir).name
     if tail.startswith("sf"):
@@ -77,35 +140,28 @@ def main() -> None:
     for fn in registry.values():
         _force(fn(spark, sf_dir))
 
-    detail: dict[str, list[float]] = {name: [] for name in registry}
-    for _ in range(passes):
+    def one_pass() -> dict[str, float]:
+        res: dict[str, float] = {}
         for name, fn in registry.items():
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            detail[name].append(round(time.perf_counter() - t0, 4))
+            res[name] = round(time.perf_counter() - t0, 4)
+        return res
 
+    detail, run_totals = run_adaptive_passes(
+        one_pass, passes=passes, margin=margin, max_passes=max_passes
+    )
+    n_passes = len(run_totals)
     timings = {name: min(ts) for name, ts in detail.items()}
-    run_totals = [
-        round(sum(detail[name][p] for name in registry), 2) for p in range(passes)
-    ]
-    spread = (
-        round((max(run_totals) - min(run_totals)) / min(run_totals), 4)
-        if min(run_totals) > 0
-        else 0.0
-    )
-    ordered = sorted(run_totals)
-    min_spread = (
-        round((ordered[1] - ordered[0]) / ordered[0], 4)
-        if len(ordered) > 1 and ordered[0] > 0
-        else 0.0
-    )
+    spread = spread_of(run_totals)
+    min_spread = min_spread_of(run_totals)
 
     try:
         detail_dir = Path(_REPO) / "bench"
         detail_dir.mkdir(exist_ok=True)
         (detail_dir / "last_run_detail.json").write_text(
             json.dumps(
-                {"sf": sf, "passes": passes, "run_totals": run_totals,
+                {"sf": sf, "passes": n_passes, "run_totals": run_totals,
                  "spread": spread, "min_spread": min_spread,
                  "per_query_runs": detail},
                 indent=1,
@@ -125,7 +181,7 @@ def main() -> None:
         "runs": run_totals,
         "spread": spread,
         "min_spread": min_spread,
-        "passes": passes,
+        "passes": n_passes,
         "sf": sf if sf is not None else sf_dir,
     }
     print(json.dumps(out, separators=(",", ":")))

@@ -362,7 +362,12 @@ class _SkippingRewriter:
             if not isinstance(self.types.get(c.path), T.StringType):
                 return None
             if self._is_partition_col(c):
-                return self._partition_value(c.path).like(p.pattern)
+                # SQL-WHERE null-intolerance: the partition value is exact
+                # per file, so LIKE over NULL is FALSE (skip), not UNKNOWN
+                # (keep) — mirrors the py_skipping twin so the two paths
+                # prune identically (twin drift flagged in r10 review).
+                pv = self._partition_value(c.path)
+                return pv.isNotNull() & pv.like(p.pattern)
             if not self._has_stats(c):
                 return None
             wild = len(p.pattern)

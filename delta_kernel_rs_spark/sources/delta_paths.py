@@ -104,12 +104,27 @@ def arrow_fs_and_path(path: str):
     tests/test_history_fuzz.py with a ``cat=x%3Dy%2Fü %25`` partition).
     Remote URIs keep from_uri, whose encoding contract pyarrow owns.
 
+    file paths are taken VERBATIM — never URI-decoded — so a percent-
+    encoded file URI resolves to the literal ``%xx`` path (internally
+    generated paths are plain filesystem strings; callers that hold an
+    encoded spelling decode before calling). A ``file://`` URI with a
+    non-empty authority other than ``localhost`` (``file://host/x``) is
+    rejected rather than silently misread as the relative path ``host/x``.
+
     Importable on executors (leaf module, no Spark imports).
     """
     import pyarrow.fs as pafs
 
     if path.startswith("file://"):
-        return pafs.LocalFileSystem(), path[len("file://"):]
+        rest = path[len("file://"):]
+        if rest.startswith("localhost/"):
+            rest = rest[len("localhost"):]
+        elif rest and not rest.startswith("/"):
+            raise ValueError(
+                f"file:// URI with a non-empty authority is not a local "
+                f"path: {path!r}"
+            )
+        return pafs.LocalFileSystem(), rest
     if "://" not in path:
         return pafs.LocalFileSystem(), path
     return pafs.FileSystem.from_uri(path)

@@ -34,22 +34,9 @@ class PyCommitError(Exception):
     pass
 
 
-def _json_line(action: dict) -> str:
-    # Omit null STRUCT fields but preserve null MAP entries — a NULL
-    # partition value must stay in partitionValues as an explicit JSON
-    # null (same contract as transaction._json_line).
-    _nullable_maps = ("partitionValues", "tags")
-
-    def prune(obj):
-        if isinstance(obj, dict):
-            return {
-                k: (v if k in _nullable_maps and isinstance(v, dict) else prune(v))
-                for k, v in obj.items()
-                if v is not None
-            }
-        return obj
-
-    return json.dumps(prune(action), separators=(",", ":"))
+# One serializer shared with the Spark-side Transaction — the two commit
+# paths must emit byte-identical action JSON (actions_json.py).
+from delta_kernel_rs_spark.sources.actions_json import json_line as _json_line
 
 
 def latest_txn_version(storage, seg, app_id: str) -> int | None:

@@ -99,9 +99,15 @@ def _tolerant_url_decode(col: Column) -> Column:
     python) exactly: re-escape any ``%`` not followed by two hex digits to
     ``%25`` (decodes back to the literal), protect literal ``+`` (FORM
     decoding maps it to space), then decode. Found by
-    tests/test_foreign_log_fuzz.py."""
+    tests/test_foreign_log_fuzz.py.
+
+    ``%``-free strings (the overwhelmingly common case — ASCII paths with
+    no encoded characters) decode to themselves, so they skip the
+    lookahead regex + url_decode entirely behind a cheap ``contains``
+    branch; codegen short-circuits the unmatched arm per row."""
     esc = F.regexp_replace(col, r"%(?![0-9A-Fa-f]{2})", "%25")
-    return F.url_decode(F.replace(esc, F.lit("+"), F.lit("%2B")))
+    decoded = F.url_decode(F.replace(esc, F.lit("+"), F.lit("%2B")))
+    return F.when(col.contains("%"), decoded).otherwise(col)
 
 
 def normalize_file_path(col: Column) -> Column:

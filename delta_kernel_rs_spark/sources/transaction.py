@@ -66,30 +66,15 @@ def _schema_has_variant(dt: T.DataType) -> bool:
     return False
 
 
-#: map<string,string> action fields whose ENTRIES may be legitimately null —
-#: the omit-null contract applies to struct FIELDS, not map values; a NULL
-#: partition value must serialize as an explicit JSON null or readers lose
-#: the key entirely (found by tests/test_partition_fuzz.py: a null
-#: partition value vanished from add.partitionValues, defeating partition
-#: pruning on the remaining files).
-_NULLABLE_MAP_FIELDS = frozenset({"partitionValues", "tags"})
+# One serializer shared with the SparkSession-free sink committer
+# (pycommit.py) — the two commit paths must emit byte-identical action
+# JSON; see actions_json.py for the omit-null/keep-null-map contract.
+from delta_kernel_rs_spark.sources.actions_json import json_line as _json_line
 
-
-def _json_line(action: dict) -> str:
-    """Serialize one action omitting null STRUCT fields (reference
-    JsonHandler.write_json_file contract, kernel/src/lib.rs:754-760) while
-    preserving null MAP entries (partitionValues / tags)."""
-
-    def prune(obj):
-        if isinstance(obj, dict):
-            return {
-                k: (v if k in _NULLABLE_MAP_FIELDS and isinstance(v, dict) else prune(v))
-                for k, v in obj.items()
-                if v is not None
-            }
-        return obj
-
-    return json.dumps(prune(action), separators=(",", ":"))
+_HIVE_SENTINEL = "__HIVE_DEFAULT_PARTITION__"
+#: marker matched in the write-job failure to translate the in-plan
+#: raise_error guard into the txn's ValueError (see _stage_files)
+_HIVE_SENTINEL_ERR = "DKRS_HIVE_SENTINEL_LITERAL_PARTITION_VALUE"
 
 
 def _encode_rel_path(rel: str) -> str:
@@ -637,52 +622,6 @@ class Transaction:
             == "supported"
         )
 
-    def _guard_hive_sentinel_literal(self, staged_entries, staging: str) -> None:
-        """Refuse writes where a STRING partition value is the literal
-        ``__HIVE_DEFAULT_PARTITION__``.
-
-        The hive directory sentinel is not injective: Spark's dir escaper
-        writes the literal string verbatim, so partitionValues derived
-        from directory names (this writer, delta-spark's commit protocol
-        alike) would silently collapse the value to NULL on read-back —
-        wrong rows, not an error. Zero cost on the normal path: only when
-        a staged directory actually contains the sentinel segment (which
-        legitimate NULLs also produce) does ONE bounded probe over the
-        staged frame disambiguate; literal hits abort the txn (reporting
-        an error beats corrupting data — reference error posture,
-        kernel/src/error.rs). Found by tests/test_partition_fuzz.py."""
-        sentinel = "__HIVE_DEFAULT_PARTITION__"
-        if not self.partition_columns or self._staged_df is None:
-            return
-        suspicious = any(
-            seg.partition("=")[2] == sentinel
-            for e in staged_entries
-            for seg in e.path[len(staging.rstrip("/")) + 1 :].split("/")[:-1]
-        )
-        if not suspicious:
-            return
-        str_parts = [
-            f.name
-            for f in self.schema.fields
-            if f.name in self.partition_columns
-            and isinstance(f.dataType, T.StringType)
-        ]
-        if not str_parts:
-            return  # non-string types cannot hold the literal — real NULLs
-        from pyspark.sql import functions as F
-
-        probe = None
-        for name in str_parts:
-            eq = F.col("`" + name.replace("`", "``") + "`") == F.lit(sentinel)
-            probe = eq if probe is None else (probe | eq)
-        if not self._staged_df.filter(probe).isEmpty():
-            _cleanup_dir(self.storage, staging)
-            raise ValueError(
-                f"partition value {sentinel!r} collides with the hive NULL "
-                f"directory sentinel and cannot be represented losslessly; "
-                f"write refused (columns checked: {str_parts})"
-            )
-
     # -- physical write --------------------------------------------------
     def _stage_files(self) -> list[dict]:
         """Write the staged DataFrame and return fully-built add actions.
@@ -707,6 +646,25 @@ class Transaction:
             # Backtick-quoted: names with dots must resolve as one column,
             # not a nested-field path.
             src = F.col("`" + f.name.replace("`", "``") + "`")
+            if f.name in self.partition_columns and isinstance(
+                f.dataType, T.StringType
+            ):
+                # Refuse a literal __HIVE_DEFAULT_PARTITION__ STRING
+                # partition value IN-PLAN, inside the same job that writes
+                # the files: the hive dir sentinel is not injective (NULL
+                # and the literal produce the same directory), so the value
+                # would silently collapse to NULL on read-back — wrong
+                # rows, not an error (reference error posture,
+                # kernel/src/error.rs). Guarding the write job itself is
+                # deterministic with what was actually written even when
+                # the source plan is non-deterministic (rand()-derived
+                # values) — a post-write re-evaluation probe could miss
+                # the row that landed on disk (r10 review). Found by
+                # tests/test_partition_fuzz.py.
+                src = F.when(
+                    src == F.lit(_HIVE_SENTINEL),
+                    F.raise_error(F.lit(_HIVE_SENTINEL_ERR)).cast(T.StringType()),
+                ).otherwise(src)
             # NESTED struct fields carry physical names too (Delta cm spec;
             # read path expects them) — a positional struct cast renames
             # every nested level in one expression; no-op when the types
@@ -779,14 +737,23 @@ class Transaction:
             writer = writer.partitionBy(
                 *[shadow[p] for p in phys_parts] if materialize else phys_parts
             )
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except Exception as e:  # noqa: BLE001 — py4j wraps the raise_error
+            if _HIVE_SENTINEL_ERR in str(e):
+                _cleanup_dir(self.storage, staging)
+                raise ValueError(
+                    f"partition value {_HIVE_SENTINEL!r} collides with the "
+                    f"hive NULL directory sentinel and cannot be "
+                    f"represented losslessly; write refused"
+                ) from None
+            raise
 
         staged = [
             e
             for e in self.storage.list_recursive(staging)
             if e.path.endswith(".parquet")
         ]
-        self._guard_hive_sentinel_literal(staged, staging)
         # Move into place preserving partition-dir structure; Spark part
         # file names embed a task UUID so collisions are impossible. Size
         # and mtime come from the staging listing we already have — never

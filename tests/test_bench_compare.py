@@ -136,3 +136,58 @@ def test_gate_prefers_min_spread_over_total_spread(tmp_path):
     }))
     rc, verdict = _run(old, str(p))
     assert rc == 3 and verdict["pass"] is None  # min NOT replicated
+
+
+# -- bench.py adaptive pass loop (self-healing, round 11) --------------------
+# BENCH_r10 was refused by the gate at min_spread 22.6% (passes 82/67/164 s
+# on a loaded box); bench.py now runs bounded extra passes until the min
+# replicates, recording `passes` honestly. The loop is SparkSession-free.
+
+
+def _fake_passes(totals):
+    """run_pass stub yielding one-query passes with the given totals."""
+    it = iter(totals)
+
+    def run_pass():
+        return {"q1": next(it)}
+
+    return run_pass
+
+
+def test_adaptive_stops_at_default_when_min_replicates():
+    import bench
+
+    detail, totals = bench.run_adaptive_passes(
+        _fake_passes([10.0, 10.2, 10.1]), passes=3, margin=0.15, max_passes=7
+    )
+    assert totals == [10.0, 10.2, 10.1]  # 3 passes, no extras
+    assert bench.min_spread_of(totals) <= 0.15
+    assert detail["q1"] == [10.0, 10.2, 10.1]
+
+
+def test_adaptive_heals_noisy_run_with_extra_passes():
+    import bench
+
+    # the BENCH_r10 shape: loaded box, min not replicated after 3 passes;
+    # the 4th pass lands near the min and heals the artifact
+    detail, totals = bench.run_adaptive_passes(
+        _fake_passes([82.0, 67.0, 164.0, 68.0]), passes=3, margin=0.15, max_passes=7
+    )
+    assert len(totals) == 4  # exactly one extra pass
+    assert bench.min_spread_of(totals) <= 0.15  # (68-67)/67 ~ 1.5%
+    assert min(detail["q1"]) == 67.0  # the reported min is the true floor
+
+
+def test_adaptive_gives_up_at_cap_and_records_honestly():
+    import bench
+
+    # hopeless box: totals never replicate; the loop must stop at the cap
+    # and leave min_spread OVER the margin so bench_compare still refuses
+    detail, totals = bench.run_adaptive_passes(
+        _fake_passes([50.0, 70.0, 90.0, 110.0, 130.0, 150.0, 170.0, 190.0]),
+        passes=3,
+        margin=0.15,
+        max_passes=7,
+    )
+    assert len(totals) == 7  # capped
+    assert bench.min_spread_of(totals) > 0.15  # honest: still unreliable

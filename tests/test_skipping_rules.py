@@ -372,3 +372,41 @@ def test_like_escaped_pattern_never_prunes(spark):
     """Backslash escapes change wildcard identity; the prefix band over the
     raw pattern would be unsound — escaped patterns stay residual-only."""
     assert _verdict_like(spark, r"ab\%c%", "apple", "azure") is UNREWRITABLE
+
+
+def _verdict_like_partition(spark, pattern: str, value):
+    """LIKE over a PARTITION column: the rewriter sees the exact per-file
+    value from the partitionValues map, not stats."""
+    from delta_kernel_rs_spark.plans.data_skipping import PARTITION_VALUES_COLUMN
+    from delta_kernel_rs_spark.plans.expressions import Like
+
+    df = spark.createDataFrame(
+        [({"s": value},)],
+        T.StructType(
+            [
+                T.StructField(
+                    PARTITION_VALUES_COLUMN, T.MapType(T.StringType(), T.StringType())
+                )
+            ]
+        ),
+    )
+    rewriter = _SkippingRewriter(S_SCHEMA, ["s"], None)
+    out = rewriter.rewrite(normalize(Like(Col("s"), pattern)))
+    if out is None:
+        return UNREWRITABLE
+    return df.select(out.alias("v")).collect()[0].v
+
+
+def test_like_partition_value_matches_keep(spark):
+    assert _verdict_like_partition(spark, "b%", "banana") is True
+
+
+def test_like_partition_value_mismatch_prunes(spark):
+    assert _verdict_like_partition(spark, "b%", "apple") is False
+
+
+def test_like_null_partition_value_prunes(spark):
+    """SQL-WHERE null-intolerance: the partition value is exact per file,
+    so LIKE over NULL is FALSE (prune), not UNKNOWN (keep) — keeps the
+    Spark rewriter consistent with the py_skipping twin (r10 review)."""
+    assert _verdict_like_partition(spark, "b%", None) is False
