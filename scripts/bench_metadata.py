@@ -215,6 +215,59 @@ def main() -> int:
                 lambda: Snapshot.create(spark, large).version
             )
 
+            # Incremental refresh — the path a long-lived 100 TB reader
+            # actually exercises per commit (r10 VERDICT next #6): base =
+            # the 300k-add log, +5 new commits of 100 adds each, timed as
+            # Snapshot.create_from (baseline P&M, reads only the new
+            # commits) + scan_files_df_from (anti-join merge against the
+            # persisted prior frame). Compare against read_metadata_300k,
+            # which re-replays all 300k adds from scratch.
+            import json as _json
+            import shutil
+
+            with tempfile.TemporaryDirectory(prefix="dkrs_incr_") as iroot:
+                itbl = os.path.join(iroot, "tbl")
+                os.makedirs(itbl)
+                shutil.copytree(
+                    os.path.join(large, "_delta_log"),
+                    os.path.join(itbl, "_delta_log"),
+                )
+                base_snap = Snapshot.create(spark, itbl)
+                prior = base_snap.scan().scan_files_df().persist()
+                prior.count()  # materialize the held state outside timing
+                # 5 commits of 100 adds each, cloned from the tip commit's
+                # own add actions (correct schema + partitionValues)
+                log_dir = os.path.join(itbl, "_delta_log")
+                tip_file = os.path.join(log_dir, f"{base_snap.version:020d}.json")
+                sample = []
+                with open(tip_file) as fh:
+                    for line in fh:
+                        if '"add"' in line:
+                            sample.append(_json.loads(line)["add"])
+                            if len(sample) == 100:
+                                break
+                for v in range(base_snap.version + 1, base_snap.version + 6):
+                    lines = []
+                    for i, add in enumerate(sample):
+                        a = dict(add)
+                        head, _, base_name = a["path"].rpartition("/")
+                        a["path"] = (
+                            f"{head}/incr{v}-{i}-{base_name}"
+                            if head
+                            else f"incr{v}-{i}-{base_name}"
+                        )
+                        lines.append(_json.dumps({"add": a}))
+                    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                        fh.write("\n".join(lines) + "\n")
+
+                def refresh():
+                    tip = Snapshot.create_from(base_snap)
+                    return tip.scan_files_df_from(base_snap.version, prior).count()
+
+                assert refresh() == large_files + 500
+                results["read_metadata_300k_incr_refresh"] = _timed(refresh)
+                prior.unpersist()
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
