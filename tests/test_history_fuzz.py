@@ -81,8 +81,20 @@ def _fold_changes(state: dict, change_rows) -> dict:
     return state
 
 
-def _run_history(spark, path: str, rng: random.Random):
-    """Drive N_OPS random operations; returns (table, states-by-version)."""
+def _run_history(spark, path: str, rng: random.Random, facade_appends=False):
+    """Drive N_OPS random operations; returns (table, states-by-version).
+
+    ``facade_appends=True`` routes every append through the user-visible
+    facade writer (``df.write.format("delta_kernel").mode("append")``,
+    batch_source.py DeltaKernelBatchWriter + the SparkSession-free
+    pycommit path) instead of the Python API, so the sink's executor-side
+    partition serialization and blind-append commit see the same
+    adversarial partition values the API path does (r10 VERDICT next #5;
+    DML keeps the API — the facade is append-only by design)."""
+    if facade_appends:
+        from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+        register_batch_source(spark)
     next_uid = 0
 
     def fresh_rows(k):
@@ -130,7 +142,13 @@ def _run_history(spark, path: str, rng: random.Random):
         trace.append(op)
         if op == "append":
             rows = fresh_rows(rng.randrange(5, 30))
-            t.append(_mkdf(spark, rows).repartition(rng.choice([1, 2])))
+            df = _mkdf(spark, rows).repartition(rng.choice([1, 2]))
+            if facade_appends:
+                df.write.format("delta_kernel").option("path", path).mode(
+                    "append"
+                ).save()
+            else:
+                t.append(df)
             state.update({u: (v, c) for u, v, c in rows})
         elif op in ("delete_cow", "delete_dv"):
             m, r = rng.choice([3, 5, 7]), rng.randrange(3)
@@ -229,6 +247,28 @@ def test_history_fuzz_state_timetravel_cdf(spark, tmp_path):
         assert got_net == want_net, f"{ctx} net [{v1 + 1},{v2}]"
 
     # 4. fresh reader through a final forced checkpoint
+    t.checkpoint()
+    t2 = DeltaTable(spark, path)
+    assert _read_state(t2) == states[max(states)], f"{ctx} post-checkpoint"
+
+
+@pytest.mark.parametrize("seed", [77, 20260817])
+def test_history_fuzz_facade_appends(spark, tmp_path, seed):
+    """Same random histories, appends routed through the facade writer
+    (sink executor write + pycommit blind-append commit) — the
+    user-visible write path must survive the same adversarial partition
+    values and interleavings as the Python API (r10 VERDICT next #5)."""
+    rng = random.Random(seed)
+    path = str(tmp_path / f"tf{seed}")
+    t, states, trace = _run_history(spark, path, rng, facade_appends=True)
+    ctx = f"seed={seed} facade trace={trace}"
+    assert _read_state(t) == states[max(states)], ctx
+    versions = sorted(states)
+    for v in sorted(rng.sample(versions, min(4, len(versions)))):
+        assert _read_state(t, version=v) == states[v], f"{ctx} version={v}"
+    v1, v2 = versions[0], versions[-1]
+    rows = table_changes(spark, path, v1 + 1, v2).collect()
+    assert _fold_changes(states[v1], rows) == states[v2], f"{ctx} full fold"
     t.checkpoint()
     t2 = DeltaTable(spark, path)
     assert _read_state(t2) == states[max(states)], f"{ctx} post-checkpoint"
