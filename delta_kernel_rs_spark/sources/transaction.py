@@ -1327,6 +1327,26 @@ class Transaction:
                     raise ConcurrentModificationError(
                         f"gave up after {attempts} commit attempts at {self.table_path}"
                     ) from None
+                if self._update_metadata:
+                    # A metadata/protocol-updating transaction (ALTER,
+                    # schema evolution, SET TBLPROPERTIES) derived its new
+                    # metaData — and validated things like ADD CONSTRAINT
+                    # against the table's rows — from the read snapshot.
+                    # Rebasing would commit that stale derivation on top of
+                    # whatever won the race (two racing SET TBLPROPERTIES:
+                    # the loser's merged configuration silently DROPS the
+                    # winner's property). The reference never auto-rebases
+                    # at all (CommitResult::ConflictedTransaction,
+                    # transaction/mod.rs:1669-1671 — "caller must create
+                    # new txn"); auto-rebase here is an engine extension
+                    # reserved for cases with an exact safety argument,
+                    # and metadata updates have none. Found by
+                    # tests/test_conflict_fuzz.py.
+                    raise ConcurrentModificationError(
+                        f"metadata update lost a commit race at version "
+                        f"{version} of {self.table_path}; re-run the ALTER "
+                        "against a fresh snapshot"
+                    ) from None
                 latest = self._revalidate()
                 if self._txn_actions or self._domain_metadata:
                     # A transaction carrying app-level idempotency (txn
@@ -1510,9 +1530,16 @@ class Transaction:
             if (
                 before.schema_string != after.schema_string
                 or before.partition_columns != after.partition_columns
+                or before.configuration != after.configuration
             ):
+                # Configuration counts: a racing ADD CONSTRAINT / appendOnly
+                # / CDF toggle changes what makes THIS txn's staged rows
+                # valid, so a blind append must not rebase past it (Delta's
+                # MetadataChangedException posture; the reference never
+                # auto-rebases at all, transaction/mod.rs:1669-1671).
                 raise ConcurrentModificationError(
-                    "table schema/partitioning changed concurrently"
+                    "table metadata (schema/partitioning/configuration) "
+                    "changed concurrently; re-run against a fresh snapshot"
                 )
         return latest
 
