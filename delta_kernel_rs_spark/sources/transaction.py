@@ -1518,12 +1518,24 @@ class Transaction:
             if (self.committer is not None and is_cm)
             else None
         )
-        latest = Snapshot.create(
-            self.spark,
-            self.table_path,
-            log_tail=tail or None,
-            max_catalog_version=mcv,
-        )
+        if self.read_snapshot is not None:
+            # Incremental update from the read snapshot: P&M resolution
+            # reads ONLY the commits that won the race, not the whole
+            # tail — a conflicting writer on a 300k-add table would
+            # otherwise re-read ~46 MB of commit JSON per retry
+            # (Snapshot.create_from, the reference's builder_from).
+            latest = Snapshot.create_from(
+                self.read_snapshot,
+                log_tail=tail or None,
+                max_catalog_version=mcv,
+            )
+        else:
+            latest = Snapshot.create(
+                self.spark,
+                self.table_path,
+                log_tail=tail or None,
+                max_catalog_version=mcv,
+            )
         if self.read_snapshot is not None:
             before = self.read_snapshot.metadata
             after = latest.metadata
