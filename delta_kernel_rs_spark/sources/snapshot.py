@@ -240,6 +240,45 @@ def _checkpoint_pm(checkpoint_parts: list[str]) -> tuple[dict | None, dict | Non
     return metadata, protocol
 
 
+def _validate_log_tail(
+    version: int | None, log_tail: list | None, max_catalog_version: int | None
+) -> None:
+    """Catalog log-tail build validation shared by ``Snapshot.create`` and
+    ``Snapshot.create_from`` (reference snapshot/builder.rs:326-397,
+    validate_catalog_managed_build_*)."""
+    tail = list(log_tail or [])
+    for a, b in zip(tail, tail[1:]):
+        if a.version + 1 != b.version:
+            raise InvalidLogError(
+                f"log tail versions not contiguous: {a.version} -> {b.version}"
+            )
+    has_staged = any("_staged_commits/" in e.path for e in tail)
+    if has_staged and max_catalog_version is None:
+        raise InvalidLogError(
+            "max_catalog_version is required when the log tail carries "
+            "staged commits"
+        )
+    if version is not None and max_catalog_version is not None:
+        if version > max_catalog_version:
+            raise InvalidLogError(
+                f"requested version {version} exceeds max catalog "
+                f"version {max_catalog_version}"
+            )
+    if max_catalog_version is not None and tail:
+        last = tail[-1].version
+        if version is not None:
+            if last < version:
+                raise InvalidLogError(
+                    f"log tail ends at {last}, below requested version "
+                    f"{version}"
+                )
+        elif last != max_catalog_version:
+            raise InvalidLogError(
+                f"log tail ends at {last}, not at max catalog version "
+                f"{max_catalog_version}"
+            )
+
+
 class Snapshot:
     """Consistent view of table ``table_path`` at ``log_segment.version``."""
 
@@ -278,37 +317,7 @@ class Snapshot:
         catalog-managed tables (their filesystem log alone is not
         authoritative) and forbidden otherwise; validation mirrors
         snapshot/builder.rs:326-397 (validate_catalog_managed_build_*)."""
-        tail = list(log_tail or [])
-        for a, b in zip(tail, tail[1:]):
-            if a.version + 1 != b.version:
-                raise InvalidLogError(
-                    f"log tail versions not contiguous: {a.version} -> {b.version}"
-                )
-        has_staged = any("_staged_commits/" in e.path for e in tail)
-        if has_staged and max_catalog_version is None:
-            raise InvalidLogError(
-                "max_catalog_version is required when the log tail carries "
-                "staged commits"
-            )
-        if version is not None and max_catalog_version is not None:
-            if version > max_catalog_version:
-                raise InvalidLogError(
-                    f"requested version {version} exceeds max catalog "
-                    f"version {max_catalog_version}"
-                )
-        if max_catalog_version is not None and tail:
-            last = tail[-1].version
-            if version is not None:
-                if last < version:
-                    raise InvalidLogError(
-                        f"log tail ends at {last}, below requested version "
-                        f"{version}"
-                    )
-            elif last != max_catalog_version:
-                raise InvalidLogError(
-                    f"log tail ends at {last}, not at max catalog version "
-                    f"{max_catalog_version}"
-                )
+        _validate_log_tail(version, log_tail, max_catalog_version)
         storage = storage_for(spark, table_path)
         segment = build_log_segment(
             storage, table_path, at_version=version, log_tail=log_tail
@@ -353,6 +362,7 @@ class Snapshot:
                     f"incremental snapshot update only moves forward: "
                     f"existing version {s1}, requested {version}"
                 )  # Case B
+        _validate_log_tail(version, log_tail, max_catalog_version)
         segment = build_log_segment(
             existing.storage,
             existing.table_path,
