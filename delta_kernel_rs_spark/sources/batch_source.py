@@ -1017,6 +1017,15 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
     empty micro-batch while the floor re-syncs from the offset log,
     and already-emitted files can never be re-read even if the offset
     log briefly rewinds).
+
+    TRIGGER CAVEAT: under ``Trigger.AvailableNow`` Spark captures ONE
+    ``latestOffset()`` and stops there (the Python DataSourceStreamReader
+    API has no SupportsTriggerAvailableNow hook), so a RATE-LIMITED
+    stream processes exactly one bounded batch per run — the checkpoint
+    advances and the next run continues, but one run is not a full
+    backfill. Rate limits pace ``processingTime`` triggers, where
+    ``latestOffset`` is called per trigger. Same caveat and pin as the
+    CDF source (streaming/cdf_source.py).
     """
 
     def __init__(self, schema: T.StructType, options: dict):

@@ -147,7 +147,22 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
             ]
         # admission control: at most N commits of changes per micro-batch
         # (CDF change sets are per-commit, so the commit is the natural
-        # admission unit). Same cursor + Spark-authoritative floor pattern
+        # admission unit).
+        #
+        # TRIGGER CAVEAT (library limitation, pinned in
+        # test_streaming_cdf.py::test_available_now_with_rate_limit_is_one_
+        # bounded_run): the Python DataSourceStreamReader API has no
+        # SupportsAdmissionControl/prepareForTriggerAvailableNow hooks, so
+        # under Trigger.AvailableNow Spark captures ONE latestOffset() and
+        # stops there — a rate-limited stream processes exactly one bounded
+        # batch per run (the checkpoint advances; the next run continues;
+        # nothing is lost or re-emitted, but one run is NOT a full
+        # backfill). Rate limits pace processingTime triggers, where
+        # latestOffset is called per trigger. JVM sources solve this with
+        # SupportsTriggerAvailableNow (delta-spark does); the Python API
+        # cannot express it — investigated and documented, same class as
+        # the pyarrow start-key listing limitation.
+        # Same cursor + Spark-authoritative floor pattern
         # as the append source's rate limits (sources/batch_source.py):
         # latestOffset may be called before initialOffset, and a restart
         # re-syncs the floor from partitions()/commit() with at most one

@@ -281,3 +281,100 @@ def test_stream_trigger_never_lists_full_log(spark, cdf_table, monkeypatch):
     assert end["version"] > start["version"]
     parts = reader.partitions(start, end)
     assert parts
+
+
+def test_stream_matches_batch_cdf_random_history(spark, tmp_path):
+    """Streaming/batch CDF equivalence over a RANDOM DML history (appends,
+    CoW/DV deletes, updates, upserts, replaceWhere, OPTIMIZE, RESTORE,
+    checkpoints, log compaction — the history-fuzz op pool), chunked by a
+    small maxCommitsPerTrigger so the stream crosses many micro-batch
+    boundaries. Every pinned streaming test uses a 3-commit fixture; this
+    asserts the planner equivalence on a history nobody hand-picked."""
+    import random
+
+    from delta_kernel_rs_spark.sources.cdf import table_changes
+    from test_history_fuzz import _run_history
+
+    rng = random.Random(20260819)
+    path = str(tmp_path / "t")
+    t, states, trace = _run_history(spark, path, rng)
+    tip = t.snapshot().version
+
+    register_cdf_source(spark)
+    # processingTime trigger: rate limits are per-trigger there (under
+    # availableNow the Python source API caps the whole run at ONE
+    # latestOffset — see the pinned caveat test below), so the stream
+    # crosses many rate-limited micro-batch boundaries before catching up
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", path)
+        .option("startingVersion", 1)
+        .option("maxCommitsPerTrigger", rng.randrange(1, 4))
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_fuzz_sink")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    want = {
+        (r.uid, r.val, r.cat, r._change_type, r._commit_version)
+        for r in table_changes(spark, path, 1, tip).collect()
+    }
+    import time as _time
+
+    deadline = _time.time() + 240
+    got: set = set()
+    while _time.time() < deadline:
+        got = {
+            (r.uid, r.val, r.cat, r._change_type, r._commit_version)
+            for r in spark.table("cdf_fuzz_sink").collect()
+        }
+        if got >= want:
+            break
+        _time.sleep(2)
+    q.stop()
+    assert got == want, f"trace={trace}"
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "rate limit never split the backfill"
+
+
+def test_available_now_with_rate_limit_is_one_bounded_run(spark, tmp_path):
+    """PINNED LIBRARY LIMITATION: the Python DataSourceStreamReader API
+    has no SupportsTriggerAvailableNow hook, so Trigger.AvailableNow
+    captures ONE latestOffset() — a rate-limited stream processes exactly
+    one bounded batch per run. The checkpoint advances and a re-run
+    continues (nothing lost or re-emitted), but one run is NOT a full
+    backfill. If Spark ever grows the hook, this pin should break and the
+    sources should adopt it (caveat documented in streaming/cdf_source.py
+    and sources/batch_source.py)."""
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark, path, df=_ints(spark, 0, 3), properties=CDF_PROPS
+    )
+    for i in range(4):
+        t.append(_ints(spark, 10 + 3 * i, 13 + 3 * i), auto_checkpoint=False)
+    register_cdf_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def one_run():
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", path)
+            .option("startingVersion", 0)
+            .option("maxCommitsPerTrigger", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r._commit_version for r in spark.read.parquet(out).collect()
+        }
+
+    assert one_run() == {0, 1}  # one bounded batch, not a full backfill
+    assert one_run() == {0, 1, 2, 3}  # re-run continues from the checkpoint
+    assert one_run() == {0, 1, 2, 3, 4}  # to completion; nothing lost/re-read
