@@ -92,7 +92,11 @@ def _commit_meta_cdf_flags(path: str) -> dict[int, bool]:
     return out
 
 
-def _run_history(spark, path: str, rng: random.Random):
+def _run_history(spark, path: str, rng: random.Random, facade_appends=False):
+    if facade_appends:
+        from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+        register_batch_source(spark)
     next_uid = 0
     ncol = 0
     extras: list[tuple[str, str]] = []  # (name, "int"|"long"), schema order
@@ -161,7 +165,15 @@ def _run_history(spark, path: str, rng: random.Random):
         trace.append(op)
         if op == "append":
             rows = fresh_rows(rng.randrange(4, 15))
-            t.append(_mkdf(spark, rows, extras).repartition(rng.choice([1, 2])))
+            df = _mkdf(spark, rows, extras).repartition(rng.choice([1, 2]))
+            if facade_appends:
+                # the user-visible writer must track every evolved schema
+                # (physical names, field ids) the API ops produce
+                df.write.format("delta_kernel").option("path", path).mode(
+                    "append"
+                ).save()
+            else:
+                t.append(df)
             state.update({r["uid"]: dict(r) for r in rows})
         elif op == "append_merge":
             # mergeSchema append: brand-new column + data in ONE commit
@@ -381,4 +393,16 @@ def test_schema_fuzz_more_seeds(spark, tmp_path, seed):
     rng = random.Random(seed)
     path = str(tmp_path / f"t{seed}")
     t, states, trace = _run_history(spark, path, rng)
+    _check_history(spark, t, path, states, trace, rng, n_tt=4, n_ranges=5)
+
+
+@pytest.mark.parametrize("seed", [404, 20260820])
+def test_schema_fuzz_facade_appends(spark, tmp_path, seed):
+    """Schema evolution + the facade writer: every append goes through
+    df.write.format('delta_kernel') while columns are added/renamed/
+    dropped/widened around it — the sink re-resolves the evolved schema
+    (physical names under column mapping) per write."""
+    rng = random.Random(seed)
+    path = str(tmp_path / f"tf{seed}")
+    t, states, trace = _run_history(spark, path, rng, facade_appends=True)
     _check_history(spark, t, path, states, trace, rng, n_tt=4, n_ranges=5)

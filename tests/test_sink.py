@@ -274,3 +274,38 @@ def test_sink_rejects_row_tracking_table(spark, tmp_path):
 
     with pytest.raises(PyCommitError):
         commit_append(storage, path, [], app_id="q", txn_version=0)
+
+
+def test_batch_write_across_schema_evolution_cm(spark, tmp_path):
+    """Facade appends interleaved with ADD/RENAME/DROP COLUMN under column
+    mapping: the sink must pick up each evolved schema (physical names,
+    field ids) at write time — exercised nowhere else before r11."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    t = DeltaTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame([(0, "a")], "k long, cat string"),
+        partition_by=["cat"],
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    register_batch_source(spark)
+    t.add_column("extra", T.LongType())
+    spark.createDataFrame([(1, "b", 7)], "k long, cat string, extra long").write.format(
+        "delta_kernel"
+    ).option("path", path).mode("append").save()
+    assert _rows(t.to_df()) == [(0, "a", None), (1, "b", 7)]
+    t.rename_column("extra", "extra2")
+    spark.createDataFrame(
+        [(2, "c", 8)], "k long, cat string, extra2 long"
+    ).write.format("delta_kernel").option("path", path).mode("append").save()
+    assert _rows(t.to_df()) == [(0, "a", None), (1, "b", 7), (2, "c", 8)]
+    t.drop_column("extra2")
+    spark.createDataFrame([(3, "d")], "k long, cat string").write.format(
+        "delta_kernel"
+    ).option("path", path).mode("append").save()
+    want = [(0, "a"), (1, "b"), (2, "c"), (3, "d")]
+    assert _rows(t.to_df()) == want
+    got = spark.read.format("delta_kernel").option("path", path).load()
+    assert _rows(got.select("k", "cat")) == want
