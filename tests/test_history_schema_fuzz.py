@@ -313,10 +313,25 @@ def _check_history(spark, t, path, states, trace, rng, n_tt=6, n_ranges=8):
     cols, rows = _read_state(t)
     assert cols == _cols_of(final), ctx
     assert rows == _expected_rows(final), ctx
+    from delta_kernel_rs_spark.sources.batch_source import register_batch_source
+
+    register_batch_source(spark)
     for v in sorted(rng.sample(versions, min(n_tt, len(versions)))):
         cols, rows = _read_state(t, version=v)
         assert cols == _cols_of(states[v]), f"{ctx} version={v} cols"
         assert rows == _expected_rows(states[v]), f"{ctx} version={v}"
+        # twin: the user-visible facade reader must see the same rows AND
+        # the same schema-as-of-v (column mapping resolved per version)
+        fdf = (
+            spark.read.format("delta_kernel")
+            .option("path", path)
+            .option("versionAsOf", v)
+            .load()
+        )
+        fcols = set(fdf.columns)
+        frows = {r["uid"]: {c: r[c] for c in fdf.columns} for r in fdf.collect()}
+        assert fcols == _cols_of(states[v]), f"{ctx} facade version={v} cols"
+        assert frows == _expected_rows(states[v]), f"{ctx} facade version={v}"
 
     # 2+3. CDF error taxonomy + fold on sampled ranges
     meta_cdf = _commit_meta_cdf_flags(path)
