@@ -177,7 +177,8 @@ def _replay_worker(recs, expected):
                 expected[k] += bump
 
 
-def test_multi_writer_conflict_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("seed", [SEED, 31415])
+def test_multi_writer_conflict_fuzz(spark, tmp_path, seed):
     path = str(tmp_path / "t")
     init = [
         (SEG * w + j, 0) for w in range(N_WORKERS) for j in range(INIT_PER_WORKER)
@@ -210,7 +211,7 @@ def test_multi_writer_conflict_fuzz(spark, tmp_path):
                     _CHILD.format(repo=REPO, seg=SEG),
                     path,
                     str(w),
-                    str(SEED),
+                    str(seed),
                     str(N_OPS),
                     ready,
                     go_file,
@@ -240,7 +241,7 @@ def test_multi_writer_conflict_fuzz(spark, tmp_path):
         assert len(recs_by_worker[w]) == N_OPS, f"worker {w} lost records"
 
     all_recs = [r for w in range(N_WORKERS) for r in recs_by_worker[w]]
-    ctx = f"seed={SEED} recs={all_recs}"
+    ctx = f"seed={seed} recs={all_recs}"
     from collections import Counter
 
     print(
