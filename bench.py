@@ -37,6 +37,27 @@ statistically-settled criterion estimates rather than single runs):
   the cap doesn't replicate the min, the artifact still records the
   over-margin min_spread and bench_compare keeps refusing to verdict —
   extra passes repair the signal, they never fake it.
+* OPTIONAL-STOPPING GUARD (round 12, ADVICE r11): in the extra-pass
+  regime the stopping statistic is re-evaluated after every added
+  sample, so stopping the FIRST time min_spread dips under margin
+  selects for lucky dips (the two smallest order statistics of a noisy
+  sequence eventually converge by chance). The loop now requires the
+  dip to PERSIST across two consecutive evaluations before stopping.
+  The initial fixed-N passes are exempt — no stopping decision is made
+  there, so a clean 3-pass run still costs exactly 3 passes.
+* ORACLE FLOOR (round 12): cross-round comparisons of absolute seconds
+  are hostage to box drift — the DuckDB oracle itself (identical SQL,
+  identical parquet, zero engine code) measured 39.0 / 44.6 / 57.5 s
+  across three judge sessions. So bench.py now times the DuckDB oracle
+  twins (``oracle_sql()``) in the SAME run with the same pass protocol
+  and records ``oracle_floor_sec`` (sum of per-query mins),
+  ``oracle_min_spread``, ``oracle_passes``, and ``engine_over_oracle``
+  (= value / oracle_floor_sec) — a box-speed-normalized ratio that
+  scripts/bench_compare.py prefers over absolute totals when both
+  artifacts carry it. Mirrors the reference's relative-not-absolute
+  gating (benchmarks/ci/parse_critcmp.py:27-31 compares against a
+  co-measured baseline, never a stored absolute). Disable with
+  $SPARK_GRAFT_BENCH_ORACLE=0 for quick engine-only iteration.
 
 Per-query per-pass detail lands in bench/last_run_detail.json for triage;
 stdout stays a single driver-parseable line.
@@ -84,6 +105,7 @@ def run_adaptive_passes(
     passes: int = 3,
     margin: float = GATE_MARGIN,
     max_passes: int = MAX_PASSES,
+    confirm: int = 2,
 ) -> tuple[dict[str, list[float]], list[float]]:
     """Run ``passes`` full passes, then bounded extras until the min
     replicates (min_spread <= margin) or ``max_passes`` is reached.
@@ -91,7 +113,17 @@ def run_adaptive_passes(
     ``run_pass()`` executes ONE full pass and returns {query: seconds}.
     Returns (per-query timings across all passes, per-pass totals).
     Pure pass-loop policy — SparkSession-free so the adaptive path is
-    unit-testable (tests/test_bench_compare.py)."""
+    unit-testable (tests/test_bench_compare.py).
+
+    Optional-stopping guard (ADVICE r11): min_spread over ALL totals is
+    monotone-ish — once any two historical samples agree it stays low, so
+    stopping the first time it dips selects for lucky coincidences. In
+    the extra-pass regime the loop instead stops only when the LAST
+    ``confirm`` passes each land within margin of the overall min: the
+    floor must replicate in consecutive recent samples. The initial
+    fixed-N block makes no stopping decision (single evaluation, no
+    optional-stopping bias), so a clean run still costs exactly
+    ``passes`` passes."""
     detail: dict[str, list[float]] = {}
     totals: list[float] = []
 
@@ -101,9 +133,18 @@ def run_adaptive_passes(
             detail.setdefault(name, []).append(t)
         totals.append(round(sum(res.values()), 2))
 
+    def recent_ok() -> bool:
+        lo = min(totals)
+        recent = totals[-confirm:]
+        return len(recent) >= confirm and lo > 0 and max(recent) <= lo * (
+            1 + margin
+        )
+
     for _ in range(max(1, passes)):
         one()
-    while len(totals) < max_passes and min_spread_of(totals) > margin:
+    if min_spread_of(totals) <= margin:
+        return detail, totals
+    while len(totals) < max_passes and not recent_ok():
         one()
     return detail, totals
 
@@ -111,6 +152,47 @@ def run_adaptive_passes(
 def _force(df) -> None:
     """Fully execute a DataFrame without driver-side materialization."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def time_oracle_passes(
+    sf_dir: str,
+    names,
+    passes: int = 3,
+    margin: float = GATE_MARGIN,
+    max_passes: int = 5,
+) -> tuple[dict[str, list[float]], list[float]]:
+    """Time the DuckDB oracle twins of ``names`` at ``sf_dir`` with the
+    same warm-up + adaptive-pass protocol as the engine measurement.
+
+    The oracle is the box-speed invariant: identical SQL over identical
+    parquet with zero engine code, so its floor moves only when the BOX
+    moves. Co-measuring it lets bench_compare separate code regressions
+    from measurement-day drift (VERDICT r11 'What's wrong #1')."""
+    import duckdb
+
+    from delta_kernel_rs_spark.queries import oracle_sql
+    from delta_kernel_rs_spark.queries.tables import TABLE_NAMES
+
+    oracles = oracle_sql()
+    todo = [(n, oracles[n]) for n in names if n in oracles]
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def one_pass() -> dict[str, float]:
+        res: dict[str, float] = {}
+        for name, sql in todo:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            res[name] = round(time.perf_counter() - t0, 4)
+        return res
+
+    one_pass()  # warm-up: OS page cache + duckdb's own caches
+    return run_adaptive_passes(
+        one_pass, passes=passes, margin=margin, max_passes=max_passes
+    )
 
 
 def main() -> None:
@@ -156,6 +238,18 @@ def main() -> None:
     spread = spread_of(run_totals)
     min_spread = min_spread_of(run_totals)
 
+    # Co-measured DuckDB oracle floor — the box-drift invariant.
+    oracle_detail: dict[str, list[float]] = {}
+    oracle_totals: list[float] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        try:
+            oracle_detail, oracle_totals = time_oracle_passes(
+                sf_dir, list(registry), passes=passes, margin=margin
+            )
+        except Exception as exc:  # noqa: BLE001 — oracle floor is additive signal
+            print(f"oracle floor skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
     try:
         detail_dir = Path(_REPO) / "bench"
         detail_dir.mkdir(exist_ok=True)
@@ -163,7 +257,9 @@ def main() -> None:
             json.dumps(
                 {"sf": sf, "passes": n_passes, "run_totals": run_totals,
                  "spread": spread, "min_spread": min_spread,
-                 "per_query_runs": detail},
+                 "per_query_runs": detail,
+                 "oracle_run_totals": oracle_totals,
+                 "oracle_per_query_runs": oracle_detail},
                 indent=1,
             )
         )
@@ -184,6 +280,15 @@ def main() -> None:
         "passes": n_passes,
         "sf": sf if sf is not None else sf_dir,
     }
+    if oracle_totals:
+        oracle_floor = round(
+            sum(min(ts) for ts in oracle_detail.values()), 2
+        )
+        out["oracle_floor_sec"] = oracle_floor
+        out["oracle_min_spread"] = min_spread_of(oracle_totals)
+        out["oracle_passes"] = len(oracle_totals)
+        if oracle_floor > 0:
+            out["engine_over_oracle"] = round(out["value"] / oracle_floor, 4)
     print(json.dumps(out, separators=(",", ":")))
 
 

@@ -25,6 +25,20 @@ idle-box re-run of identical code measured 1.07x). Mirrors the reference
 comparing statistically-settled criterion estimates, never single runs
 (benchmarks/ci/parse_critcmp.py:27-31).
 
+BOX-DRIFT IMMUNITY (round 12): absolute seconds from different days
+measure different boxes — the engine-free DuckDB oracle itself drifted
+39.0 -> 57.5 s across judge sessions, which made the r9->r11 compare
+formally "fail" on untouched round-1 queries. bench.py now co-measures
+the oracle twins and records ``oracle_floor_sec`` + ``engine_over_oracle``;
+when BOTH artifacts carry them (and both oracle floors replicated within
+the margin), this gate scales the old per-query timings by the measured
+box drift (new_oracle_floor / old_oracle_floor) and gates the total on
+the engine/oracle ratio-of-ratios. When either side's oracle floor is
+itself noisy the ratio is untrustworthy AND the absolute compare is
+exactly the drift-hostage signal this mode exists to replace — so the
+gate refuses a verdict rather than silently degrading. One-side-legacy
+artifacts (pre-r12) still get the absolute compare.
+
 Exit code 0 = pass, 1 = regression found, 2 = bad input, 3 = unreliable.
 Prints a per-query table plus a one-line JSON verdict for the round log.
 """
@@ -36,12 +50,15 @@ import json
 import sys
 
 
-def load_queries(path: str) -> tuple[dict[str, float], float | None]:
-    """Returns (per-query timings, recorded noise estimate or None for
-    pre-r9 single-run artifacts). The noise estimate is ``min_spread``
-    (replication of the min totals — what the gate compares) when the
-    artifact carries it, else the coarser max-min ``spread``: a co-tenant
-    blowing ONE pass up inflates the latter without moving the min."""
+def load_artifact(path: str) -> dict:
+    """Parse one bench artifact (raw bench line or driver wrapper).
+
+    Returns {queries, noise, oracle_floor, oracle_noise, eoo}; the noise
+    estimate is ``min_spread`` (replication of the min totals — what the
+    gate compares) when the artifact carries it, else the coarser max-min
+    ``spread``: a co-tenant blowing ONE pass up inflates the latter
+    without moving the min. Pre-r9 artifacts carry neither; pre-r12
+    artifacts carry no oracle fields."""
     with open(path) as f:
         doc = json.load(f)
     parsed = doc.get("parsed") or doc  # accept raw bench line or driver wrapper
@@ -49,9 +66,16 @@ def load_queries(path: str) -> tuple[dict[str, float], float | None]:
     if not isinstance(q, dict) or not q:
         raise ValueError(f"{path}: no 'queries' dict found")
     spread = parsed.get("min_spread", parsed.get("spread"))
-    return {k: float(v) for k, v in q.items()}, (
-        float(spread) if spread is not None else None
-    )
+    oracle_floor = parsed.get("oracle_floor_sec")
+    eoo = parsed.get("engine_over_oracle")
+    oracle_noise = parsed.get("oracle_min_spread")
+    return {
+        "queries": {k: float(v) for k, v in q.items()},
+        "noise": float(spread) if spread is not None else None,
+        "oracle_floor": float(oracle_floor) if oracle_floor else None,
+        "oracle_noise": float(oracle_noise) if oracle_noise is not None else None,
+        "eoo": float(eoo) if eoo else None,
+    }
 
 
 def main() -> int:
@@ -69,11 +93,13 @@ def main() -> int:
     args = ap.parse_args()
 
     try:
-        old, old_spread = load_queries(args.old)
-        new, new_spread = load_queries(args.new)
+        art_old = load_artifact(args.old)
+        art_new = load_artifact(args.new)
     except (OSError, ValueError, json.JSONDecodeError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    old, new = art_old["queries"], art_new["queries"]
+    old_spread, new_spread = art_old["noise"], art_new["noise"]
 
     # A gate whose measurement noise exceeds its margin gates nothing:
     # refuse to verdict when a recorded run-to-run spread is wider than
@@ -83,6 +109,26 @@ def main() -> int:
         (s for s in (old_spread, new_spread) if s is not None), default=None
     )
     unreliable = worst_spread is not None and worst_spread > margin
+
+    # Box-drift normalization: both artifacts co-measured the oracle.
+    mode = "absolute"
+    drift = 1.0
+    oracle_unreliable = False
+    both_oracle = (
+        art_old["oracle_floor"] and art_new["oracle_floor"]
+        and art_old["eoo"] and art_new["eoo"]
+    )
+    if both_oracle:
+        worst_oracle = max(
+            (s for s in (art_old["oracle_noise"], art_new["oracle_noise"])
+             if s is not None),
+            default=0.0,
+        )
+        if worst_oracle > margin:
+            oracle_unreliable = True
+        else:
+            mode = "oracle_ratio"
+            drift = art_new["oracle_floor"] / art_old["oracle_floor"]
 
     exempt = {s.strip() for s in args.exempt.split(",") if s.strip()}
     regressions: list[tuple[str, float, float, float]] = []
@@ -95,7 +141,10 @@ def main() -> int:
             rows.append(f"  DROPPED  {name:44s} {old[name]:6.2f}s ->")
             continue
         o, n = old[name], new[name]
-        ratio = n / o if o > 0 else float("inf")
+        # drift-scale the OLD side: what the old code would measure on
+        # the new box, per the co-measured engine-free oracle floor
+        o_scaled = o * drift
+        ratio = n / o_scaled if o_scaled > 0 else float("inf")
         flag = ""
         if name in exempt:
             flag = "exempt"
@@ -111,6 +160,7 @@ def main() -> int:
 
     tot_old, tot_new = sum(old.values()), sum(new.values())
     verdict = {
+        "mode": mode,
         "old_total_sec": round(tot_old, 2),
         "new_total_sec": round(tot_new, 2),
         "total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
@@ -123,7 +173,25 @@ def main() -> int:
         ],
         "pass": None if unreliable else not regressions,
     }
-    if unreliable:
+    if mode == "oracle_ratio":
+        verdict["box_drift"] = round(drift, 4)
+        verdict["old_engine_over_oracle"] = art_old["eoo"]
+        verdict["new_engine_over_oracle"] = art_new["eoo"]
+        verdict["ratio_of_ratios"] = round(art_new["eoo"] / art_old["eoo"], 4)
+        print(
+            f"box drift (oracle floor): {drift:.3f}x — per-query ratios are "
+            f"drift-scaled; engine/oracle {art_old['eoo']:.3f} -> "
+            f"{art_new['eoo']:.3f} ({verdict['ratio_of_ratios']:.3f}x)"
+        )
+    if oracle_unreliable:
+        verdict["oracle_unreliable"] = True
+        verdict["pass"] = None
+        unreliable = True
+        print("UNRELIABLE: oracle floor did not replicate within the gate "
+              "margin on at least one side — drift normalization is "
+              "untrustworthy and the absolute compare is the drift-hostage "
+              "signal it replaces; no pass/fail verdict")
+    elif unreliable:
         verdict["unreliable"] = True
         print(f"UNRELIABLE: spread {worst_spread * 100:.1f}% exceeds the "
               f"gate margin {margin * 100:.1f}% — no pass/fail verdict; "
