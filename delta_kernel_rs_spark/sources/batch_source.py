@@ -104,6 +104,26 @@ def _opts(options: dict) -> dict:
     return {k.lower(): v for k, v in options.items()}
 
 
+def _warn_rate_limit_under_available_now(option_name: str) -> None:
+    """One AvailableNow run of a rate-limited Python stream is ONE bounded
+    micro-batch, not a full backfill (no SupportsTriggerAvailableNow hook
+    in the Python DataSourceStreamReader API) — say so at runtime, not
+    just in the docstring (ADVICE r11). The source cannot see the trigger
+    type, so the warning fires whenever a rate limit is configured."""
+    import warnings
+
+    warnings.warn(
+        f"{option_name} paces processingTime triggers; under "
+        "Trigger.AvailableNow the Python streaming API processes exactly "
+        "ONE bounded micro-batch per run, so one run is NOT a full "
+        "backfill (the checkpoint advances; re-runs continue). For a "
+        "one-shot full backfill use "
+        "delta_kernel_rs_spark.streaming.available_now_backfill().",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _resolve_version(storage, path: str, opts: dict) -> int | None:
     """versionAsOf / timestampAsOf → pinned version (None = latest).
 
@@ -1042,6 +1062,10 @@ class DeltaKernelStreamReader(_FileSliceReadMixin, DataSourceStreamReader):
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        if self._max_files is not None or self._max_bytes is not None:
+            _warn_rate_limit_under_available_now(
+                "maxFilesPerTrigger/maxBytesPerTrigger"
+            )
         #: per-version add-file cache so admission + planning read each
         #: commit JSON once; evicted below the committed offset.
         self._adds_cache: dict[int, list[dict]] = {}

@@ -110,6 +110,9 @@ def arrow_fs_and_path(path: str):
     encoded spelling decode before calling). A ``file://`` URI with a
     non-empty authority other than ``localhost`` (``file://host/x``) is
     rejected rather than silently misread as the relative path ``host/x``.
+    Per RFC 8089 the ``localhost`` authority is compared case-
+    insensitively and a bare ``file://localhost`` (no trailing path)
+    denotes the local host exactly like ``file:///``.
 
     Importable on executors (leaf module, no Spark imports).
     """
@@ -117,14 +120,13 @@ def arrow_fs_and_path(path: str):
 
     if path.startswith("file://"):
         rest = path[len("file://"):]
-        if rest.startswith("localhost/"):
-            rest = rest[len("localhost"):]
-        elif rest and not rest.startswith("/"):
+        authority, sep, tail = rest.partition("/")
+        if authority and authority.lower() != "localhost":
             raise ValueError(
                 f"file:// URI with a non-empty authority is not a local "
                 f"path: {path!r}"
             )
-        return pafs.LocalFileSystem(), rest
+        return pafs.LocalFileSystem(), sep + tail
     if "://" not in path:
         return pafs.LocalFileSystem(), path
     return pafs.FileSystem.from_uri(path)

@@ -191,6 +191,13 @@ class TableMetadata:
 
 
 def _scan_commit_for_pm(text: str) -> tuple[dict | None, dict | None]:
+    """Last metaData/protocol occurrence in one log file (or None).
+
+    LAST, not first: a raw commit carries at most one of each, but a
+    compacted file (and a foreign writer's compaction) concatenates
+    actions of many versions in version order — the newest P&M is the
+    final occurrence (reference log compaction reconciles to one, but
+    the spec doesn't require foreign files to)."""
     metadata, protocol = None, None
     for line in text.splitlines():
         line = line.strip()
@@ -200,9 +207,9 @@ def _scan_commit_for_pm(text: str) -> tuple[dict | None, dict | None]:
             action = json.loads(line)
         except ValueError:
             continue
-        if metadata is None and "metaData" in action:
+        if "metaData" in action:
             metadata = action["metaData"]
-        if protocol is None and "protocol" in action:
+        if "protocol" in action:
             protocol = action["protocol"]
     return metadata, protocol
 
@@ -422,9 +429,11 @@ class Snapshot:
             # incremental update (create_from): the baseline's P&M are
             # authoritative through its version — only NEWER commits can
             # carry newer P&M, so skip reading the (possibly huge) older
-            # tail. Compacted ranges straddling the baseline are kept
-            # (their last P&M occurrence is >= the baseline's by
-            # construction — within-file order is by version).
+            # tail. Compacted ranges straddling the baseline are kept:
+            # _scan_commit_for_pm resolves the LAST in-file occurrence,
+            # which is >= the baseline's (within-file order is by
+            # version) — correct even for a foreign compacted file
+            # carrying multiple P&M actions.
             commit_files = [
                 c
                 for c in commit_files

@@ -48,6 +48,7 @@ def register_cdf_source(spark) -> None:
 from delta_kernel_rs_spark.sources.batch_source import (  # noqa: E402
     _PYARROW_READER_FEATURES,
     _CdfEventReadMixin,
+    _warn_rate_limit_under_available_now,
 )
 
 
@@ -171,6 +172,8 @@ class DeltaCdfStreamReader(_CdfEventReadMixin, DataSourceStreamReader):
         self._max_commits = int(mc) if mc is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
+        if self._max_commits is not None:
+            _warn_rate_limit_under_available_now("maxCommitsPerTrigger")
         self._cursor = self._start
         self._floor = self._start
 
