@@ -273,6 +273,7 @@ def write_checkpoint(
     version: int | None = None,
     v2: bool = False,
     parts: int | None = None,
+    snapshot: "Snapshot | None" = None,
 ) -> int:
     """Write a checkpoint for ``version`` (default: latest).
 
@@ -288,7 +289,11 @@ def write_checkpoint(
     """
     import uuid as _uuid
 
-    snapshot = Snapshot.create(spark, table_path, version=version)
+    if snapshot is None:
+        # catalog-managed tables can't be loaded without their log tail —
+        # callers holding a committer pass the snapshot in (DeltaTable
+        # .checkpoint); the bare-path spelling serves filesystem tables
+        snapshot = Snapshot.create(spark, table_path, version=version)
     v = snapshot.version
     storage = storage_for(spark, table_path)
     log_dir = f"{table_path.rstrip('/')}/{LOG_DIR}"

@@ -307,11 +307,25 @@ class DeltaTable:
             txn = self._route(Transaction(
                 self.spark, self.path, operation="WRITE", read_snapshot=snap
             ))
+        df = self._conform_to_table_schema(df, table_schema)
+        version = txn.write_data(df).commit()
+        self.maybe_write_crc(version)
+        compacted = self.maybe_auto_compact(version, txn.configuration)
+        if auto_checkpoint:
+            self.maybe_checkpoint(compacted or version)
+        return version
+
+    def _conform_to_table_schema(self, df: DataFrame, table_schema) -> DataFrame:
+        """Reorder/prune ``df`` to the table schema, keeping only columns
+        the DataFrame has — absent generated/identity/default columns are
+        filled by the transaction's column policies; other absent columns
+        become typed NULLs (so constraint scans resolve, and a writer
+        whose frame predates a racing ADD COLUMN still commits sound
+        data — found by tests/test_conflict_fuzz.py schema arm). Narrower
+        incoming primitives cast up to the (possibly widened) table types
+        losslessly; any other mismatch is left for the write path to
+        reject rather than silently coerced."""
         if [f.name for f in df.schema.fields] != [f.name for f in table_schema.fields]:
-            # Reorder/prune to the table schema, keeping only columns the
-            # DataFrame has — absent generated/identity/default columns are
-            # filled by the transaction's column policies; other absent
-            # columns become typed NULLs (so constraint scans resolve).
             have = set(df.columns)
             policy_keys = (
                 Transaction.GENERATION_EXPRESSION_KEY,
@@ -326,13 +340,10 @@ class DeltaTable:
                 elif not any(k in (f.metadata or {}) for k in policy_keys):
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             df = df.select(*cols)
-        # narrower incoming primitives cast up to the (possibly widened)
-        # table types losslessly; any other mismatch is left for the
-        # write path to reject rather than silently coerced
         from delta_kernel_rs_spark.functions.schema_diff import is_widening
 
         types = {f.name: f.dataType for f in table_schema.fields}
-        df = df.select(
+        return df.select(
             *[
                 F.col(c).cast(types[c]).alias(c)
                 if is_widening(df.schema[c].dataType, types[c])
@@ -340,12 +351,6 @@ class DeltaTable:
                 for c in df.columns
             ]
         )
-        version = txn.write_data(df).commit()
-        self.maybe_write_crc(version)
-        compacted = self.maybe_auto_compact(version, txn.configuration)
-        if auto_checkpoint:
-            self.maybe_checkpoint(compacted or version)
-        return version
 
     def append_with_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int | None:
         """Idempotent append: skipped if (app_id, txn_version) was committed."""
@@ -359,7 +364,7 @@ class DeltaTable:
                     self.spark, self.path, operation="WRITE", read_snapshot=snap
                 )
             )
-            .write_data(df)
+            .write_data(self._conform_to_table_schema(df, snap.schema))
             .with_transaction_id(app_id, txn_version)
             .commit()
         )
@@ -900,8 +905,16 @@ class DeltaTable:
                         "delta.checkpointPolicy": "v2",
                     }
                 )
+        # catalog-managed tables must load through the committer's log
+        # tail — hand write_checkpoint the routed snapshot
+        snap = (
+            self.snapshot(version=version)
+            if self.committer is not None and self.committer.is_catalog_committer()
+            else None
+        )
         return write_checkpoint(
-            self.spark, self.path, version=version, v2=v2, parts=parts
+            self.spark, self.path, version=version, v2=v2, parts=parts,
+            snapshot=snap,
         )
 
     def _configuration_at(self, version: int) -> dict:

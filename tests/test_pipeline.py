@@ -657,3 +657,82 @@ def test_dsir_importance_scores_and_threshold(spark):
     }
     loose = {d for d in out if out[d]["selected"]}
     assert strict <= loose
+
+
+# ---------------------------------------------------------------------------
+# Scale-growth pins (r11 VERDICT next #2): the heavy operators' candidate
+# counts on the linear-by-construction corpus (delta_kernel_rs_spark/
+# corpus.py) are deterministic — pin them exactly at two sizes and bound
+# the growth. A candidate-pair explosion under a broken banding scheme,
+# a df-cap bypass, or an unbalanced IVF assignment breaks these pins long
+# before a wall-clock bench would notice. Big-n artifact:
+# scripts/bench_scale.py -> bench/scale_growth.json.
+# ---------------------------------------------------------------------------
+
+#: discovered once, deterministic forever (corpus seed=11): at both sizes
+#: minhash candidates == exact jaccard pairs == winnowing pairs — every
+#: banding scheme achieves total recall with zero cross-group candidates
+#: on the group-private-vocabulary corpus, so the candidate frame IS the
+#: true pair set.
+_SCALE_PINS = {
+    600: {"pairs": 317, "win_postings": 12632, "ivf": 297},
+    2400: {"pairs": 1180, "win_postings": 50993, "ivf": 1067},
+}
+
+
+def test_scale_growth_candidate_counts(spark, tmp_path):
+    from delta_kernel_rs_spark.corpus import write_scale_fixture
+    from scripts.bench_scale import (
+        ivf_scored_pairs,
+        jaccard_candidate_pairs,
+        minhash_candidate_pairs,
+        winnowing_posting_stats,
+    )
+
+    got = {}
+    for n in (600, 2400):
+        fx = str(tmp_path / f"x{n}")
+        write_scale_fixture(fx, n_docs=n, n_vecs=n, seed=11)
+        d = spark.read.parquet(f"{fx}/documents.parquet")
+        e = spark.read.parquet(f"{fx}/embeddings.parquet")
+        postings, win_pairs = winnowing_posting_stats(d)
+        mh = minhash_candidate_pairs(d)
+        jc = jaccard_candidate_pairs(d)
+        # total recall + zero cross-group false candidates: all three
+        # candidate frames equal the true within-group pair set
+        assert mh == jc == win_pairs, (n, mh, jc, win_pairs)
+        got[n] = {
+            "pairs": mh,
+            "win_postings": postings,
+            "ivf": ivf_scored_pairs(e, max(16, n // 125)),
+        }
+    assert got == _SCALE_PINS
+    # linear growth: 4x rows -> candidate counts within [3x, 5x]
+    for metric in ("pairs", "win_postings", "ivf"):
+        ratio = got[2400][metric] / got[600][metric]
+        assert 3.0 <= ratio <= 5.0, (metric, ratio)
+
+
+def test_scale_growth_cluster_convergence(spark, tmp_path):
+    """Label propagation must converge in O(cluster diameter) rounds —
+    constant-size groups (<= 3 members) need <= 3 propagation rounds at
+    ANY corpus size. A convergence stall (rounds growing with n) is the
+    p18 scale killer this pins against."""
+    from delta_kernel_rs_spark.corpus import write_scale_fixture
+    from delta_kernel_rs_spark.operators.cluster import connected_components
+    from delta_kernel_rs_spark.operators.dedup import neardup_pairs_minhash
+
+    fx = str(tmp_path / "x")
+    write_scale_fixture(fx, n_docs=900, n_vecs=10, seed=11)
+    docs = spark.read.parquet(f"{fx}/documents.parquet")
+    pairs = neardup_pairs_minhash(docs, k=3, threshold=0.8)
+    labels = connected_components(pairs, max_rounds=3)
+    # every cluster label is the group's min doc id; sizes 2..3
+    rows = labels.collect()
+    assert rows, "no clusters found"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert 2 <= len(members) <= 3, (cid, members)
