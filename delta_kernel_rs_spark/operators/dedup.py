@@ -718,3 +718,86 @@ def winnowing_passage_pairs(
             / F.least(F.col("na"), F.col("nb"))
         ).alias("overlap"),
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup: the maximal duplicated token spans per
+    document (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22 — ExactSubstr). A token position starts a
+    duplicated region when its word ``k``-gram occurs at least twice
+    ANYWHERE in the corpus (other documents or elsewhere in the same one);
+    overlapping/adjacent hit windows merge into maximal spans, which is
+    exactly the set ExactSubstr would cut.
+
+    Unlike the suffix-array construction in the paper (single-machine,
+    O(corpus) RAM), this is the distributed equivalent over k-gram
+    anchors: any duplicated substring of >= k tokens contains a duplicated
+    k-gram, so the merged spans cover every such substring.
+
+    Plan shape (all relational, no Python): one codegen'd projection
+    hashes each position's k-gram (md5 — cross-engine deterministic, and
+    the join key is a 32-char digest instead of the k-word string);
+    one groupBy(gram) count with map-side partial combine finds grams
+    with global multiplicity >= 2; one equi-join marks hit positions; one
+    window per document merges hits into spans (gaps-and-islands: a new
+    island starts when pos > prev_pos + k, since [p1, p1+k) and
+    [p2, p2+k) are disjoint and non-touching exactly when p2 > p1 + k).
+
+    100 TB posture: shuffles key on the gram digest (high cardinality) and
+    on ``id_col``; posting lists are never self-joined, so a boilerplate
+    gram with a million occurrences costs count + join fanout linear in
+    its occurrences, never quadratic. No driver materialization.
+
+    Returns (id_col, span_start, span_end, span_tokens): token offsets
+    with ``span_end`` exclusive, 0-based. Documents with no duplicated
+    span are absent — callers join back to cut or drop.
+    """
+    from pyspark.sql import Window
+
+    df = ensure_min_parallelism(df)
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+    )
+    pos_grams = (
+        df.filter(n >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    )
+    dup = (
+        pos_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("g")
+    )
+    hits = pos_grams.join(dup, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # first row per doc: lag is NULL -> condition NULL -> otherwise(0);
+    # islands are numbered from 0 and each true break adds 1
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w) + k, 1
+    ).otherwise(0)
+    islands = hits.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.sum(brk).over(w).alias("island"),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )

@@ -464,3 +464,148 @@ def srp_topk(
             "rank", "cosine",
         )
     )
+
+
+KMEANS_SCALE = 1_000_000.0
+
+
+def _kmeans_update(
+    assigned: DataFrame,
+    vec_col: str,
+    scale: float = KMEANS_SCALE,
+) -> DataFrame:
+    """Lloyd centroid update with ORDER-INDEPENDENT arithmetic.
+
+    A distributed mean of doubles is nondeterministic (float addition is
+    not associative; partition order varies run to run), so the update
+    sums INTEGER-scaled components — ``sum(round(x * scale))`` over
+    BIGINTs is exact in any order — and divides once at the end. This is
+    the repo's standard integer-scaled-sum pattern, applied per
+    (cluster, dimension); it is what makes a k-means result hash-exact
+    against the DuckDB oracle AND stable across cluster topologies.
+
+    Returns (centroid_id, c array<double>). Empty clusters simply emit no
+    row (the classic Lloyd dropped-cluster case).
+    """
+    ex = assigned.select(
+        "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+    ).select(
+        "centroid_id",
+        "pos",
+        F.round(F.col("x").cast("double") * scale).cast("long").alias("sx"),
+    )
+    per = ex.groupBy("centroid_id", "pos").agg(
+        F.sum("sx").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda t: t["s"].cast("double") / (F.lit(scale) * t["n"]),
+        ).alias("c")
+    )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Seeding is the first ``n_centroids`` vectors by id (the same
+    deterministic "training" convention as ivf_topk); each iteration
+    assigns every vector to its max-cosine centroid (ties -> lowest
+    centroid id) and recomputes centroids as the integer-scaled
+    element-wise mean (see _kmeans_update). ``n_iters`` assignment
+    passes run in total, with n_iters - 1 updates between them.
+
+    100 TB posture: centroids are always a broadcast (n_centroids rows);
+    assignment is map-side scored join + per-vector argmax; the update
+    is one groupBy((cluster, dim)) with map-side partial combine over
+    64x-exploded rows, then an n_centroids-row regroup. Iterations
+    compose lazily — Catalyst sees one plan.
+
+    Returns (id_col, vec_col, norm2, centroid_id).
+    """
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c")
+    )
+    assigned = None
+    for it in range(max(1, n_iters)):
+        assigned = ivf_assign(
+            df,
+            cents.select(
+                F.col("centroid_id").alias(id_col), F.col("c").alias(vec_col)
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=dims,
+        )
+        if it < n_iters - 1:
+            cents = _kmeans_update(assigned, vec_col)
+    return assigned
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    embeddings with k-means, then inside each cluster drop every vector
+    that has a LOWER-id member with cosine >= ``threshold``.
+
+    (The paper's greedy keep-one-per-similar-group is order-dependent;
+    this uses the deterministic dominated-by-any-lower-id rule — the same
+    keep-min-id convention as exact_duplicate_groups — which removes a
+    superset of the greedy rule's removals within each cluster.)
+
+    100 TB posture: the pairwise check is an equi-join on centroid_id —
+    with n_centroids scaled like an IVF nlist, cluster sizes stay
+    ~constant and the join fanout per cluster is bounded; there is never
+    a corpus-wide all-pairs product.
+
+    Returns (id_col, cluster_id, cluster_size, is_kept).
+    """
+    assigned = kmeans_clusters(
+        df, n_centroids=n_centroids, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, dims=dims,
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            on=[
+                F.col("a.centroid_id") == F.col("b.centroid_id"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .withColumn(
+            "cos",
+            cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "a.norm2", "b.norm2", dims),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("dominated", F.lit(True))
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "centroid_id")
+        .join(dominated, id_col, "left")
+        .select(
+            id_col,
+            F.col("centroid_id").alias("cluster_id"),
+            "cluster_size",
+            F.coalesce(~F.col("dominated"), F.lit(True)).alias("is_kept"),
+        )
+    )

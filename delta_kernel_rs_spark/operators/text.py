@@ -323,3 +323,72 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "rank", "term", "tf", "df", "doc_len", "tfidf")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Unigram language-model surprisal per document — the classic
+    frequency-based quality/outlier scorer (CCNet/Gopher lineage: a doc
+    whose tokens are corpus-rare is an outlier; one whose tokens are all
+    stopwords is boilerplate).
+
+    Two scores per document:
+
+    * ``avg_logprob`` (double): (1/n) * sum_i ln(count(tok_i)) - ln(N) —
+      the true average token log-probability under the corpus unigram
+      model. Informative, but a distributed float sum is order-dependent,
+      so it is NOT part of any hash-checked surface.
+    * ``logfreq_milli`` (bigint): 1000 * sum_i floor(log2(count(tok_i)))
+      integer-divided by n — the average log2-frequency bucket of the
+      doc's tokens, scaled to milli-bits. floor(log2(c)) is computed as
+      ``length(bin(c)) - 1`` — pure integer arithmetic, EXACT in any
+      summation order and bit-identical across engines. This is the
+      score the oracle gate hashes; LOW means corpus-rare tokens (an
+      outlier doc), HIGH means stopword soup, and it preserves the
+      logprob ordering up to 1-bit count quantization.
+
+    Plan shape: explode tokens -> one groupBy(token) count (map-side
+    combine) -> join instances back on token -> one groupBy(doc) — three
+    shuffles, all on high-cardinality keys. Hot tokens ("the") make the
+    count join fan out linearly, never quadratically; AQE skew-join
+    splits the hottest token partitions at scale.
+
+    Returns (id_col, *keep_cols, n_tokens, bits_sum, logfreq_milli,
+    avg_logprob).
+    """
+    from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    inst = toks.join(cnt, "tok")
+    total = cnt.agg(F.sum("c").alias("n_total"))
+    per_doc = (
+        inst.groupBy(id_col, *keep_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length(F.bin(F.col("c"))) - 1).alias("bits_sum"),
+            F.sum(F.log(F.col("c").cast("double"))).alias("ln_sum"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(total))
+        .select(
+            id_col,
+            *keep_cols,
+            "n_tokens",
+            "bits_sum",
+            F.expr("(1000 * bits_sum) DIV n_tokens").alias("logfreq_milli"),
+            (
+                F.col("ln_sum") / F.col("n_tokens")
+                - F.log(F.col("n_total").cast("double"))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1307,3 +1307,170 @@ register(
     WHERE shared >= 2
     """,
 )
+
+# ---------------------------------------------------------------------------
+# p30 exact substring dedup: maximal duplicated token spans per document
+
+
+def p30_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document (Lee et al., ACL'22
+    ExactSubstr, as distributed k-gram anchors — operators/dedup.py
+    duplicated_token_spans): a position is hit when its word 8-gram occurs
+    >= 2 times anywhere in the corpus; overlapping hit windows merge into
+    maximal [start, end) spans. The oracle replays the identical
+    gram-hash / multiplicity / gaps-and-islands pipeline in DuckDB —
+    every output is an exact integer."""
+    from delta_kernel_rs_spark.operators.dedup import duplicated_token_spans
+
+    return duplicated_token_spans(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+register(
+    "p30_duplicated_spans",
+    p30_duplicated_spans,
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                 md5(array_to_string(ws[i:i+7], ' ')) AS gr
+          FROM d, unnest(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8),
+    dup AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+    h AS (SELECT doc_id, pos FROM g JOIN dup USING (gr)),
+    m AS (SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+          FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM m)
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) + 8 AS INTEGER) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS INTEGER) AS span_tokens
+    FROM i GROUP BY doc_id, island
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p31 semantic dedup: deterministic k-means + SemDeDup keep rule
+
+
+def p31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (operators/similarity.py semantic_dedup): 2-iteration deterministic
+    Lloyd k-means (seeds = first 8 vectors; centroid update is the
+    integer-scaled exact mean, so the result is order-independent), then
+    inside each cluster drop every vector with a lower-id member at
+    cosine >= 0.4. The oracle replays the identical two Lloyd passes in
+    DuckDB with the same fold expressions — assignments, cluster sizes,
+    and keep flags all hash-match."""
+    from delta_kernel_rs_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=8,
+        n_iters=2,
+        threshold=0.4,
+    )
+
+
+def _dk_kmeans_cos(va: str, na2: str, vb: str, nb2: str) -> str:
+    return f"{_dk_fold_dot(va, vb)} / sqrt({na2}*{nb2})"
+
+
+register(
+    "p31_semantic_dedup",
+    p31_semantic_dedup,
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_DK_NORM2} AS n2 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS c, n2 AS cn2 FROM v
+           WHERE vec_id < 8),
+    s1 AS (SELECT v.vec_id, c0.cid,
+                  {_dk_kmeans_cos('v.embedding', 'v.n2', 'c0.c', 'c0.cn2')} AS cc
+           FROM v, c0),
+    a1 AS (SELECT vec_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cid) rn FROM s1)
+           WHERE rn = 1),
+    ex AS (SELECT a1.cid, i AS pos,
+                  CAST(round(CAST(v.embedding[i] AS DOUBLE)*1000000.0)
+                       AS BIGINT) AS sx
+           FROM a1 JOIN v USING (vec_id), unnest(range(1, 65)) t(i)),
+    per AS (SELECT cid, pos, CAST(sum(sx) AS BIGINT) AS s, count(*) AS n
+            FROM ex GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(CAST(s AS DOUBLE)/(1000000.0*n) ORDER BY pos) AS c
+           FROM per GROUP BY cid),
+    c1n AS (SELECT cid, c, {_dk_fold_dot('c', 'c')} AS cn2 FROM c1),
+    s2 AS (SELECT v.vec_id, v.embedding, v.n2, c1n.cid,
+                  {_dk_kmeans_cos('v.embedding', 'v.n2', 'c1n.c', 'c1n.cn2')} AS cc
+           FROM v, c1n),
+    a2 AS (SELECT vec_id, embedding, n2, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cc DESC, cid) rn FROM s2)
+           WHERE rn = 1),
+    dup AS (SELECT DISTINCT b.vec_id FROM a2 a JOIN a2 b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+            AND {_dk_kmeans_cos('a.embedding', 'a.n2', 'b.embedding', 'b.n2')}
+                >= 0.4),
+    sz AS (SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid)
+    SELECT a2.vec_id, a2.cid AS cluster_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           a2.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
+    FROM a2 JOIN sz USING (cid)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# p32 unigram LM outliers: rarest-token documents per language
+
+
+def p32_unigram_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency outlier detection (operators/text.py
+    unigram_surprisal — the CCNet/Gopher frequency-based quality
+    lineage): the 5 docs per language whose tokens sit in the LOWEST
+    average log2-frequency bucket (corpus-rare vocabulary). The hashed
+    surface is all-integer — ``logfreq_milli`` is built from
+    ``length(bin(count)) - 1`` buckets, exact in any summation order —
+    while the true float ``avg_logprob`` stays informative-only
+    (dropped here; see the operator docstring)."""
+    from pyspark.sql import Window
+
+    from delta_kernel_rs_spark.operators.text import unigram_surprisal
+
+    scored = unigram_surprisal(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("logfreq_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_tokens", "bits_sum",
+                "logfreq_milli")
+    )
+
+
+register(
+    "p32_unigram_outliers",
+    p32_unigram_outliers,
+    """
+    WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    d AS (SELECT doc_id, lang,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(format('{:b}', c.c)) - 1) AS BIGINT)
+                   AS bits_sum
+          FROM t JOIN c USING (tok) GROUP BY doc_id, lang),
+    s AS (SELECT doc_id, lang, n_tokens, bits_sum,
+                 CAST((1000 * bits_sum) // n_tokens AS BIGINT)
+                   AS logfreq_milli
+          FROM d)
+    SELECT lang, CAST(rnk AS INTEGER) AS rank, doc_id, n_tokens, bits_sum,
+           logfreq_milli
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY logfreq_milli, doc_id) rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+)

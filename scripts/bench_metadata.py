@@ -77,18 +77,13 @@ EXTRACT_ROOT = "/tmp/dkrs_ref_data"  # shared with tests' extract cache
 
 
 def _extract_large_table() -> str | None:
-    import subprocess
-
     if not os.path.exists(LARGE_TABLE_TAR):
         return None
+    from delta_kernel_rs_spark.tarzst import extract_tar_zst
+
     dest = os.path.join(EXTRACT_ROOT, LARGE_TABLE)
     if not os.path.isdir(dest):
-        os.makedirs(EXTRACT_ROOT, exist_ok=True)
-        subprocess.run(
-            ["tar", "--use-compress-program=unzstd", "-xf", LARGE_TABLE_TAR],
-            cwd=EXTRACT_ROOT,
-            check=True,
-        )
+        extract_tar_zst(LARGE_TABLE_TAR, EXTRACT_ROOT)
     return dest
 
 

@@ -14,9 +14,10 @@ from __future__ import annotations
 import datetime as dt
 import os
 import re
-import subprocess
 
 import pytest
+
+from delta_kernel_rs_spark.tarzst import extract_table
 
 from delta_kernel_rs_spark.sources.cdf import ChangeDataFeedError, table_changes
 
@@ -64,19 +65,7 @@ NEGATIVE = [c for c in CASES if c[4] is None]
 
 
 def _extract(name: str) -> str:
-    os.makedirs(EXTRACT_ROOT, exist_ok=True)
-    dest = os.path.join(EXTRACT_ROOT, name)
-    if not os.path.isdir(dest):
-        subprocess.run(
-            ["tar", "--use-compress-program=unzstd", "-xf",
-             os.path.join(DATA_DIR, f"{name}.tar.zst")],
-            cwd=EXTRACT_ROOT, check=True,
-        )
-        for dirpath, _dirs, files in os.walk(dest):
-            for f in files:
-                if f.startswith(".") and f.endswith(".crc"):
-                    os.unlink(os.path.join(dirpath, f))
-    return dest
+    return extract_table(DATA_DIR, name, EXTRACT_ROOT)
 
 
 def _stringify(v) -> str:

@@ -172,22 +172,14 @@ def test_roundtrip_variant_reference_table(spark, tmp_path):
     {"key": <id>}): read with this engine, semantic-check the read against
     that expectation, rewrite with this engine's write path, V1-checkpoint,
     and verify the copy matches the source cell-for-cell."""
-    import subprocess
-
     from pyspark.sql import functions as F
 
+    from delta_kernel_rs_spark.tarzst import extract_table
+
     root = str(tmp_path / "xt")
-    os.makedirs(root, exist_ok=True)
-    subprocess.run(
-        ["tar", "--use-compress-program=unzstd", "-xf",
-         "/root/reference/kernel/tests/data/unshredded-variant.tar.zst"],
-        cwd=root, check=True,
+    src_path = extract_table(
+        "/root/reference/kernel/tests/data", "unshredded-variant", root
     )
-    src_path = os.path.join(root, "unshredded-variant")
-    for dirpath, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.startswith(".") and f.endswith(".crc"):
-                os.unlink(os.path.join(dirpath, f))
 
     src = Snapshot.create(spark, src_path)
     df = src.scan().to_df()

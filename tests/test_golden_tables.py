@@ -21,9 +21,10 @@ from __future__ import annotations
 import decimal
 import math
 import os
-import subprocess
 
 import pytest
+
+from delta_kernel_rs_spark.tarzst import extract_table
 
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 
@@ -115,22 +116,11 @@ NEGATIVE = [
 
 
 def _extract(name: str) -> str:
-    os.makedirs(EXTRACT_ROOT, exist_ok=True)
-    dest = os.path.join(EXTRACT_ROOT, name)
-    if not os.path.isdir(dest):
-        subprocess.run(
-            ["tar", "--use-compress-program=unzstd", "-xf",
-             os.path.join(GOLDEN_DIR, f"{name}.tar.zst")],
-            cwd=EXTRACT_ROOT, check=True,
-        )
-        # archives carry stale Hadoop .crc sidecars from their original
-        # write; Hadoop's LocalFileSystem would fail checksum validation
-        # against them (the reference engine reads via object stores /
-        # pyarrow, which ignore them)
-        for dirpath, _dirs, files in os.walk(dest):
-            for f in files:
-                if f.startswith(".") and f.endswith(".crc"):
-                    os.unlink(os.path.join(dirpath, f))
+    # archives carry stale Hadoop .crc sidecars from their original
+    # write; Hadoop's LocalFileSystem would fail checksum validation
+    # against them (the reference engine reads via object stores /
+    # pyarrow, which ignore them) — extract_table drops them
+    dest = extract_table(GOLDEN_DIR, name, EXTRACT_ROOT)
     assert os.path.isdir(dest), f"archive {name} did not produce {dest}"
     return dest
 

@@ -736,3 +736,161 @@ def test_scale_growth_cluster_convergence(spark, tmp_path):
     for cid, members in by_cluster.items():
         assert cid == min(members)
         assert 2 <= len(members) <= 3, (cid, members)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated_token_spans)
+
+
+def _spans(spark, rows, k=4):
+    from delta_kernel_rs_spark.operators.dedup import duplicated_token_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_token_spans(df, k=k).collect()
+    }
+
+
+def test_duplicated_spans_cross_doc(spark):
+    # docs 0 and 1 share the 5-token run "a b c d e" -> with k=4 the hit
+    # positions are the two 4-grams starting at 0 and 1, merged to [0, 5)
+    rows = [
+        (0, "a b c d e x1 y1 z1 w1"),
+        (1, "a b c d e x2 y2 z2 w2"),
+        (2, "p q r s t u v w x"),
+    ]
+    got = _spans(spark, rows)
+    assert got == {(0, 0, 5, 5), (1, 0, 5, 5)}
+
+
+def test_duplicated_spans_merge_and_gap(spark):
+    # doc 0 carries TWO separated copies of doc 1's runs: spans must not
+    # merge across the 6-token unique gap (> k)
+    rows = [
+        (0, "a b c d g1 g2 g3 g4 g5 g6 p q r s"),
+        (1, "a b c d h1 h2 h3 h4 h5 h6 p q r s"),
+    ]
+    got = _spans(spark, rows)
+    assert got == {
+        (0, 0, 4, 4), (0, 10, 14, 4),
+        (1, 0, 4, 4), (1, 10, 14, 4),
+    }
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    # repetition INSIDE one doc counts (corpus multiplicity >= 2): the
+    # 4-gram "a b c d" occurs at 0 and 5 -> two spans (gap of 1 > 0 but
+    # 5 > 0 + 4 so they stay separate islands... positions 0 and 5 with
+    # k=4: 5 > 0+4 -> separate spans [0,4) and [5,9)
+    rows = [(0, "a b c d x a b c d y"), (1, "p q r s t u v w")]
+    got = _spans(spark, rows)
+    assert got == {(0, 0, 4, 4), (0, 5, 9, 4)}
+
+
+def test_duplicated_spans_adjacent_merge(spark):
+    # positions 0 and 4 (gap == k) touch: [0,4) + [4,8) merge to [0,8)
+    rows = [(0, "a b c d a b c d z9"), (1, "a b c d q r s t"),
+            (2, "e f a b c d t u v")]
+    got = _spans(spark, rows)
+    # doc 0: grams at 0 ("a b c d"), 4 ("a b c d") dup; also gram at
+    # 1..3 span the repeat boundary ("b c d a" etc.) occur once -> only
+    # 0 and 4 hit; 4 <= 0+4 -> merged [0, 8)
+    assert (0, 0, 8, 8) in got
+    assert (1, 0, 4, 4) in got
+    assert (2, 2, 6, 4) in got
+
+
+def test_duplicated_spans_clean_corpus_empty(spark):
+    rows = [(0, "a b c d e f"), (1, "g h i j k l")]
+    assert _spans(spark, rows) == set()
+
+
+# ---------------------------------------------------------------------------
+# k-means + SemDeDup (kmeans_clusters / semantic_dedup)
+
+
+def _planted_vectors(spark):
+    # three tight direction groups in 4 dims (padded to 64), plus the
+    # first rows doubling as deterministic seeds
+    import math
+
+    def vec(base, eps):
+        v = [0.0] * 64
+        for i, x in enumerate(base):
+            v[i] = x
+        v[3] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [float(x / n) for x in v]
+
+    rows = [
+        (0, vec([1, 0, 0], 0.00)),
+        (1, vec([0, 1, 0], 0.00)),
+        (2, vec([0, 0, 1], 0.00)),
+        (3, vec([1, 0, 0], 0.01)),   # near-dup of 0
+        (4, vec([0, 1, 0], 0.02)),   # near-dup of 1
+        (5, vec([0, 0, 1], 0.90)),   # same cluster as 2, NOT a near-dup
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_kmeans_assigns_planted_clusters(spark):
+    from delta_kernel_rs_spark.operators.similarity import kmeans_clusters
+
+    out = kmeans_clusters(
+        _planted_vectors(spark), n_centroids=3, n_iters=2
+    ).collect()
+    by_id = {r.vec_id: r.centroid_id for r in out}
+    assert len(by_id) == 6
+    assert by_id[3] == by_id[0]
+    assert by_id[4] == by_id[1]
+    assert by_id[5] == by_id[2]
+    assert len({by_id[0], by_id[1], by_id[2]}) == 3
+
+
+def test_kmeans_update_is_exact_mean(spark):
+    from delta_kernel_rs_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _kmeans_update,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [2.0, 5.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    (row,) = _kmeans_update(df, "embedding", scale=KMEANS_SCALE).collect()
+    assert row.c == [1.5, 4.0]
+
+
+def test_semantic_dedup_keeps_min_id(spark):
+    from delta_kernel_rs_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _planted_vectors(spark), n_centroids=3, n_iters=2, threshold=0.95
+    ).collect()
+    kept = {r.vec_id for r in out if r.is_kept}
+    sizes = {r.vec_id: r.cluster_size for r in out}
+    # 3/4 are dominated by 0/1; 5 shares 2's cluster but cosine < 0.95
+    assert kept == {0, 1, 2, 5}
+    assert sizes[0] == 2 and sizes[1] == 2 and sizes[2] == 2
+
+
+def test_unigram_surprisal_exact_buckets(spark):
+    import math
+
+    from delta_kernel_rs_spark.operators.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "a c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    # counts: a=3, b=1, c=1; floor(log2): a->1, b/c->0
+    assert rows[0].n_tokens == 3 and rows[0].bits_sum == 2
+    assert rows[0].logfreq_milli == 2000 // 3
+    assert rows[1].n_tokens == 2 and rows[1].bits_sum == 1
+    assert rows[1].logfreq_milli == 500
+    want0 = 2 * math.log(3) / 3 - math.log(5)
+    assert abs(rows[0].avg_logprob - want0) < 1e-12

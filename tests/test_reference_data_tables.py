@@ -11,10 +11,11 @@ metadata-scale log all have to load and plan without error.
 from __future__ import annotations
 
 import os
-import subprocess
 import time
 
 import pytest
+
+from delta_kernel_rs_spark.tarzst import extract_table
 
 from delta_kernel_rs_spark.sources.snapshot import Snapshot
 from delta_kernel_rs_spark.sources.table import DeltaTable
@@ -27,19 +28,7 @@ def _table(name: str) -> str:
     plain = os.path.join(DATA_DIR, name)
     if os.path.isdir(plain):
         return plain
-    os.makedirs(EXTRACT_ROOT, exist_ok=True)
-    dest = os.path.join(EXTRACT_ROOT, name)
-    if not os.path.isdir(dest):
-        subprocess.run(
-            ["tar", "--use-compress-program=unzstd", "-xf",
-             os.path.join(DATA_DIR, f"{name}.tar.zst")],
-            cwd=EXTRACT_ROOT, check=True,
-        )
-        for dirpath, _dirs, files in os.walk(dest):
-            for f in files:
-                if f.startswith(".") and f.endswith(".crc"):
-                    os.unlink(os.path.join(dirpath, f))
-    return dest
+    return extract_table(DATA_DIR, name, EXTRACT_ROOT)
 
 
 def test_dv_small_visible_rows(spark):
