@@ -23,6 +23,7 @@ from delta_kernel_rs_spark.operators.cluster import (
 )
 from delta_kernel_rs_spark.operators.dedup import (
     decontaminate_against,
+    duplicated_token_spans,
     exact_duplicate_groups,
     jaccard_pairs_exact,
     minhash_band_signatures,
@@ -47,9 +48,11 @@ from delta_kernel_rs_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_blocked,
     ivf_topk,
+    kmeans_clusters,
     ivf_topk_quantized,
     quantize_int8,
     random_hyperplane_buckets,
+    semantic_dedup,
 )
 from delta_kernel_rs_spark.operators.sketch import kmv_distinct_estimate
 from delta_kernel_rs_spark.operators.text import (
@@ -61,6 +64,7 @@ from delta_kernel_rs_spark.operators.text import (
     repetition_signals,
     tfidf_top_terms,
     token_stat_columns,
+    unigram_surprisal,
 )
 
 __all__ = [
@@ -70,7 +74,9 @@ __all__ = [
     "connected_components",
     "decontaminate_against",
     "deterministic_sample",
+    "duplicated_token_spans",
     "ivf_topk_quantized",
+    "kmeans_clusters",
     "kmv_distinct_estimate",
     "neardup_clusters",
     "pack_documents",
@@ -93,7 +99,9 @@ __all__ = [
     "neardup_pairs_minhash",
     "quality_columns",
     "random_hyperplane_buckets",
+    "semantic_dedup",
     "simhash",
+    "unigram_surprisal",
     "with_binary_payload",
     "with_word_shingles",
 ]

@@ -238,7 +238,9 @@ def live_txns_and_domains(snapshot) -> tuple[dict[str, dict], dict[str, dict]]:
                 if d and d.get("domain"):
                     domains.setdefault(d["domain"], d)
             return txns, domains
-        ck = snapshot.spark.read.parquet(*snapshot.log_segment.checkpoint_parts)
+        from delta_kernel_rs_spark.sources.scan import checkpoint_top_df
+
+        ck = checkpoint_top_df(snapshot.spark, snapshot.log_segment)
         if "txn" in ck.columns:
             for r in ck.filter(F.col("txn.appId").isNotNull()).select("txn").collect():
                 t = r.txn.asDict()

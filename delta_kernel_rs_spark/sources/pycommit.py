@@ -56,7 +56,21 @@ def latest_txn_version(storage, seg, app_id: str) -> int | None:
         if best is not None:
             return best
     for part in seg.checkpoint_parts:
-        if not part.endswith(".parquet"):
+        if part.endswith(".json"):
+            # V2 JSON-flavored top: non-file actions (incl. txn) live
+            # here as NDJSON — skipping it would forget app versions and
+            # break exactly-once (round-12 foreign-checkpoint fuzz)
+            best = None
+            for line in storage.read_text(part).splitlines():
+                try:
+                    t = json.loads(line).get("txn") if line.strip() else None
+                except ValueError:
+                    continue
+                if t and t.get("appId") == app_id and t.get("version") is not None:
+                    v = int(t["version"])
+                    best = v if best is None else max(best, v)
+            if best is not None:
+                return best
             continue
         tbl = pq_read(part)
         if "txn" not in tbl.column_names:

@@ -90,6 +90,15 @@ def snapshot_metadata(storage, seg) -> tuple[dict, dict]:
         if meta is not None and proto is not None:
             return meta, proto
     for part in seg.checkpoint_parts:
+        if part.endswith(".json"):
+            # V2 JSON-flavored checkpoint top (protocol spec; reference
+            # log_path.rs): NDJSON action lines, not parquet
+            for action in _iter_actions(storage, part):
+                if meta is None and "metaData" in action:
+                    meta = action["metaData"]
+                if proto is None and "protocol" in action:
+                    proto = action["protocol"]
+            continue
         tbl = pq_read(part)
         if meta is None and "metaData" in tbl.column_names:
             col = tbl.column("metaData")
@@ -186,9 +195,35 @@ def _struct_subfield(col, name: str, typ: pa.DataType, n: int) -> pa.Array:
     return _as_array(pc.struct_field(col, name).cast(typ))
 
 
-def _checkpoint_adds_arrow(seg) -> pa.Table:
+def _checkpoint_adds_arrow(seg, storage=None) -> pa.Table:
     """Checkpoint add actions normalized to FILES_SCHEMA (sidecar-aware,
-    V2 checkpoints: kernel/src/log_segment/mod.rs:51-83), all-Arrow."""
+    V2 checkpoints: kernel/src/log_segment/mod.rs:51-83), all-Arrow.
+
+    A V2 checkpoint top comes in parquet AND json flavors (protocol spec;
+    reference log_path.rs) — the json top is NDJSON action lines whose
+    sidecar pointers still name parquet files. Found by the round-12
+    foreign-checkpoint fuzz: this fold used to feed the json top to the
+    parquet reader and crash."""
+    json_parts = [p for p in seg.checkpoint_parts if p.endswith(".json")]
+    if json_parts and storage is not None:
+        actions = [a for p in json_parts for a in _iter_actions(storage, p)]
+        sidecars = [
+            a["sidecar"]["path"]
+            for a in actions
+            if a.get("sidecar", {}).get("path")
+        ]
+        if not sidecars:
+            return _adds_from_pylist(
+                [a["add"] for a in actions if a.get("add", {}).get("path")]
+            )
+        resolved = [
+            p if "://" in p or p.startswith("/") else f"{seg.log_dir}/_sidecars/{p}"
+            for p in sidecars
+        ]
+        top = pa.concat_tables(
+            [pq_read(p) for p in resolved], promote_options="permissive"
+        )
+        return _conform_checkpoint_table(top)
     top = pa.concat_tables(
         [pq_read(p) for p in seg.checkpoint_parts], promote_options="permissive"
     )
@@ -203,6 +238,11 @@ def _checkpoint_adds_arrow(seg) -> pa.Table:
             top = pa.concat_tables(
                 [pq_read(p) for p in resolved], promote_options="permissive"
             )
+    return _conform_checkpoint_table(top)
+
+
+def _conform_checkpoint_table(top: pa.Table) -> pa.Table:
+    """Normalize resolved checkpoint rows (post-sidecar) to FILES_SCHEMA."""
     if "add" not in top.column_names:
         return FILES_SCHEMA.empty_table()
     add = top.column("add").combine_chunks()
@@ -269,7 +309,7 @@ def live_files_arrow(storage, seg) -> pa.Table:
     live_tail = _adds_from_pylist([a for a in tail.values() if a is not None])
     if not seg.checkpoint_parts:
         return live_tail
-    ck = _checkpoint_adds_arrow(seg)
+    ck = _checkpoint_adds_arrow(seg, storage)
     if ck.num_rows and tail:
         tail_keys = pa.array(
             ["\x00".join([p, uid]) for (p, uid) in tail], type=pa.string()

@@ -223,22 +223,7 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
         ckpt = spark.read.parquet(*[_resolve_sidecar(s["path"]) for s in hint_sidecars])
         return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
 
-    if all(p.endswith(".json") for p in seg.checkpoint_parts):
-        # JSON-flavored V2 checkpoint: NDJSON action lines at the full
-        # schema; file actions still live in the parquet sidecars below
-        ckpt = (
-            spark.read.schema(ACTIONS_SCHEMA)
-            .option("mode", "FAILFAST")
-            .json(list(seg.checkpoint_parts))
-        )
-    else:
-        # multipart checkpoints may hold ONE action per part (reference
-        # parquet_row_group_skipping fixture: 5 parts, disjoint columns) —
-        # merge the part schemas or the add column can vanish entirely
-        reader = spark.read
-        if len(seg.checkpoint_parts) > 1:
-            reader = reader.option("mergeSchema", "true")
-        ckpt = reader.parquet(*seg.checkpoint_parts)
+    ckpt = checkpoint_top_df(spark, seg)
     if "sidecar" in ckpt.columns and hint_sidecars is None:
         sidecars = [
             r.path
@@ -249,6 +234,33 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
         if sidecars:
             ckpt = spark.read.parquet(*[_resolve_sidecar(p) for p in sidecars])
     return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
+
+
+def checkpoint_top_df(spark, seg) -> DataFrame:
+    """TOP-LEVEL checkpoint rows, flavor-aware, WITHOUT sidecar resolution.
+
+    The right frame for non-file actions (txn / domainMetadata / protocol /
+    metaData): V2 keeps them in the top while sidecars carry file actions
+    only. JSON-flavored V2 tops (protocol spec; reference log_path.rs) are
+    NDJSON at the full action schema; multipart parquet checkpoints may
+    hold ONE action kind per part (reference parquet_row_group_skipping
+    fixture: disjoint columns), so part schemas merge. Shared by the scan
+    resolution and every non-file-action fold — the round-12 foreign-
+    checkpoint fuzz caught two folds reading tops with a bare
+    ``spark.read.parquet``, which crashes on the json flavor.
+    """
+    from delta_kernel_rs_spark.sources.actions import ACTIONS_SCHEMA
+
+    if all(p.endswith(".json") for p in seg.checkpoint_parts):
+        return (
+            spark.read.schema(ACTIONS_SCHEMA)
+            .option("mode", "FAILFAST")
+            .json(list(seg.checkpoint_parts))
+        )
+    reader = spark.read
+    if len(seg.checkpoint_parts) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*seg.checkpoint_parts)
 
 
 def _conform_checkpoint_file_actions(ckpt: DataFrame, add_type, remove_type) -> DataFrame:

@@ -404,7 +404,9 @@ class DeltaTable:
                     if v is not None and (best is None or v > best):
                         best = v
         if best is None and seg.checkpoint_parts:
-            df = self.spark.read.parquet(*seg.checkpoint_parts)
+            from delta_kernel_rs_spark.sources.scan import checkpoint_top_df
+
+            df = checkpoint_top_df(self.spark, seg)
             if "txn" in df.columns:
                 rows = (
                     df.filter(F.col("txn.appId") == app_id)

@@ -140,6 +140,34 @@ def winnowing_posting_stats(
     return n_postings, n_pairs
 
 
+def substring_hit_stats(docs: DataFrame, k: int = 8) -> tuple[int, int]:
+    """(duplicated-gram hit positions, merged output spans) under
+    duplicated_token_spans — group-private vocabularies make duplicated
+    grams group-local, so both counts grow linearly with the corpus.
+    The hit frame is rebuilt from the operator's own gram construction
+    so the counted frame IS the frame the operator windows over."""
+    from delta_kernel_rs_spark.operators.dedup import duplicated_token_spans
+
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+    )
+    pos_grams = docs.filter(n >= k).select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    )
+    dup = (
+        pos_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("g")
+    )
+    n_hits = pos_grams.join(dup, "g").count()
+    n_spans = duplicated_token_spans(docs, k=k).count()
+    return n_hits, n_spans
+
+
 def ivf_scored_pairs(emb: DataFrame, n_centroids: int) -> int:
     """(query, neighbor) pairs the IVF probe actually scores — with nlist
     scaled with the corpus (the honest IVF scale knob), per-query bucket
@@ -173,6 +201,7 @@ def measure_scale_point(spark, fx_dir: str, n_docs: int) -> dict:
     its candidate counts at one corpus size."""
     from delta_kernel_rs_spark.operators.cluster import neardup_clusters
     from delta_kernel_rs_spark.operators.dedup import (
+        duplicated_token_spans,
         jaccard_pairs_exact,
         neardup_pairs_minhash,
         winnowing_passage_pairs,
@@ -200,21 +229,32 @@ def measure_scale_point(spark, fx_dir: str, n_docs: int) -> dict:
         "p28_winnowing": lambda: winnowing_passage_pairs(
             docs, k=4, w=4, min_shared=2, max_df=50
         ),
+        "p30_substring": lambda: duplicated_token_spans(docs, k=8),
     }
     walls: dict[str, float] = {}
     for name, build in ops.items():
+        print(f"[bench_scale] n={n_docs} warm {name}", file=sys.stderr, flush=True)
         _force(build())  # warm-up: codegen + shuffles + caches
         t0 = time.perf_counter()
         _force(build())
         walls[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"[bench_scale] n={n_docs} {name} = {walls[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
+    print(f"[bench_scale] n={n_docs} counting probes", file=sys.stderr, flush=True)
     postings, win_pairs = winnowing_posting_stats(docs)
+    sub_hits, sub_spans = substring_hit_stats(docs)
     counts = {
         "minhash_candidate_pairs": minhash_candidate_pairs(docs),
         "jaccard_candidate_pairs": jaccard_candidate_pairs(docs),
         "winnowing_postings": postings,
         "winnowing_candidate_pairs": win_pairs,
         "ivf_scored_pairs": ivf_scored_pairs(emb, n_centroids),
+        "substring_hit_positions": sub_hits,
+        "substring_spans": sub_spans,
         "neardup_edges": neardup_pairs_minhash(docs, k=3, threshold=0.8).count(),
         "packed_rows": pack_documents(docs, capacity=256, n_shards=n_shards).count(),
     }
