@@ -46,16 +46,21 @@ def with_word_shingles(
     plan, so under-partitioned input (a single parquet row group) is
     fanned out first — see ``operators.parallel``.
     """
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
     df = ensure_min_parallelism(df)
     ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
+    # materialize the token array once per row: inlined into the transform
+    # lambda below, the split would re-run per shingle — O(L^2) per doc
+    # (see materialize_column; round-12 scale-growth find)
+    df = materialize_column(df.filter(F.size(ws) >= k), ws, "__ws")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+            F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__ws", i, k)),
         )
     )
-    return df.filter(n >= k).withColumn(out, shingles)
+    return df.withColumn(out, shingles).drop("__ws")
 
 
 def exact_duplicate_groups(
@@ -563,18 +568,20 @@ def decontaminate_against(
     absent — callers anti-join to drop flagged docs.
     """
     def grams(df: DataFrame) -> DataFrame:
+        from delta_kernel_rs_spark.operators.parallel import materialize_column
+
         ws = F.split(F.col(text_col), " ")
+        # one materialized token array per row (see materialize_column)
+        base = materialize_column(
+            ensure_min_parallelism(df).filter(F.size(ws) >= n), ws, "__ws"
+        )
         g = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+                F.sequence(F.lit(1), F.size("__ws") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__ws", i, n)),
             )
         )
-        return (
-            ensure_min_parallelism(df)
-            .filter(F.size(ws) >= n)
-            .select(F.col(id_col), F.explode(g).alias("gram"))
-        )
+        return base.select(F.col(id_col), F.explode(g).alias("gram"))
 
     eval_grams = grams(eval_df).select("gram").distinct()
     return (
@@ -612,17 +619,23 @@ def winnowing_fingerprints(
 
     Returns ``(id_col, fps array<bigint>, n_fps)``.
     """
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
     df = ensure_min_parallelism(df)
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
+    # both the token array and the gram-hash array are referenced
+    # per-element in transform lambdas below — materialize each once per
+    # row or CollapseProject re-runs the whole construction per element:
+    # the O(L) gram array rebuilt per (window, offset) was a measured
+    # O(L^2 w) blowup at 75 ms/doc (round-12 scale-growth find)
+    df = materialize_column(df.filter(n >= k + w - 1), ws, "__ws")
     # gram hashes: H[i] = md5_32(words[i..i+k-1]), i = 1..n-k+1
     grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: md5_hash32(F.concat_ws(" ", F.slice(ws, i, k))),
+        F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+        lambda i: md5_hash32(F.concat_ws(" ", F.slice("__ws", i, k))),
     )
-    base = df.filter(n >= k + w - 1).select(
-        F.col(id_col), grams.alias("gh")
-    )
+    base = materialize_column(df, grams, "gh").select(F.col(id_col), "gh")
     # per window j (1-based), the (hash, -pos) minimum: struct ordering
     # gives the smallest hash, and the negated position breaks ties
     # toward the RIGHTMOST occurrence — both engines compare the same way
@@ -720,6 +733,30 @@ def winnowing_passage_pairs(
     )
 
 
+def word_kgram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, g): md5 digest of the word k-gram starting at each
+    0-based token position. The shared head of position-aware gram
+    pipelines (duplicated_token_spans and the scale-growth probes count
+    this exact frame). The token array is materialized once per row —
+    inlined, the split would re-run per gram position (O(L^2) per doc;
+    round-12 scale-growth find)."""
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
+    df = ensure_min_parallelism(df)
+    ws = F.split(F.col(text_col), " ")
+    df = materialize_column(df.filter(F.size(ws) >= k), ws, "__ws")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__ws", i, k))),
+    )
+    return df.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+
+
 def duplicated_token_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -759,17 +796,7 @@ def duplicated_token_spans(
     """
     from pyspark.sql import Window
 
-    df = ensure_min_parallelism(df)
-    ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
-    )
-    pos_grams = (
-        df.filter(n >= k)
-        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
-    )
+    pos_grams = word_kgram_positions(df, id_col=id_col, text_col=text_col, k=k)
     dup = (
         pos_grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"))

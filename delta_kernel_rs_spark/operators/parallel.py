@@ -29,3 +29,27 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def materialize_column(df: DataFrame, expr, alias: str) -> DataFrame:
+    """Append ``expr`` as a column evaluated EXACTLY ONCE per row.
+
+    Catalyst's CollapseProject inlines an aliased expression into every
+    downstream reference, and codegen's common-subexpression elimination
+    does not reach inside higher-order-function lambdas — so an aliased
+    O(L) array construction referenced per-element in a ``transform``
+    lambda silently becomes O(L^2) per row (measured 75 ms/doc on the
+    winnowing fingerprint projection — found by the round-12 scale-growth
+    harness, where the 10x corpus point stalled for minutes while the
+    operator "passed" at 1x behind its persist cache).
+
+    Routing the value through ``explode(array(expr))`` inserts a Generate
+    node between producer and consumers: the expression is evaluated once
+    per row and downstream references read a plain attribute. Generate is
+    row-preserving here (the array always has exactly one element, null
+    or not), map-side, shuffle-free, and codegen-friendly — and it is a
+    collapse barrier the optimizer will not inline through.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select("*", F.explode(F.array(expr)).alias(alias))

@@ -178,12 +178,18 @@ def repetition_signals(
     output is a pure function of the corpus — bit-identical to the
     DuckDB oracle's ``ORDER BY c DESC, g DESC`` choice.
     """
-    ws = F.split(F.col(text_col), " ")
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("n_chars_t"),
-        ws.alias("ws"),
-    )
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
+    # materialized once per row: inlined, the split re-runs per gram in
+    # the slice lambdas below — O(L^2) per doc (round-12 scale-growth find)
+    base = materialize_column(
+        ensure_min_parallelism(df).select(
+            F.col(id_col), F.length(F.col(text_col)).alias("n_chars_t"),
+            F.col(text_col),
+        ),
+        F.split(F.col(text_col), " "),
+        "ws",
+    ).drop(text_col)
     word_frac = base.select(
         id_col,
         "n_chars_t",

@@ -146,17 +146,12 @@ def substring_hit_stats(docs: DataFrame, k: int = 8) -> tuple[int, int]:
     grams group-local, so both counts grow linearly with the corpus.
     The hit frame is rebuilt from the operator's own gram construction
     so the counted frame IS the frame the operator windows over."""
-    from delta_kernel_rs_spark.operators.dedup import duplicated_token_spans
+    from delta_kernel_rs_spark.operators.dedup import (
+        duplicated_token_spans,
+        word_kgram_positions,
+    )
 
-    ws = F.split(F.col("text"), " ")
-    n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
-    )
-    pos_grams = docs.filter(n >= k).select(
-        "doc_id", F.posexplode(grams).alias("pos", "g")
-    )
+    pos_grams = word_kgram_positions(docs, k=k)
     dup = (
         pos_grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"))
