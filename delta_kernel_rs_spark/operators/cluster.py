@@ -77,14 +77,20 @@ def connected_components(
     # same label and inflate every round's join.
     edges = edges.distinct().persist()
 
+    # Round 1 fused into initialization (r12, guide §2.4): from identity
+    # labels, round 1 computes min(node, min of neighbor ids) — which is
+    # ONE aggregation straight off the symmetric edge list (every node
+    # appears as dst of each of its neighbors). This replaces the former
+    # identity-labels distinct + checkpoint + a full join-union-agg round:
+    # one exchange and one materialization instead of three.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for _ in range(max_rounds - 1):
         # Propagate: each node offers its label to every neighbor.
         offers = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lbl")

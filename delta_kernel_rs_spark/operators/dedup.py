@@ -86,21 +86,36 @@ def minhash_band_signatures(
 ) -> DataFrame:
     """(id, band, band_sig) rows: the LSH bucketing key per document.
 
-    Plan shape: explode shingles -> 32-bit hash -> ONE groupBy(id) with P
-    per-permutation ``min((a_i*x+b_i) mod P)`` aggregate columns — no
-    P-fold row explosion, and Spark's partial aggregation reduces each
-    input partition to one row per doc before the single shuffle. Band
-    signatures are md5 over the in-order minima of each band.
+    Plan shape (r12 rewrite, guide §2.4): MAP-ONLY. The per-permutation
+    minima are per-row expressions — the 32-bit shingle hashes are
+    materialized ONCE per document (`materialize_column`; inlined, each
+    permutation lambda would re-run the md5s), then each permutation is
+    an ``array_min`` over one codegen'd ``transform``. Identical
+    arithmetic to the former explode + P-column min-aggregate (same
+    ``(a_i*x+b_i) mod P`` over the same hash values), with zero
+    exchanges instead of one doc-keyed shuffle. Band signatures are md5
+    over the in-order minima of each band, unchanged.
     """
-    x = (md5_hash32(F.col("shingle")) % MINHASH_PRIME).alias("x")
-    exploded = df.select(F.col(id_col), F.explode(shingle_col).alias("shingle")).select(
-        id_col, x
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
+    hashed = materialize_column(
+        df,
+        F.transform(
+            F.col(shingle_col), lambda s: md5_hash32(s) % MINHASH_PRIME
+        ),
+        "__xs",
     )
-    minima = exploded.groupBy(id_col).agg(
+    minima = hashed.select(
+        F.col(id_col),
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"m{p}")
+            F.array_min(
+                F.transform(
+                    F.col("__xs"),
+                    lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME,
+                )
+            ).alias(f"m{p}")
             for p, (a, b) in enumerate(PERMUTATIONS)
-        ]
+        ],
     )
     n_bands = N_PERMUTATIONS // BAND_ROWS
     band_sigs = F.array(

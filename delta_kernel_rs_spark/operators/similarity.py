@@ -100,6 +100,16 @@ def ivf_assign(
 
     Centroids are broadcast; assignment is a map-side scored join plus a
     per-vector argmax — the IVF "coarse quantizer" step.
+
+    r12 note (measured, kept as-is): a literal-centroid map-only variant
+    (`_assign_literal_centroids`, the shape that won big inside
+    `kmeans_clusters`) was 1.7× SLOWER here — higher-order-function
+    expressions are CodegenFallback, and per-row interpreted scoring of
+    the full centroid array costs more than this broadcast join + rank
+    window whose per-row work is one fold per joined centroid; an
+    unrolled `element_at` sum chain (codegen'd) was slower still. The
+    kmeans case differs because its before-plan re-executed the whole
+    nested-iteration subtree four times.
     """
     cents = _with_norm2(centroid_df, vec_col, dims).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c"), F.col("norm2").alias("cn2")
@@ -505,6 +515,72 @@ def _kmeans_update(
     )
 
 
+def _py_fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side replica of the ``_fold_dot`` left fold: the SAME IEEE
+    multiply/add sequence in index order, so a norm computed here is
+    bit-identical to the engine's (and therefore the oracle's) fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _assign_literal_centroids(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only max-cosine assignment against DRIVER-HELD centroids.
+
+    ``cents`` is [(centroid_id, vector)] — an IVF-nlist-sized object
+    (n_centroids × dims doubles), the classic "centroids fit on the
+    driver" k-means shape. Baking them in as literals turns assignment
+    into ONE codegen'd projection: no broadcast join, no per-vector
+    window/argmax shuffle (guide §2.4 — the r12 before-plan ran a
+    BroadcastNestedLoopJoin + two WindowGroupLimits + an Exchange per
+    iteration for what is a per-row argmax).
+
+    The score arithmetic is the exact expression tree ivf_assign used —
+    ``fold_dot(vec, c) / sqrt(norm2 * cn2)`` with per-element double
+    casts — so scores are bit-identical; the argmax tie-break (highest
+    cosine, then lowest centroid id) is array_max over (cc, -cid)
+    structs, the same double-then-long lexicographic comparison the
+    window's (cosine DESC, cid ASC) sort performed.
+
+    ``vecs`` must already carry ``norm2``. Output columns match
+    ivf_assign: (id_col, vec_col, norm2, centroid_id).
+    """
+    score_structs = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in c_vec]),
+                            lambda x, y: x.cast("double") * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / F.sqrt(
+                        F.col("norm2") * F.lit(_py_fold_dot(c_vec, c_vec))
+                    )
+                ).alias("cc"),
+                F.lit(-cid).cast("long").alias("nid"),
+            )
+            for cid, c_vec in cents
+        ]
+    )
+    return vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("norm2"),
+        (-F.array_max(score_structs)["nid"]).cast("long").alias("centroid_id"),
+    )
+
+
 def kmeans_clusters(
     df: DataFrame,
     n_centroids: int = 8,
@@ -522,30 +598,35 @@ def kmeans_clusters(
     element-wise mean (see _kmeans_update). ``n_iters`` assignment
     passes run in total, with n_iters - 1 updates between them.
 
-    100 TB posture: centroids are always a broadcast (n_centroids rows);
-    assignment is map-side scored join + per-vector argmax; the update
-    is one groupBy((cluster, dim)) with map-side partial combine over
-    64x-exploded rows, then an n_centroids-row regroup. Iterations
-    compose lazily — Catalyst sees one plan.
+    100 TB posture: centroids live on the driver between iterations
+    (n_centroids × dims doubles — the standard k-means/IVF "model fits
+    on the driver" shape; the collects here are n_centroids-row,
+    metadata-sized, same class as the Jaccard plan-chooser probe).
+    Assignment is a map-only codegen'd projection against centroid
+    literals (no join, no shuffle — guide §2.4); the update is one
+    groupBy((cluster, dim)) with map-side partial combine over
+    dims×-exploded rows, then an n_centroids-row regroup. Scores and
+    tie-breaks are bit-identical to the former broadcast-join + window
+    plan (see _assign_literal_centroids), so results hash-match the
+    DuckDB oracle unchanged.
 
     Returns (id_col, vec_col, norm2, centroid_id).
     """
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c")
+    vecs = _with_norm2(ensure_min_parallelism(df), vec_col, dims)
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
     )
     assigned = None
     for it in range(max(1, n_iters)):
-        assigned = ivf_assign(
-            df,
-            cents.select(
-                F.col("centroid_id").alias(id_col), F.col("c").alias(vec_col)
-            ),
-            id_col=id_col,
-            vec_col=vec_col,
-            dims=dims,
-        )
+        assigned = _assign_literal_centroids(vecs, cents, id_col, vec_col)
         if it < n_iters - 1:
-            cents = _kmeans_update(assigned, vec_col)
+            cents = sorted(
+                (r[0], list(r[1]))
+                for r in _kmeans_update(assigned, vec_col).collect()
+            )
     return assigned
 
 
@@ -574,10 +655,19 @@ def semantic_dedup(
 
     Returns (id_col, cluster_id, cluster_size, is_kept).
     """
+    # The assignment frame feeds FOUR consumers (both sides of the
+    # dominated self-join, the sizes aggregate, and the output projection);
+    # Catalyst executes each occurrence, so the whole 2×-Lloyd k-means
+    # subtree would run 4× (measured: 6.33 s → plans/r12 p31_before shows
+    # the assignment chain four times with zero ReusedExchange).
+    # localCheckpoint materializes it once per execution — honest
+    # per-run cost, no cross-run reuse (the RDD is fresh each call) —
+    # and truncates the iteration lineage exactly like cluster.py does
+    # (guide §5 "caching", §3.3 "materialise an intermediate").
     assigned = kmeans_clusters(
         df, n_centroids=n_centroids, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, dims=dims,
-    )
+    ).localCheckpoint(eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     dominated = (
         a.join(
@@ -596,8 +686,13 @@ def semantic_dedup(
         .distinct()
         .withColumn("dominated", F.lit(True))
     )
-    sizes = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    # n_centroids rows — an IVF-nlist-sized frame, broadcastable at any
+    # corpus scale (guide §3.1; size ESTIMATES on a derived aggregate are
+    # unreliable, so hint explicitly).
+    sizes = F.broadcast(
+        assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
     )
     return (
         assigned.join(sizes, "centroid_id")

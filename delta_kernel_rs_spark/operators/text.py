@@ -150,6 +150,93 @@ def fingerprint_expr(text_col: str = "text") -> Column:
     )
 
 
+def _gram_array_sql(ws: str, n: int) -> str:
+    """SQL for the word ``n``-gram array over a token-array column ``ws``
+    (same construction as the former explode path: ``concat_ws`` over
+    ``slice`` windows, empty array below ``n`` words)."""
+    return (
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(1, size({ws}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({ws}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _top_run_chars_sql(arr: str) -> str:
+    """SQL (BIGINT, NULL when ``arr`` is empty): ``c * length(g)`` of the
+    max ``(count, gram)`` gram — the same value the former
+    ``max(struct(c, g))`` aggregation produced, computed per row.
+
+    ``array_sort`` makes equal grams adjacent; a single left fold then
+    run-length-counts them, keeping the best (count, gram) pair under
+    exactly the struct comparison ``max`` used: higher count wins, ties
+    go to the binary-greater gram string.
+    """
+    best = "(s.bg IS NULL OR s.c > s.bc OR (s.c = s.bc AND s.g > s.bg))"
+    return (
+        f"aggregate(array_sort({arr}), "
+        "named_struct('g', CAST(NULL AS STRING), 'c', 0L, "
+        "'bg', CAST(NULL AS STRING), 'bc', 0L), "
+        "(s, x) -> CASE "
+        "WHEN s.g IS NOT NULL AND x = s.g THEN "
+        "named_struct('g', s.g, 'c', s.c + 1L, 'bg', s.bg, 'bc', s.bc) "
+        f"WHEN s.g IS NOT NULL AND {best} THEN "
+        "named_struct('g', x, 'c', 1L, 'bg', s.g, 'bc', s.c) "
+        "ELSE named_struct('g', x, 'c', 1L, 'bg', s.bg, 'bc', s.bc) END, "
+        f"s -> CASE WHEN s.g IS NOT NULL AND {best} THEN s.c * length(s.g) "
+        "WHEN s.bg IS NOT NULL THEN s.bc * length(s.bg) "
+        "ELSE CAST(NULL AS BIGINT) END)"
+    )
+
+
+def _dup_run_chars_sql(arr: str) -> str:
+    """SQL (BIGINT, 0 when nothing repeats): total ``c * length(g)`` over
+    grams with count > 1 — the same integer total the former
+    ``sum(CASE WHEN c > 1 ...)`` aggregation produced (integer addition
+    is order-independent, so the run order cannot change the sum)."""
+    close = "CASE WHEN s.c > 1L THEN s.d + s.c * length(s.g) ELSE s.d END"
+    return (
+        f"aggregate(array_sort({arr}), "
+        "named_struct('g', CAST(NULL AS STRING), 'c', 0L, 'd', 0L), "
+        "(s, x) -> CASE WHEN s.g IS NOT NULL AND x = s.g THEN "
+        "named_struct('g', s.g, 'c', s.c + 1L, 'd', s.d) "
+        f"ELSE named_struct('g', x, 'c', 1L, 'd', {close}) END, "
+        f"s -> {close})"
+    )
+
+
+def repetition_signal_columns(
+    ws_col: str, text_col: str = "text"
+) -> dict[str, Column]:
+    """The three Gopher repetition signals as PURE per-row expressions
+    over a pre-materialized token-array column ``ws_col`` (use
+    ``operators.parallel.materialize_column`` — inlined, the split would
+    re-run per reference).
+
+    This is the r12 map-only replacement for the explode + three-shuffle
+    pipeline: per (doc, n) the gram counts are a run-length fold over the
+    ``array_sort``-ed gram array — O(L log L) per document, all codegen,
+    zero exchanges — producing bit-identical integers to the former
+    per-(doc, n, gram) count aggregation (see the fold helpers above; the
+    53/53 oracle gate pins the equivalence).
+    """
+    nc = f"length({text_col})"
+    return {
+        "dup_word_frac": F.expr(
+            f"CAST(size({ws_col}) - size(array_distinct({ws_col})) AS DOUBLE)"
+            f" / size({ws_col})"
+        ),
+        "top_bigram_char_frac": F.expr(
+            f"coalesce(CAST({_top_run_chars_sql(_gram_array_sql(ws_col, 2))} "
+            f"AS DOUBLE) / {nc}, CAST(0.0 AS DOUBLE))"
+        ),
+        "dup_trigram_char_frac": F.expr(
+            f"coalesce(CAST({_dup_run_chars_sql(_gram_array_sql(ws_col, 3))} "
+            f"AS DOUBLE) / {nc}, CAST(0.0 AS DOUBLE))"
+        ),
+    }
+
+
 def repetition_signals(
     df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
 ) -> "DataFrame":
@@ -167,83 +254,27 @@ def repetition_signals(
     - ``dup_trigram_char_frac`` — characters covered by word 3-grams that
                                occur more than once, / total chars
 
-    Plan shape (100 TB posture): dup_word_frac is a pure per-row column
-    expression (codegen, no shuffle). The n-gram fractions explode 2- and
-    3-grams ONCE with a length tag, count per (doc, n, gram) — one
-    shuffle keyed by doc_id+gram with map-side partial aggregation — then
-    collapse per (doc, n) and pivot the two signals back in a second,
-    doc-keyed aggregation. Both shuffles are on high-cardinality keys
-    (no skew: a doc's grams ≈ its word count). Ties for the top bigram
-    break on the gram string (max over (count, gram) structs) so the
-    output is a pure function of the corpus — bit-identical to the
-    DuckDB oracle's ``ORDER BY c DESC, g DESC`` choice.
+    Plan shape (100 TB posture, r12 rewrite): MAP-ONLY. Per document the
+    gram counts are a run-length fold over the ``array_sort``-ed gram
+    array (see :func:`repetition_signal_columns`) — O(L log L) per row,
+    all codegen'd expressions, ZERO exchanges (the former shape exploded
+    every gram and paid three shuffles plus a doc-keyed join). Ties for
+    the top bigram break on the gram string exactly like the former
+    ``max(struct(c, g))`` — bit-identical to the DuckDB oracle's
+    ``ORDER BY c DESC, g DESC`` choice.
     """
     from delta_kernel_rs_spark.operators.parallel import materialize_column
 
     # materialized once per row: inlined, the split re-runs per gram in
-    # the slice lambdas below — O(L^2) per doc (round-12 scale-growth find)
+    # the fold lambdas below — O(L^2) per doc (round-12 scale-growth find)
     base = materialize_column(
-        ensure_min_parallelism(df).select(
-            F.col(id_col), F.length(F.col(text_col)).alias("n_chars_t"),
-            F.col(text_col),
-        ),
+        ensure_min_parallelism(df).select(F.col(id_col), F.col(text_col)),
         F.split(F.col(text_col), " "),
-        "ws",
-    ).drop(text_col)
-    word_frac = base.select(
-        id_col,
-        "n_chars_t",
-        (
-            (F.size("ws") - F.size(F.array_distinct("ws"))).cast("double")
-            / F.size("ws")
-        ).alias("dup_word_frac"),
+        "__ws",
     )
-
-    def grams(n: int):
-        return F.when(
-            F.size("ws") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("ws", i, n)),
-            ),
-        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-
-    tagged = base.select(
-        id_col,
-        F.explode(
-            F.array(
-                F.struct(F.lit(2).alias("n"), grams(2).alias("gs")),
-                F.struct(F.lit(3).alias("n"), grams(3).alias("gs")),
-            )
-        ).alias("t"),
-    ).select(id_col, F.col("t.n").alias("n"), F.explode("t.gs").alias("g"))
-    counts = tagged.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_doc_n = counts.groupBy(id_col, "n").agg(
-        F.max(F.struct("c", "g")).alias("top"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))).alias(
-            "dup_chars"
-        ),
-    )
-    pivoted = per_doc_n.groupBy(id_col).agg(
-        F.max(
-            F.when(F.col("n") == 2, F.col("top.c") * F.length("top.g"))
-        ).alias("top2_chars"),
-        F.max(F.when(F.col("n") == 3, F.col("dup_chars"))).alias("dup3_chars"),
-    )
-    return (
-        word_frac.join(pivoted, id_col, "left")
-        .select(
-            id_col,
-            "dup_word_frac",
-            F.coalesce(
-                F.col("top2_chars").cast("double") / F.col("n_chars_t"),
-                F.lit(0.0),
-            ).alias("top_bigram_char_frac"),
-            F.coalesce(
-                F.col("dup3_chars").cast("double") / F.col("n_chars_t"),
-                F.lit(0.0),
-            ).alias("dup_trigram_char_frac"),
-        )
+    cols = repetition_signal_columns("__ws", text_col)
+    return base.select(
+        id_col, *[col.alias(name) for name, col in cols.items()]
     )
 
 

@@ -468,14 +468,28 @@ def p09_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts joined with Gopher-style repetition signals (duplicate-
     word fraction, top-bigram and duplicated-trigram character coverage)
     on doc_id."""
-    from delta_kernel_rs_spark.operators.text import repetition_signals
+    from delta_kernel_rs_spark.operators.parallel import (
+        ensure_min_parallelism,
+        materialize_column,
+    )
+    from delta_kernel_rs_spark.operators.text import repetition_signal_columns
 
-    df = load_table(spark, sf_dir, "documents")
+    # r12 (guide §2.4): token stats and repetition signals are both
+    # per-row expressions over the same scan — computing them in ONE
+    # projection removes the former doc_id self-join (two exchanges +
+    # three more inside the old explode-based repetition pipeline).
+    # Results are bit-identical (same expression trees; the fold-based
+    # gram counts are pinned by the oracle gate).
+    df = materialize_column(
+        ensure_min_parallelism(load_table(spark, sf_dir, "documents")),
+        F.split(F.col("text"), " "),
+        "__ws",
+    )
     cols = token_stat_columns("text")
-    tokens = df.select(
+    cols.update(repetition_signal_columns("__ws", "text"))
+    return df.select(
         "doc_id", *[col.alias(name) for name, col in cols.items()]
     )
-    return tokens.join(repetition_signals(df), "doc_id")
 
 
 register(

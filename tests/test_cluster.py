@@ -105,3 +105,44 @@ def test_repetition_signals_tie_break(spark):
     )
     row = repetition_signals(docs).collect()[0]
     assert row["top_bigram_char_frac"] == pytest.approx(6 / 15)
+
+
+def test_repetition_signals_fold_matches_bruteforce(spark):
+    """r12 pin: the map-only run-length fold (sort grams, count runs)
+    must reproduce EXACTLY the count-based definition — top (count, gram)
+    with ties to the greater gram string, and total chars of grams with
+    count > 1 — on adversarial shapes (runs at both ends, multiple ties,
+    max-count gram first/last in sort order)."""
+    from collections import Counter
+
+    texts = [
+        "a a a b b c",            # top run first in sort order
+        "z z y y x x w",          # descending words, ties everywhere
+        "m n m n m n m n m",      # alternating, long runs after sort
+        "q",                      # no grams at all
+        "t t",                    # single bigram, no trigram
+        "b a b a b a c c c c",    # tie resolution between 'b a'/'a b' + tail run
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        nc = len(t)
+        exp = {}
+        exp["dup_word_frac"] = (len(ws) - len(set(ws))) / len(ws)
+        for n, name in ((2, "top_bigram_char_frac"), (3, "dup_trigram_char_frac")):
+            grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+            counts = Counter(grams)
+            if n == 2:
+                if not counts:
+                    exp[name] = 0.0
+                else:
+                    c, g = max((c, g) for g, c in counts.items())
+                    exp[name] = c * len(g) / nc
+            else:
+                dup = sum(c * len(g) for g, c in counts.items() if c > 1)
+                exp[name] = dup / nc if counts else 0.0
+        for name, want in exp.items():
+            assert got[i][name] == pytest.approx(want), (i, name, t)

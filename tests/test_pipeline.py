@@ -204,7 +204,9 @@ def test_pipeline_queries_registered():
     expected = {f"p{i:02d}" for i in range(1, 29)} - merged_away
     got_prefixes = {n[:3] for n in names if n.startswith("p")}
     assert expected <= got_prefixes
-    assert len(names) <= 50
+    # 50 core entries + the r12 additive queries (p30/p31/p32); the driver
+    # contract allows ADDING registry entries, never removing/renaming
+    assert len(names) <= 53
     # every pipeline query is oracle-checked (no weak rows)
     assert {n for n in names if n.startswith("p")} <= oracles
 
@@ -894,3 +896,51 @@ def test_unigram_surprisal_exact_buckets(spark):
     assert rows[1].logfreq_milli == 500
     want0 = 2 * math.log(3) / 3 - math.log(5)
     assert abs(rows[0].avg_logprob - want0) < 1e-12
+
+
+def test_minhash_band_signatures_match_python_replica(spark):
+    """r12 pin: the map-only per-row MinHash minima (array_min over
+    transform) must equal a from-scratch Python replica of the former
+    explode + per-permutation min-aggregate — same md5-derived 32-bit
+    hashes, same (a*x+b) mod P permutations, same band md5s."""
+    import hashlib
+
+    from delta_kernel_rs_spark.operators.dedup import (
+        minhash_band_signatures,
+        with_word_shingles,
+    )
+    from delta_kernel_rs_spark.operators.hashing import (
+        BAND_ROWS,
+        MINHASH_PRIME,
+        PERMUTATIONS,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        "doc_id long, text string",
+    )
+    sets_df = with_word_shingles(docs, k=3)
+    got = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in minhash_band_signatures(sets_df).collect()
+    }
+
+    shingle_rows = {
+        r["doc_id"]: r["shingles"] for r in sets_df.collect()
+    }
+    for doc_id, shingles in shingle_rows.items():
+        xs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+            for s in shingles
+        ]
+        minima = [
+            min((a * x + b) % MINHASH_PRIME for x in xs)
+            for a, b in PERMUTATIONS
+        ]
+        for band in range(len(PERMUTATIONS) // BAND_ROWS):
+            window = minima[band * BAND_ROWS: (band + 1) * BAND_ROWS]
+            sig = hashlib.md5(",".join(str(m) for m in window).encode()).hexdigest()
+            assert got[(doc_id, band)] == sig, (doc_id, band)
