@@ -21,8 +21,6 @@ All hashes are the cross-engine-deterministic constructions from
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,7 +30,6 @@ from delta_kernel_rs_spark.operators.hashing import (
     N_PERMUTATIONS,
     PERMUTATIONS,
     md5_hash32,
-    md5_hash32_hi,
 )
 from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
@@ -160,33 +157,46 @@ def neardup_pairs_minhash(
     recall is the banding probability (1-(1-j^r)^b ~ 1 for j near 1).
 
     The shingle-set frame appears three times in the plan (minhash input
-    + both verify sides); Spark executes each occurrence, so shingling —
-    the CPU-heavy head — would run 3×. A disk-spillable cache
-    materializes it once; at 100 TB this trades one corpus-sized
-    spill-to-local-disk for two recomputations of the whole
-    tokenize+shingle pipeline, the standard call for reused
-    multi-consumer subplans.
+    + both verify sides). r12 (guide §5 "caching is only worth it when
+    recomputing is more expensive than the memory pressure"): the former
+    MEMORY_AND_DISK persist is GONE — measured at sf0.1, materializing
+    the shingle-array cache cost 3.6 s while one map-only recompute costs
+    0.5 s, and the cached runs showed multi-second GC/spill instability
+    (a 69 s outlier pass) where the persist-free plan is steady. At
+    100 TB the same trade holds harder: a corpus-sized array cache
+    thrashes storage memory, while re-running tokenize+shingle is pure
+    map-side compute that scales with cores.
     """
-    from pyspark.storagelevel import StorageLevel
-
     docs = with_word_shingles(df, text_col=text_col, k=k)
     sets_df = docs.select(
         F.col(id_col), "shingles", F.size("shingles").alias("n_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = minhash_band_signatures(sets_df, id_col=id_col)
 
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # Candidate pairs per LSH bucket via ONE groupBy + in-row pair
+    # expansion (r12, guide §2.4): the former bands⋈bands self-join
+    # re-executed the whole signature subtree on both sides and shuffled
+    # it twice; grouping by (band, band_sig) computes signatures once,
+    # shuffles once, and emits each bucket's sorted-id pairs with a
+    # flatten/transform — identical pair set (a < b by sort order),
+    # probe-measured 4.4 s → 1.0 s on the isolated stage. Bucket sizes
+    # are LSH-collision-bounded, the same guarantee the join relied on.
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cands = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_sig") == F.col("r.band_sig"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
@@ -399,36 +409,94 @@ def _jaccard_pairs_count(
     )
 
 
+def _signbits_to_long_sql(sums_slice: str, bits: int) -> str:
+    """SQL folding a slice of per-bit sign sums into the fingerprint long:
+    bit j set iff sum_j > 0 — the same ``CASE WHEN b_j > 0 THEN 2^j`` the
+    former aggregate columns combined."""
+    powers = ",".join(f"{1 << j}L" for j in range(bits))
+    return (
+        f"aggregate(zip_with({sums_slice}, array({powers}), "
+        "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0L END), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def simhash_columns(
+    ws_col: str, bits: int = 32, halves: int = 1
+) -> tuple[Column, str]:
+    """(per-word-hash column, sign-sum SQL) for map-only SimHash over a
+    pre-materialized distinct-word array ``ws_col``.
+
+    r12 rewrite (guide §2.4): SimHash is a per-document function, so the
+    per-bit ±1 sums are ONE in-row fold — each word contributes a
+    ``bits``-element sign vector (from md5 halves computed once per word
+    via the materialized hash column) and ``aggregate``+``zip_with``
+    accumulates them — zero exchanges instead of a distinct-word explode
+    plus a ``bits``-column sum-aggregate shuffle. Integer sums in any
+    order; identical values (pinned by tests + the oracle gate).
+
+    With ``halves=1`` the hash column is the low md5 half per word and
+    the sign vectors are ``bits`` wide; with ``halves=2`` the hash column
+    is a struct of both halves and sign vectors are 64 wide (32 per
+    half).
+    """
+    if halves == 1:
+        hash_col = F.expr(
+            f"transform({ws_col}, w -> "
+            "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
+        )
+        sign_vecs = (
+            "transform(__hv, h -> transform(sequence(0, {top}), j -> "
+            "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
+        ).format(top=bits - 1)
+        width = bits
+    else:
+        hash_col = F.expr(
+            f"transform({ws_col}, w -> named_struct("
+            "'a', CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), "
+            "'b', CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)))"
+        )
+        sign_vecs = (
+            "transform(__hv, h -> transform(sequence(0, 63), j -> "
+            "CASE WHEN j < 32 "
+            "THEN (CASE WHEN (shiftright(h.a, j) & 1) = 1 THEN 1 ELSE -1 END) "
+            "ELSE (CASE WHEN (shiftright(h.b, j - 32) & 1) = 1 THEN 1 ELSE -1 END) "
+            "END))"
+        )
+        width = 64
+    sums = (
+        f"aggregate({sign_vecs}, array_repeat(0, {width}), "
+        "(acc, bv) -> zip_with(acc, bv, (x, y) -> x + y))"
+    )
+    return hash_col, sums
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """Per-document SimHash fingerprint over distinct words.
 
     Bit j of the fingerprint is 1 iff the sum over words of
-    (bit j of md5_hash32(word) ? +1 : -1) is positive. The per-bit sums are
-    ``bits`` aggregate expressions in a single groupBy — constant row width,
-    no explode-by-bit blowup, partial-aggregated map-side.
+    (bit j of md5_hash32(word) ? +1 : -1) is positive. MAP-ONLY since
+    r12: see :func:`simhash_columns` (2.4 s → 0.6 s at sf0.1 for the
+    64-bit variant; the former shape exploded distinct words into a
+    ``bits``-column sum-aggregate shuffle).
     """
-    df = ensure_min_parallelism(df)
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
-    ).select(F.col(id_col), md5_hash32(F.col("word")).alias("hv"))
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
 
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    summed = words.groupBy(id_col).agg(*bit_sums)
-    fingerprint = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(bits),
-        F.lit(0).cast("long"),
+    hash_col, sums = simhash_columns("__dw", bits=bits, halves=1)
+    base = materialize_column(
+        ensure_min_parallelism(df).select(F.col(id_col), F.col(text_col)),
+        F.expr(f"array_distinct(split({text_col}, ' '))"),
+        "__dw",
     )
-    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+    staged = materialize_column(
+        materialize_column(base, hash_col, "__hv"), F.expr(sums), "__sums"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.expr(_signbits_to_long_sql("__sums", bits)).alias("simhash"),
+    )
 
 
 def simhash64(
@@ -436,44 +504,29 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash as two 32-bit halves ``(s1, s2)`` per document.
 
-    Same single-aggregation shape as :func:`simhash` (64 per-bit partial
-    sums in ONE groupBy, map-side combined), but hashing each distinct word
-    once into both halves of its MD5 — so the fingerprint stays exactly
-    reproducible in SQL engines whose BIGINT cannot hold an unsigned 64-bit
-    value. Template-heavy corpora collide badly at 32 bits; 64 is the
-    working width for pair joins.
+    Same MAP-ONLY shape as :func:`simhash` (one in-row fold over per-word
+    sign vectors — see :func:`simhash_columns`), hashing each distinct
+    word once into both halves of its MD5 — so the fingerprint stays
+    exactly reproducible in SQL engines whose BIGINT cannot hold an
+    unsigned 64-bit value. Template-heavy corpora collide badly at 32
+    bits; 64 is the working width for pair joins.
     """
-    df = ensure_min_parallelism(df)
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
-    ).select(
-        F.col(id_col),
-        md5_hash32(F.col("word")).alias("hv1"),
-        md5_hash32_hi(F.col("word")).alias("hv2"),
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
+    hash_col, sums = simhash_columns("__dw", halves=2)
+    base = materialize_column(
+        ensure_min_parallelism(df).select(F.col(id_col), F.col(text_col)),
+        F.expr(f"array_distinct(split({text_col}, ' '))"),
+        "__dw",
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"hv{h}"), j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"h{h}b{j}")
-        for h in (1, 2)
-        for j in range(32)
-    ]
-    summed = words.groupBy(id_col).agg(*bit_sums)
-
-    def combine(h: int) -> Column:
-        return reduce(
-            lambda acc, j: acc
-            + F.when(F.col(f"h{h}b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            range(32),
-            F.lit(0).cast("long"),
-        )
-
-    return summed.select(F.col(id_col), combine(1).alias("s1"), combine(2).alias("s2"))
+    staged = materialize_column(
+        materialize_column(base, hash_col, "__hv"), F.expr(sums), "__sums"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.expr(_signbits_to_long_sql("slice(__sums, 1, 32)", 32)).alias("s1"),
+        F.expr(_signbits_to_long_sql("slice(__sums, 33, 32)", 32)).alias("s2"),
+    )
 
 
 def simhash_neardup_pairs(
@@ -497,8 +550,6 @@ def simhash_neardup_pairs(
     often (billions of docs), widen the fingerprint (128-bit SimHash, same
     construction) rather than shrinking k — the plan shape is unchanged.
     """
-    from pyspark.storagelevel import StorageLevel
-
     n_bands = max_hamming + 1
     if max_hamming < 1 or 64 % n_bands:
         # max_hamming 0 would need one 64-bit band, which neither the
@@ -509,11 +560,14 @@ def simhash_neardup_pairs(
             f"got {max_hamming}"
         )
     width = 64 // n_bands
-    # the fingerprint aggregation (explode + 64-column groupBy) feeds BOTH
-    # sides of the band self-join; persist it spillably so it runs once
-    fp = simhash64(df, id_col=id_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # r12 (guide §2.4): the fingerprint frame is consumed ONCE — candidate
+    # pairs come from one groupBy((band index, band bits)) + in-row pair
+    # expansion per bucket, replacing the posting⋈posting self-join that
+    # computed the fingerprints on both sides (which is why this used to
+    # need a persist) and shuffled them twice. Pair set and hamming values
+    # are identical: same bands, same sorted-id a < b order, same
+    # bit_count(xor) arithmetic on the carried fingerprints.
+    fp = simhash64(df, id_col=id_col, text_col=text_col)
 
     def band(j: int) -> Column:
         # bands 0.. over s1 then s2; each half contributes 32/width bands
@@ -538,24 +592,25 @@ def simhash_neardup_pairs(
         ).alias("b"),
     ).select(id_col, "s1", "s2", "b.bidx", "b.bval")
 
-    a, b = posting.alias("a"), posting.alias("b")
-    hamming = F.bit_count(
-        F.col("a.s1").bitwiseXOR(F.col("b.s1"))
-    ) + F.bit_count(F.col("a.s2").bitwiseXOR(F.col("b.s2")))
+    buckets = (
+        posting.groupBy("bidx", "bval")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), "s1", "s2"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair_sql = (
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> named_struct("
+        f"'doc_a', a.{id_col}, 'doc_b', b.{id_col}, "
+        "'hamming', CAST(bit_count(a.s1 ^ b.s1) + bit_count(a.s2 ^ b.s2)"
+        " AS INT)))))"
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.bidx") == F.col("b.bidx"),
-                F.col("a.bval") == F.col("b.bval"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -796,9 +851,10 @@ def duplicated_token_spans(
     the join key is a 32-char digest instead of the k-word string);
     one groupBy(gram) count with map-side partial combine finds grams
     with global multiplicity >= 2; one equi-join marks hit positions; one
-    window per document merges hits into spans (gaps-and-islands: a new
-    island starts when pos > prev_pos + k, since [p1, p1+k) and
-    [p2, p2+k) are disjoint and non-touching exactly when p2 > p1 + k).
+    doc-keyed aggregation merges hits into spans with an in-row sorted
+    fold (gaps-and-islands: a new island starts when pos > prev_pos + k,
+    since [p1, p1+k) and [p2, p2+k) are disjoint and non-touching exactly
+    when p2 > p1 + k).
 
     100 TB posture: shuffles key on the gram digest (high cardinality) and
     on ``id_col``; posting lists are never self-joined, so a boilerplate
@@ -809,8 +865,6 @@ def duplicated_token_spans(
     with ``span_end`` exclusive, 0-based. Documents with no duplicated
     span are absent — callers join back to cut or drop.
     """
-    from pyspark.sql import Window
-
     pos_grams = word_kgram_positions(df, id_col=id_col, text_col=text_col, k=k)
     dup = (
         pos_grams.groupBy("g")
@@ -819,27 +873,31 @@ def duplicated_token_spans(
         .select("g")
     )
     hits = pos_grams.join(dup, "g").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    # first row per doc: lag is NULL -> condition NULL -> otherwise(0);
-    # islands are numbered from 0 and each true break adds 1
-    brk = F.when(
-        F.col("pos") > F.lag("pos").over(w) + k, 1
-    ).otherwise(0)
-    islands = hits.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.sum(brk).over(w).alias("island"),
+    # Gaps-and-islands per document in ONE doc-keyed aggregation (r12,
+    # guide §2.4): collect the hit positions, sort in-row, and fold into
+    # maximal spans — a new span starts exactly when pos > prev + k (the
+    # same break rule the former lag window used), otherwise the last
+    # span's end advances. Replaces lag-window + cumulative-sum window +
+    # a (doc, island) re-aggregation (two exchanges + full sorts) with
+    # one exchange; span values are identical integers.
+    spans_sql = (
+        "transform(aggregate(sort_array(ps), "
+        "CAST(array() AS ARRAY<STRUCT<s: INT, l: INT>>), "
+        "(acc, p) -> CASE WHEN size(acc) = 0 "
+        f"OR p > element_at(acc, size(acc)).l + {k} "
+        "THEN concat(acc, array(named_struct('s', p, 'l', p))) "
+        "ELSE concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('s', element_at(acc, size(acc)).s, 'l', p))) "
+        f"END), sp -> named_struct('s', sp.s, 'e', sp.l + {k}))"
     )
     return (
-        islands.groupBy(id_col, "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k).alias("span_end"),
-        )
+        hits.groupBy(id_col)
+        .agg(F.collect_list("pos").alias("ps"))
+        .select(F.col(id_col), F.explode(F.expr(spans_sql)).alias("sp"))
         .select(
             id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s")).alias("span_tokens"),
         )
     )

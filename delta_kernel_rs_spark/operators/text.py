@@ -329,13 +329,15 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document.
 
     score = (tf / doc_len) * ln(N / df) — raw term frequency normalized by
-    document length, classic log idf. Two high-cardinality shuffles, both
-    map-side combined: (doc, term) counts (doc_len rides the grouping key,
-    costing nothing extra), then term-keyed document frequency joined back
-    on term. N arrives as a broadcast 1-row aggregate — no driver action.
-    The per-document cap is a rank window: Spark plans WindowGroupLimit,
-    so each doc materializes <= top_k rows on both sides of the final
-    shuffle.
+    document length, classic log idf. r12 shape (guide §2.4): the
+    (doc, term) counts are ONE map-side-combined aggregation, and the
+    term-keyed document frequency is a count window OVER that frame —
+    the former separate `groupBy(term)` + join executed the tf subtree
+    twice and added a join; the window computes df on the same
+    term-partitioned pass the join would have needed anyway. N arrives
+    as a broadcast 1-row aggregate — no driver action. The per-document
+    cap is a rank window: Spark plans WindowGroupLimit, so each doc
+    materializes <= top_k rows on both sides of the final shuffle.
     """
     words = ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -343,10 +345,11 @@ def tfidf_top_terms(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
     tf = words.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

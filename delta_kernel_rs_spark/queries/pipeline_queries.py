@@ -174,11 +174,35 @@ register(
 
 def p03_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fingerprints (merged p03+p10): 32-bit SimHash over distinct
-    words joined with the polynomial rolling-hash document fingerprint —
-    one equi-join on doc_id, both sides map-side-aggregated."""
+    words plus the polynomial rolling-hash document fingerprint — both
+    per-row expressions since the r12 map-only SimHash rewrite, so the
+    whole query is ONE projection (the former doc_id self-join and the
+    SimHash sum-aggregate shuffle are gone; values bit-identical,
+    guide §2.4)."""
+    from delta_kernel_rs_spark.operators.dedup import (
+        _signbits_to_long_sql,
+        simhash_columns,
+    )
+    from delta_kernel_rs_spark.operators.parallel import (
+        ensure_min_parallelism,
+        materialize_column,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
-    return simhash(docs).join(fp, "doc_id")
+    hash_col, sums = simhash_columns("__dw", bits=32, halves=1)
+    base = materialize_column(
+        ensure_min_parallelism(docs.select("doc_id", "text")),
+        F.expr("array_distinct(split(text, ' '))"),
+        "__dw",
+    )
+    staged = materialize_column(
+        materialize_column(base, hash_col, "__hv"), F.expr(sums), "__sums"
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(_signbits_to_long_sql("__sums", 32)).alias("simhash"),
+        fingerprint_expr("text").alias("fingerprint"),
+    )
 
 
 _SIMHASH_TERMS = " + ".join(
