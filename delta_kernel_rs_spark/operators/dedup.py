@@ -367,25 +367,29 @@ def _jaccard_pairs_count(
     threshold: float,
     block_cols: list[str] | None,
 ) -> DataFrame:
-    """Count-based exact similarity join: |A∩B| = posting-join row count."""
-    from pyspark.storagelevel import StorageLevel
+    """Count-based exact similarity join: |A∩B| = posting-join row count.
 
+    The candidate stage stays a posting⋈posting self-join on the shingle
+    (NOT the in-row bucket expansion used by the LSH/winnowing paths):
+    this method is chosen precisely when the vocabulary is small/dense,
+    where hot shingles own corpus-sized posting lists — a
+    collect_list bucket would materialize an O(f²) pair array inside ONE
+    row (measured 2.65 → 8.1 s at sf0.1; guide §2.5 "it cannot split a
+    single enormous key"), while the join streams the same fanout across
+    tasks. r12 changes that DID stick (guide §2.3/§2.4): both posting
+    sides now CARRY ``n_sh``, so the two size-lookup joins are gone
+    (first() aggregates read the carried sizes), and with the shingle
+    frame down to 2 consumers the MEMORY_AND_DISK persist costs more
+    than one extra map-only shingle pass (same measurement as
+    neardup_pairs_minhash) — dropped.
+    """
     block_cols = block_cols or []
-    # shingle once, cache spillably: the shingle frame feeds the posting
-    # self-join AND both size-lookup sides (4 plan occurrences)
-    docs = (
-        with_word_shingles(df, text_col=text_col, k=k)
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            "shingles",
-            F.size("shingles").alias("n_sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sets_df = docs.select(F.col(id_col), "n_sh")
+    docs = with_word_shingles(df, text_col=text_col, k=k)
     posting = docs.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("shingles").alias("g")
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        *[F.col(c) for c in block_cols],
+        F.explode("shingles").alias("g"),
     )
     join_on = [F.col("pa.g") == F.col("pb.g"), F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")]
     join_on += [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_cols]
@@ -395,18 +399,17 @@ def _jaccard_pairs_count(
         .groupBy(
             F.col(f"pa.{id_col}").alias("doc_a"), F.col(f"pb.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        pairs.join(sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sets_df.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "doc_a",
-            "doc_b",
-            _jaccard(F.col("inter"), F.col("sa.n_sh"), F.col("sb.n_sh")).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("pa.n_sh").alias("na"),
+            F.first("pb.n_sh").alias("nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        _jaccard(F.col("inter"), F.col("na"), F.col("nb")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _signbits_to_long_sql(sums_slice: str, bits: int) -> str:
@@ -654,12 +657,17 @@ def decontaminate_against(
         return base.select(F.col(id_col), F.explode(g).alias("gram"))
 
     eval_grams = grams(eval_df).select("gram").distinct()
+    # n_hits: plain count, not countDistinct — the per-doc gram array is
+    # array_distinct'ed before the explode and the eval side is DISTINCT,
+    # so each (doc, gram) survives the join at most once and the counts
+    # are provably equal. countDistinct planned a second Expand/dedup
+    # aggregation phase per group for nothing (r12, guide §2.4).
     return (
         grams(train_df)
         .join(eval_grams, "gram")
         .groupBy(id_col)
         .agg(
-            F.countDistinct("gram").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_hits"),
             F.min("gram").alias("first_gram"),
         )
     )
@@ -753,42 +761,46 @@ def winnowing_passage_pairs(
     Output: (doc_a, doc_b, shared_fps, overlap) with doc_a < doc_b and
     overlap = shared / min(|fps_a|, |fps_b|).
 
-    100 TB posture: one projection (fingerprints) → one explode → one
-    df-cap aggregation keyed by hash → one posting self-join keyed by
-    hash → one pair aggregation. All shuffles on high-cardinality hash
-    keys; the df-cap bounds every posting list at ``max_df``, so join
-    fanout per hash is at most max_df² — constant, not corpus-sized.
+    100 TB posture: one projection (fingerprints) → one explode → ONE
+    hash-keyed aggregation that both applies the df-cap AND expands each
+    surviving bucket to ordered pairs in-row (r12, guide §2.4 — the
+    former shape paid a separate df-count aggregation, a filter join, a
+    posting self-join that executed the fingerprint subtree on both
+    sides, and the persist that self-join forced) → one pair
+    aggregation. All shuffles on high-cardinality keys; the df-cap
+    bounds every bucket at ``max_df`` members, so in-row pair fanout per
+    hash is at most max_df² — constant, not corpus-sized. Fingerprint
+    sets are distinct per document, so each document appears at most
+    once per bucket and the sorted expansion reproduces exactly the
+    join's ``doc_a < doc_b`` pairs; shared_fps = number of buckets
+    emitting the pair, and each pair carries both ``n_fps`` sizes out of
+    the bucket (the former size-lookup ``first`` aggregates now read
+    carried fields).
     """
-    from pyspark.storagelevel import StorageLevel
-
     fps = winnowing_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
-    posting = fps.select(
-        F.col(id_col), "n_fps", F.explode("fps").alias("h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rare = (
+    posting = fps.select(F.col(id_col), "n_fps", F.explode("fps").alias("h"))
+    buckets = (
         posting.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df_h"))
-        .filter(F.col("df_h") <= max_df)
-        .select("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), "n_fps"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_df))
     )
-    kept = posting.join(rare, "h")
-    a, b = kept.alias("a"), kept.alias("b")
+    pair_sql = (
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> named_struct("
+        f"'doc_a', a.{id_col}, 'doc_b', b.{id_col}, "
+        "'na', a.n_fps, 'nb', b.n_fps))))"
+    )
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.h") == F.col("b.h"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(
             F.count(F.lit(1)).alias("shared_fps"),
-            F.first(F.col("a.n_fps")).alias("na"),
-            F.first(F.col("b.n_fps")).alias("nb"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
         )
         .filter(F.col("shared_fps") >= min_shared)
     )
