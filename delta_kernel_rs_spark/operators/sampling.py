@@ -193,6 +193,7 @@ def dsir_importance(
     target,
     buckets: int = 256,
     ratio_threshold: float = 1.0,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every document
@@ -208,47 +209,99 @@ def dsir_importance(
     per-doc score is order-free and bit-identical across engines (IEEE
     division is exact-rounded; integer sums commute).
 
-    Scale shape: occurrences pre-aggregate to (doc, bucket) COUNTS before
-    anything joins — at most ``buckets`` rows per document survive, so the
-    broadcast join and the doc aggregate never see raw occurrences. The
-    global distribution is one tiny groupBy(bucket) (``buckets`` rows,
-    map-side combine over the counts frame). Selection is a map-only
-    threshold on the per-token mean ratio — NOT a global top-k rank, which
-    would need a total order over every document at 100 TB.
+    Scale shape (r12 rewrite, guide §2.4 / §1.2 "the distributed
+    algorithm"): the per-document bucket histogram is a per-row function
+    — one sorted run-length fold over the ≤ ``buckets``-distinct bucket
+    array — so NO (doc, bucket) shuffle exists at all. The global
+    distribution is one tiny groupBy(bucket) over the exploded in-row
+    histograms (≤ ``buckets`` rows per doc, map-side combined to
+    ``buckets`` rows total) whose ``buckets``-row result is collected to
+    the driver (metadata-sized, the k-means-centroids class) and scoring
+    is a map-only in-row fold against the literal bucket→ratio map — the
+    former shape executed the explode + (doc, bucket) count aggregation
+    TWICE (once per side of a broadcast join) and paid a doc-keyed
+    aggregation afterwards. Selection stays a map-only threshold on the
+    per-token mean ratio — NOT a global top-k rank, which would need a
+    total order over every document at 100 TB.
 
-    Output: doc_id, n_tokens, importance_micro, selected.
+    ``keep_cols`` ride the per-row projection for free (no join-back —
+    callers needing doc metadata name it here instead of re-joining the
+    corpus on doc_id).
+
+    Output: doc_id, *keep_cols, n_tokens, importance_micro, selected.
     """
-    from delta_kernel_rs_spark.operators.hashing import md5_hash32
-
-    e = docs.select(
-        "doc_id",
-        target.alias("__target"),
-        F.explode(F.split(F.col("text"), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    doc_b = (
-        e.withColumn("b", md5_hash32("word") % buckets)
-        .groupBy("doc_id", "__target", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    from delta_kernel_rs_spark.operators.parallel import (
+        ensure_min_parallelism,
+        materialize_column,
     )
-    dist = doc_b.groupBy("b").agg(
-        F.sum("cnt").alias("raw_cnt"),
-        F.sum(F.when(F.col("__target"), F.col("cnt")).otherwise(F.lit(0))).alias(
-            "tgt_cnt"
-        ),
+
+    # per-word buckets via the same cross-engine md5 construction
+    # (operators/hashing.md5_hash32), as in-row SQL over the word array
+    b_sql = (
+        "transform(filter(split(text, ' '), w -> w != ''), "
+        "w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+        f" % {buckets})"
+    )
+    # sorted run-length fold -> array<struct<b, cnt>>: equal buckets are
+    # adjacent after array_sort, each run closes into one histogram entry
+    close = (
+        "CASE WHEN s.v IS NULL THEN s.out "
+        "ELSE concat(s.out, array(named_struct('b', s.v, 'cnt', s.c))) END"
+    )
+    hist_sql = (
+        "aggregate(array_sort(__b), "
+        "named_struct('v', CAST(NULL AS BIGINT), 'c', 0L, "
+        "'out', CAST(array() AS ARRAY<STRUCT<b: BIGINT, cnt: BIGINT>>)), "
+        "(s, x) -> CASE WHEN s.v IS NOT NULL AND x = s.v THEN "
+        "named_struct('v', s.v, 'c', s.c + 1L, 'out', s.out) "
+        f"ELSE named_struct('v', x, 'c', 1L, 'out', {close}) END, "
+        f"s -> {close})"
+    )
+    base = materialize_column(
+        materialize_column(
+            ensure_min_parallelism(
+                docs.select(
+                    "doc_id", *keep_cols, target.alias("__target"), "text"
+                )
+            ),
+            F.expr(b_sql),
+            "__b",
+        ).filter(F.size("__b") > 0),
+        F.expr(hist_sql),
+        "__bc",
     )
     term = F.round(
         F.lit(1_000_000.0) * (F.col("tgt_cnt") + 1) / (F.col("raw_cnt") + 1)
     ).cast("long")
-    scored = (
-        doc_b.join(F.broadcast(dist), "b")
-        .groupBy("doc_id")
+    dist_rows = (
+        base.select(F.col("__target"), F.explode("__bc").alias("e"))
+        .groupBy(F.col("e.b").alias("b"))
         .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * term).alias("importance_micro"),
+            F.sum("e.cnt").alias("raw_cnt"),
+            F.sum(
+                F.when(F.col("__target"), F.col("e.cnt")).otherwise(F.lit(0))
+            ).alias("tgt_cnt"),
         )
+        .select("b", term.alias("term"))
+        .collect()
+    )
+    if dist_rows:
+        map_sql = "map(" + ", ".join(
+            f"{r['b']}L, {r['term']}L" for r in dist_rows
+        ) + ")"
+    else:
+        map_sql = "CAST(map() AS MAP<BIGINT, BIGINT>)"
+    scored = base.select(
+        "doc_id",
+        *keep_cols,
+        F.expr("aggregate(__bc, 0L, (acc, e) -> acc + e.cnt)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(__bc, 0L, (acc, e) -> acc + e.cnt * element_at({map_sql}, e.b))"
+        ).alias("importance_micro"),
     )
     return scored.select(
         "doc_id",
+        *keep_cols,
         "n_tokens",
         "importance_micro",
         (

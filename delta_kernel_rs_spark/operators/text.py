@@ -391,15 +391,23 @@ def unigram_surprisal(
       outlier doc), HIGH means stopword soup, and it preserves the
       logprob ordering up to 1-bit count quantization.
 
-    Plan shape: explode tokens -> one groupBy(token) count (map-side
-    combine) -> join instances back on token -> one groupBy(doc) — three
-    shuffles, all on high-cardinality keys. Hot tokens ("the") make the
-    count join fan out linearly, never quadratically; AQE skew-join
-    splits the hottest token partitions at scale.
+    Plan shape (r12, guide §2.3/§2.4): explode tokens -> ONE
+    groupBy(doc, token) count (map-side combined — in-document
+    repetition compresses before the wire) -> corpus counts attached as
+    a ``sum OVER (PARTITION BY token)`` window on that frame (the former
+    separate groupBy(token) + join back executed the explode subtree
+    TWICE and shuffled raw instances twice) -> one groupBy(doc). All
+    per-instance sums become ``ct * f(c)`` over the compressed rows —
+    identical integers (bits_sum, n_tokens are exact in any grouping);
+    ``ln_sum`` differs only in float association, and ``avg_logprob`` is
+    documented order-dependent and excluded from hashed surfaces. Hot
+    tokens ("the") still spread across docs, never quadratically.
 
     Returns (id_col, *keep_cols, n_tokens, bits_sum, logfreq_milli,
     avg_logprob).
     """
+    from pyspark.sql import Window
+
     from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
@@ -407,15 +415,25 @@ def unigram_surprisal(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    inst = toks.join(cnt, "tok")
-    total = cnt.agg(F.sum("c").alias("n_total"))
+    dt = toks.groupBy(id_col, *keep_cols, "tok").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    inst = dt.withColumn("c", F.sum("ct").over(Window.partitionBy("tok")))
+    # same value as the former sum over the token-count frame, computed
+    # from an independent map-only subtree (count of split elements)
+    total = df.agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_total")
+    )
     per_doc = (
         inst.groupBy(id_col, *keep_cols)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.length(F.bin(F.col("c"))) - 1).alias("bits_sum"),
-            F.sum(F.log(F.col("c").cast("double"))).alias("ln_sum"),
+            F.sum("ct").alias("n_tokens"),
+            F.sum(F.col("ct") * (F.length(F.bin(F.col("c"))) - 1)).alias(
+                "bits_sum"
+            ),
+            F.sum(F.col("ct") * F.log(F.col("c").cast("double"))).alias(
+                "ln_sum"
+            ),
         )
     )
     return (

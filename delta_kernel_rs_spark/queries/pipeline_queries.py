@@ -840,10 +840,11 @@ def p15_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("split").alias("arm"), "doc_id", "lang", "source",
         F.col("split").alias("extra"),
     )
+    # keep_cols ride the map-only scoring projection (r12): the former
+    # join-back on doc_id re-read the corpus for two columns
     dsir = (
-        dsir_importance(df, F.col("lang") == "en")
+        dsir_importance(df, F.col("lang") == "en", keep_cols=("lang", "source"))
         .filter("selected")
-        .join(df.select("doc_id", "lang", "source"), "doc_id")
         .select(
             F.lit("dsir").alias("arm"), "doc_id", "lang", "source",
             F.col("importance_micro").cast("string").alias("extra"),
