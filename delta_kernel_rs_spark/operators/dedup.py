@@ -21,7 +21,7 @@ All hashes are the cross-engine-deterministic constructions from
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from delta_kernel_rs_spark.operators.hashing import (
@@ -57,7 +57,15 @@ def with_word_shingles(
             lambda i: F.concat_ws(" ", F.slice("__ws", i, k)),
         )
     )
-    return df.withColumn(out, shingles).drop("__ws")
+    # materialize the OUTPUT array too (r12 batch 2): left as a plain
+    # withColumn alias, CollapseProject inlines the whole O(L) shingle
+    # construction into every downstream reference — a consumer that
+    # explodes the column gets an inferred `size(expr) > 0 AND
+    # isnotnull(expr)` filter, i.e. THREE evaluations per row (HOFs are
+    # CodegenFallback, so no CSE rescues it; seen verbatim in the p04
+    # physical plan's Filter node). The Generate barrier makes every
+    # downstream reference a plain attribute read.
+    return materialize_column(df, shingles, out).drop("__ws")
 
 
 def exact_duplicate_groups(
@@ -78,20 +86,72 @@ def exact_duplicate_groups(
     )
 
 
+def _minhash_minima_arrow(batches):
+    """Vectorized 64-permutation MinHash minima over Arrow batches.
+
+    Input batches: (id, __xs list<int64>); output: (id, m0..m63).
+    EXACT integer arithmetic: a, b, x < 2^31 so a*x + b < 2^62 + 2^31
+    fits int64, and numpy's ``%`` on non-negative int64 matches the JVM's
+    — minima are bit-identical to the former JVM expressions (asserted
+    over the full gate corpus when this path landed, and pinned by the
+    oracle gate). Permutations loop one at a time so peak temp memory is
+    O(batch values), not O(64 × values).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n_perm = len(PERMUTATIONS)
+    for batch in batches:
+        ids = batch.column(0)
+        xs = batch.column(1)
+        n = len(ids)
+        names = [batch.schema.names[0]] + [f"m{p}" for p in range(n_perm)]
+        if n == 0:
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array([], type=pa.int64())] * n_perm, names=names
+            )
+            continue
+        lens_arr = pa.compute.list_value_length(xs)
+        lens = lens_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = xs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        # rows with NULL or empty hash arrays get NULL minima, exactly
+        # like array_min over an empty/null array
+        mask = lens == 0
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        safe_offs = np.minimum(offs, max(flat.size - 1, 0))
+        cols = []
+        if flat.size == 0:
+            null_col = pa.nulls(n, type=pa.int64())
+            cols = [null_col] * n_perm
+        else:
+            for a, b in PERMUTATIONS:
+                h = (a * flat + b) % MINHASH_PRIME
+                mins = np.minimum.reduceat(h, safe_offs)
+                cols.append(
+                    pa.array(mins, type=pa.int64(), mask=mask)
+                    if mask.any()
+                    else pa.array(mins, type=pa.int64())
+                )
+        yield pa.RecordBatch.from_arrays([ids] + cols, names=names)
+
+
 def minhash_band_signatures(
     df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles"
 ) -> DataFrame:
     """(id, band, band_sig) rows: the LSH bucketing key per document.
 
-    Plan shape (r12 rewrite, guide §2.4): MAP-ONLY. The per-permutation
-    minima are per-row expressions — the 32-bit shingle hashes are
-    materialized ONCE per document (`materialize_column`; inlined, each
-    permutation lambda would re-run the md5s), then each permutation is
-    an ``array_min`` over one codegen'd ``transform``. Identical
-    arithmetic to the former explode + P-column min-aggregate (same
-    ``(a_i*x+b_i) mod P`` over the same hash values), with zero
-    exchanges instead of one doc-keyed shuffle. Band signatures are md5
-    over the in-order minima of each band, unchanged.
+    Plan shape: MAP-ONLY, no shuffle. The 32-bit shingle hashes are
+    computed once per document in the JVM (md5 is the cross-engine
+    contract and codegen-friendly), then ONLY ``(id, hashes)`` crosses to
+    an Arrow-batched ``mapInArrow`` where numpy computes all 64
+    permutation minima vectorized (r12 batch 2, guide §4.2: higher-order
+    functions are CodegenFallback, so 64 interpreted ``array_min(
+    transform(...))`` expressions per row cost more than one vectorized
+    native pass — same-JVM A/B 3.11 → 2.57 s on the bands subplan at
+    sf0.1, minima asserted bit-identical). Band signatures are md5 over
+    the in-order minima of each band, computed back in the JVM,
+    unchanged.
     """
     from delta_kernel_rs_spark.operators.parallel import materialize_column
 
@@ -102,17 +162,15 @@ def minhash_band_signatures(
         ),
         "__xs",
     )
-    minima = hashed.select(
-        F.col(id_col),
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__xs"),
-                    lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME,
-                )
-            ).alias(f"m{p}")
-            for p, (a, b) in enumerate(PERMUTATIONS)
-        ],
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    minima_schema = T.StructType.fromDDL(
+        f"{id_col} {id_type}, "
+        + ", ".join(f"m{p} long" for p in range(N_PERMUTATIONS))
+    )
+    minima = hashed.select(F.col(id_col), F.col("__xs")).mapInArrow(
+        _minhash_minima_arrow, minima_schema
     )
     n_bands = N_PERMUTATIONS // BAND_ROWS
     band_sigs = F.array(
@@ -186,33 +244,43 @@ def neardup_pairs_minhash(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # materialize the O(bucket²) pair array before exploding (r12 batch
+    # 2): explode(expr) gets an inferred size/isnotnull filter, so the
+    # inlined expansion evaluated 3× per bucket row
+    from delta_kernel_rs_spark.operators.parallel import materialize_column as _mat
+
     cands = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
+        _mat(
+            buckets,
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            ),
+            "__pairs",
         )
+        .select(F.explode(F.col("__pairs")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
-    # Broadcast the candidate-ID side of the verify joins (r12, guide
-    # §3.1/§8): size estimates made Catalyst broadcast the SHINGLE-ARRAY
-    # frame — the heavy payload — on BOTH verify joins, i.e. two full
-    # builds of the tokenized corpus shipped through the driver. The
-    # candidate pairs are the lightweight proxy (two longs per row,
-    # LSH-bounded); hinting them flips both joins to stream the shingle
-    # frame map-side. Same-JVM A/B at sf0.1: minhash arm 7.4 → 4.8 s.
-    # At corpus scales where even the pair list outgrows a broadcast,
-    # drop the hint and these become shuffle joins on doc_id — the plan
-    # stays correct either way.
+    # Shuffle-hash verify joins with EXCHANGE REUSE (r12 batch 2, guide
+    # §2.4/§3.1): the earlier broadcast(cands) hint stopped Catalyst from
+    # broadcasting the shingle-array frame, but still STREAMED that frame
+    # on both verify joins — two full executions of tokenize+shingle.
+    # Hinting shuffle_hash on the small side instead makes both verify
+    # joins shuffle sets_df by doc_id — two canonically identical
+    # exchanges, so AQE's stage cache executes the shingle frame ONCE and
+    # the second join reads a ReusedExchange (verified in the final
+    # adaptive plan). Net: 3 → 2 executions of the tokenize+shingle
+    # subtree for the whole query, at the cost of one shuffle of the
+    # shingle frame. Build sides stay the candidate pairs (two longs per
+    # row) and the already-candidate-pruned j1 output — never the corpus.
+    j1 = cands.hint("shuffle_hash").join(
+        sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}")
+    )
     return (
-        F.broadcast(cands)
-        .join(sets_df.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        j1.hint("shuffle_hash")
         .join(sets_df.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
         .select(
             "doc_a",
@@ -404,6 +472,16 @@ def _jaccard_pairs_count(
     )
     join_on = [F.col("pa.g") == F.col("pb.g"), F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")]
     join_on += [F.col(f"pa.{c}") == F.col(f"pb.{c}") for c in block_cols]
+    # Join strategy left to the planner (r12 batch 2, measured): at bench
+    # scale Catalyst broadcasts one posting side and executes the
+    # tokenize+shingle+explode subtree twice; forcing shuffle_hash made
+    # both sides' exchanges canonically identical (AQE ReusedExchange ran
+    # the subtree once) but measured 2.5× SLOWER same-JVM (1.5 vs 4.1 s):
+    # the shuffle + per-partition hash build of the exploded posting
+    # costs more than the saved map-side pass here. At corpus scale the
+    # size estimates exceed the broadcast threshold, the planner picks a
+    # shuffle join on its own, and the same exchange reuse fires without
+    # a hint — so the hint would only pessimize the small-scale case.
     pairs = (
         posting.alias("pa")
         .join(posting.alias("pb"), on=join_on)
@@ -622,8 +700,13 @@ def simhash_neardup_pairs(
         "'hamming', CAST(bit_count(a.s1 ^ b.s1) + bit_count(a.s2 ^ b.s2)"
         " AS INT)))))"
     )
+    # materialized before explode — same 3×-evaluation fix as the
+    # minhash pair expansion (r12 batch 2)
+    from delta_kernel_rs_spark.operators.parallel import materialize_column as _mat
+
     return (
-        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        _mat(buckets, F.expr(pair_sql), "__pairs")
+        .select(F.explode(F.col("__pairs")).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -665,7 +748,11 @@ def decontaminate_against(
                 lambda i: F.concat_ws(" ", F.slice("__ws", i, n)),
             )
         )
-        return base.select(F.col(id_col), F.explode(g).alias("gram"))
+        # materialize the gram array before exploding (r12 batch 2):
+        # explode(expr) gets an inferred `size(expr)>0 AND isnotnull(expr)`
+        # filter, so the inlined O(L) gram construction ran 3× per row
+        base = materialize_column(base, g, "__g")
+        return base.select(F.col(id_col), F.explode(F.col("__g")).alias("gram"))
 
     eval_grams = grams(eval_df).select("gram").distinct()
     # n_hits: plain count, not countDistinct — the per-doc gram array is
@@ -741,10 +828,16 @@ def winnowing_fingerprints(
         ),
     )
     fps = F.array_distinct(F.transform(selected, lambda s: s.getField("h")))
-    return base.select(
+    # materialize the fingerprint array (r12 batch 2): aliased plainly,
+    # the whole window-min fold is inlined into every downstream
+    # reference — size() here, plus the posting explode's inferred
+    # null/empty filter in winnowing_passage_pairs — i.e. up to three
+    # evaluations of the O(L·w) selection per row. The Generate barrier
+    # evaluates it once; downstream reads a plain attribute.
+    return materialize_column(base, fps, out).select(
         id_col,
-        fps.alias(out),
-        F.size(fps).alias("n_fps"),
+        out,
+        F.size(out).alias("n_fps"),
     )
 
 
@@ -805,8 +898,13 @@ def winnowing_passage_pairs(
         f"'doc_a', a.{id_col}, 'doc_b', b.{id_col}, "
         "'na', a.n_fps, 'nb', b.n_fps))))"
     )
+    # materialized before explode — same 3×-evaluation fix as the
+    # minhash pair expansion (r12 batch 2)
+    from delta_kernel_rs_spark.operators.parallel import materialize_column as _mat
+
     pairs = (
-        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        _mat(buckets, F.expr(pair_sql), "__pairs")
+        .select(F.explode(F.col("__pairs")).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(
             F.count(F.lit(1)).alias("shared_fps"),
@@ -847,7 +945,11 @@ def word_kgram_positions(
         F.sequence(F.lit(1), F.size("__ws") - (k - 1)),
         lambda i: F.md5(F.concat_ws(" ", F.slice("__ws", i, k))),
     )
-    return df.select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    # materialize the gram array before exploding (r12 batch 2):
+    # posexplode(expr) gets an inferred `size(expr)>0 AND isnotnull(expr)`
+    # filter, so the inlined O(L) md5-gram construction ran 3× per row
+    df = materialize_column(df, grams, "__gr")
+    return df.select(F.col(id_col), F.posexplode(F.col("__gr")).alias("pos", "g"))
 
 
 def duplicated_token_spans(
@@ -869,33 +971,44 @@ def duplicated_token_spans(
     anchors: any duplicated substring of >= k tokens contains a duplicated
     k-gram, so the merged spans cover every such substring.
 
-    Plan shape (all relational, no Python): one codegen'd projection
-    hashes each position's k-gram (md5 — cross-engine deterministic, and
-    the join key is a 32-char digest instead of the k-word string);
-    one groupBy(gram) count with map-side partial combine finds grams
-    with global multiplicity >= 2; one equi-join marks hit positions; one
-    doc-keyed aggregation merges hits into spans with an in-row sorted
-    fold (gaps-and-islands: a new island starts when pos > prev_pos + k,
-    since [p1, p1+k) and [p2, p2+k) are disjoint and non-touching exactly
-    when p2 > p1 + k).
+    Plan shape (all relational, no Python): one projection hashes each
+    position's k-gram (md5 — cross-engine deterministic, and the shuffle
+    key is a 32-char digest instead of the k-word string); ONE g-keyed
+    count window marks positions whose gram has global multiplicity >= 2
+    (r12: replaces groupBy(gram)+join-back, which executed the gram
+    projection twice); one doc-keyed aggregation merges hits into spans
+    with an in-row sorted fold (gaps-and-islands: a new island starts
+    when pos > prev_pos + k, since [p1, p1+k) and [p2, p2+k) are
+    disjoint and non-touching exactly when p2 > p1 + k).
 
     100 TB posture: shuffles key on the gram digest (high cardinality) and
     on ``id_col``; posting lists are never self-joined, so a boilerplate
-    gram with a million occurrences costs count + join fanout linear in
-    its occurrences, never quadratic. No driver materialization.
+    gram with a million occurrences costs window fanout linear in its
+    occurrences, never quadratic (the per-key window sort spills; the
+    alternative broadcast of the duplicated-gram set would outgrow the
+    broadcast cap at corpus scale). No driver materialization.
 
     Returns (id_col, span_start, span_end, span_tokens): token offsets
     with ``span_end`` exclusive, 0-based. Documents with no duplicated
     span are absent — callers join back to cut or drop.
     """
     pos_grams = word_kgram_positions(df, id_col=id_col, text_col=text_col, k=k)
-    dup = (
-        pos_grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # Multiplicity as a count window over the gram digest (r12 batch 2,
+    # guide §2.4): the former groupBy(g)+join-back executed the
+    # md5-gram posexplode subtree TWICE (once under the count aggregate,
+    # once on the join's probe side — self-joins re-execute their
+    # subtree) and at corpus scale the "small" duplicated-gram set
+    # outgrows a broadcast, degenerating into a second full shuffle of
+    # the posting stream anyway. The window computes grams ONCE and pays
+    # one g-keyed exchange; same-JVM A/B at sf0.1: 1.39 → 1.08 s.
+    # Hit positions are identical (count >= 2 on the same key).
+    hits = (
+        pos_grams.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .filter(F.col("n_occ") >= 2)
-        .select("g")
+        .select(id_col, "pos")
     )
-    hits = pos_grams.join(dup, "g").select(id_col, "pos")
     # Gaps-and-islands per document in ONE doc-keyed aggregation (r12,
     # guide §2.4): collect the hit positions, sort in-row, and fold into
     # maximal spans — a new span starts exactly when pos > prev + k (the
@@ -913,10 +1026,18 @@ def duplicated_token_spans(
         "array(named_struct('s', element_at(acc, size(acc)).s, 'l', p))) "
         f"END), sp -> named_struct('s', sp.s, 'e', sp.l + {k}))"
     )
+    # spans fold materialized before explode — same 3×-evaluation fix as
+    # the pair expansions (r12 batch 2): the O(hits)-per-doc fold was
+    # inlined into the explode's inferred size/isnotnull filter too
+    from delta_kernel_rs_spark.operators.parallel import materialize_column as _mat
+
     return (
-        hits.groupBy(id_col)
-        .agg(F.collect_list("pos").alias("ps"))
-        .select(F.col(id_col), F.explode(F.expr(spans_sql)).alias("sp"))
+        _mat(
+            hits.groupBy(id_col).agg(F.collect_list("pos").alias("ps")),
+            F.expr(spans_sql),
+            "__spans",
+        )
+        .select(F.col(id_col), F.explode(F.col("__spans")).alias("sp"))
         .select(
             id_col,
             F.col("sp.s").alias("span_start"),

@@ -965,22 +965,26 @@ def p17_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is a pure function of the corpus."""
     from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
     df = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     ws = "split(text, ' ')"
     # zip_with over the two shifted slices pairs adjacent words in ONE
     # array pass — never element_at(split(...), i) inside a lambda, which
     # re-splits the text per element (O(n²) per document). A single-word
     # doc yields an empty zip (slice length 0), matching DuckDB's empty
-    # range(1, 1).
-    bigrams = df.select(
-        F.explode(
-            F.expr(
-                f"zip_with(slice({ws}, 1, size({ws}) - 1), "
-                f"slice({ws}, 2, size({ws}) - 1), "
-                f"(a, b) -> concat(a, ' ', b))"
-            )
-        ).alias("bigram")
-    )
+    # range(1, 1). The bigram array is materialized before the explode
+    # (r12 batch 2): explode(expr) gets an inferred size/isnotnull
+    # filter, so the inlined zip construction evaluated 3× per row.
+    bigrams = materialize_column(
+        df.select("text"),
+        F.expr(
+            f"zip_with(slice({ws}, 1, size({ws}) - 1), "
+            f"slice({ws}, 2, size({ws}) - 1), "
+            f"(a, b) -> concat(a, ' ', b))"
+        ),
+        "__bg",
+    ).select(F.explode(F.col("__bg")).alias("bigram"))
     return (
         bigrams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
