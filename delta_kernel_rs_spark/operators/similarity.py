@@ -630,6 +630,76 @@ def kmeans_clusters(
     return assigned
 
 
+def _dominated_in_cluster(
+    id_col: str, vec_col: str, threshold: float
+):
+    """Build the per-cluster dominated-id finder for ``applyInPandas``.
+
+    A member is dominated when any LOWER-id member of the same cluster
+    has cosine >= threshold with it. The cosine arithmetic replicates the
+    engine's fold BIT-FOR-BIT: ``acc = acc + double(a_i)*double(b_i)``
+    applied SEQUENTIALLY over dimensions (vectorized over pairs — each
+    numpy ``+=`` step performs the identical IEEE-754 double add/multiply
+    per pair that the zip_with/aggregate fold performs per row), then
+    ``dot / sqrt(na2 * nb2)`` with the engine-computed ``norm2`` values
+    carried in. sqrt/multiply/divide are single correctly-rounded IEEE
+    ops in both runtimes, so the dominated set is exactly the relational
+    join's (pinned by the oracle hash gate at both SFs).
+
+    Known, documented divergence: an actual NaN payload compares
+    NaN >= t as False here but True under Spark's NaN-is-largest
+    ordering. Embedding fixtures (and any sane embedding store) carry no
+    NaN; nulls agree on both paths (null cosine never dominates).
+
+    Memory is blocked: O(block²) per step, never O(cluster²) at once.
+    """
+
+    def find(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: pdf[id_col].iloc[0:0]})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = pdf[vec_col].to_numpy()[order]
+        keep_mask = np.array([v is not None for v in vecs])
+        # null vectors / norms can never dominate nor be dominated via a
+        # non-null cosine on the fold path either; drop them up front
+        n2 = pdf["norm2"].to_numpy(dtype=np.float64, na_value=np.nan)[order]
+        keep_mask &= ~np.isnan(n2)
+        ids, vecs, n2 = ids[keep_mask], vecs[keep_mask], n2[keep_mask]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        V = np.stack(vecs).astype(np.float64)  # float32→double: exact cast
+        dims_n = V.shape[1]
+        dominated = np.zeros(n, dtype=bool)
+        B = 2048
+        for cs in range(1, n, B):
+            ce = min(cs + B, n)
+            col_dom = dominated[cs:ce].copy()
+            denom_c = n2[cs:ce]
+            for rs in range(0, ce - 1, B):
+                re_ = min(rs + B, ce)
+                Vr, Vc = V[rs:re_], V[cs:ce]
+                acc = np.zeros((re_ - rs, ce - cs))
+                for i in range(dims_n):
+                    # the engine fold's exact step, one dim at a time
+                    acc += Vr[:, i : i + 1] * Vc[:, i]
+                cos = acc / np.sqrt(n2[rs:re_, None] * denom_c[None, :])
+                # only rows with global index < column's global index count
+                r_idx = np.arange(rs, re_)[:, None]
+                c_idx = np.arange(cs, ce)[None, :]
+                col_dom |= ((cos >= threshold) & (r_idx < c_idx)).any(axis=0)
+            dominated[cs:ce] = col_dom
+        return pd.DataFrame({id_col: ids[dominated]})
+
+    return find
+
+
 def semantic_dedup(
     df: DataFrame,
     n_centroids: int = 8,
@@ -668,22 +738,26 @@ def semantic_dedup(
         df, n_centroids=n_centroids, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, dims=dims,
     ).localCheckpoint(eager=True)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Dominated members per cluster via ONE applyInPandas over the
+    # centroid groups (r12 continuation, guide §4.2): the former
+    # self-join evaluated an interpreted (CodegenFallback) 64-dim
+    # aggregate/zip_with cosine fold per candidate pair — O(cluster²)
+    # interpreted folds. The pandas path ships each member's vector ONCE
+    # per cluster (not once per pair), and numpy replays the exact fold
+    # arithmetic vectorized (see _dominated_in_cluster — bit-identical
+    # dominated set, oracle-pinned). Scale posture unchanged: work and
+    # memory are O(cluster²) either way, blocked in 2048² tiles here;
+    # cluster sizes stay ~constant when n_centroids scales like an IVF
+    # nlist, and the former join had the same single-enormous-cluster
+    # skew exposure (one hash key) that this has (one group).
+    id_type = assigned.schema[id_col].dataType.simpleString()
     dominated = (
-        a.join(
-            b,
-            on=[
-                F.col("a.centroid_id") == F.col("b.centroid_id"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+        assigned.select("centroid_id", id_col, vec_col, "norm2")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            _dominated_in_cluster(id_col, vec_col, threshold),
+            schema=f"{id_col} {id_type}",
         )
-        .withColumn(
-            "cos",
-            cosine_expr(f"a.{vec_col}", f"b.{vec_col}", "a.norm2", "b.norm2", dims),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
         .withColumn("dominated", F.lit(True))
     )
     # n_centroids rows — an IVF-nlist-sized frame, broadcastable at any

@@ -879,6 +879,67 @@ def test_semantic_dedup_keeps_min_id(spark):
     assert sizes[0] == 2 and sizes[1] == 2 and sizes[2] == 2
 
 
+def test_dominated_in_cluster_matches_fold_replica():
+    """r12 pin: the numpy per-cluster dominated check (applyInPandas path)
+    must equal a from-scratch Python replica of the former relational
+    join's fold arithmetic — left fold acc + double(a_i)*double(b_i) in
+    index order, cos = dot / sqrt(na2*nb2), dominated iff any lower-id
+    member has cos >= threshold. Exercises block boundaries (n > 1 block
+    via a small monkeypatched tile is unnecessary: ids beyond 2048 are
+    impractical here, so instead exercise n spanning the mask logic),
+    null vectors, and single-member groups."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from delta_kernel_rs_spark.operators.similarity import (
+        _dominated_in_cluster,
+        _py_fold_dot,
+    )
+
+    rng = random.Random(1207)
+    n, dims, threshold = 97, 8, 0.92
+    rows = []
+    base = [[rng.uniform(-1, 1) for _ in range(dims)] for _ in range(5)]
+    for i in range(n):
+        if i % 31 == 30:
+            rows.append((i, None, None))  # null vector: never participates
+            continue
+        v = [x + rng.uniform(-0.05, 0.05) for x in base[i % 5]]
+        v32 = [float(__import__("numpy").float32(x)) for x in v]
+        rows.append((i, v32, _py_fold_dot(v32, v32)))
+
+    # replica of the former join: every (a < b) pair in the one cluster
+    want = set()
+    for ai, av, an2 in rows:
+        if av is None:
+            continue
+        for bi, bv, bn2 in rows:
+            if bv is None or not ai < bi:
+                continue
+            cos = _py_fold_dot(av, bv) / math.sqrt(an2 * bn2)
+            if cos >= threshold:
+                want.add(bi)
+
+    shuffled = rows[:]
+    rng.shuffle(shuffled)  # the finder must not depend on input order
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in shuffled],
+            "embedding": [r[1] for r in shuffled],
+            "norm2": [r[2] for r in shuffled],
+        }
+    )
+    got = set(
+        _dominated_in_cluster("vec_id", "embedding", threshold)(pdf)["vec_id"]
+    )
+    assert got == want and want  # non-trivial: some dominated ids exist
+
+    single = pdf.iloc[:1]
+    assert _dominated_in_cluster("vec_id", "embedding", threshold)(single).empty
+
+
 def test_unigram_surprisal_exact_buckets(spark):
     import math
 
