@@ -391,32 +391,73 @@ def unigram_surprisal(
       outlier doc), HIGH means stopword soup, and it preserves the
       logprob ordering up to 1-bit count quantization.
 
-    Plan shape (r12, guide §2.3/§2.4): explode tokens -> ONE
-    groupBy(doc, token) count (map-side combined — in-document
-    repetition compresses before the wire) -> corpus counts attached as
-    a ``sum OVER (PARTITION BY token)`` window on that frame (the former
-    separate groupBy(token) + join back executed the explode subtree
-    TWICE and shuffled raw instances twice) -> one groupBy(doc). All
-    per-instance sums become ``ct * f(c)`` over the compressed rows —
-    identical integers (bits_sum, n_tokens are exact in any grouping);
-    ``ln_sum`` differs only in float association, and ``avg_logprob`` is
-    documented order-dependent and excluded from hashed surfaces. Hot
-    tokens ("the") still spread across docs, never quadratically.
+    Plan shape (r12, guide §2.3/§2.4): the per-document (token, count)
+    histogram is a PER-ROW function, so it is computed in-row from the
+    ``array_sort``-ed token array — run ends are the indices where the
+    sorted array changes value, run lengths are adjacent-end differences
+    (O(D log D) per doc via element_at index lookups, NOT the O(D²)
+    concat-fold rejected for p23) — then exploded to the same
+    (doc, token, ct) type-compressed frame the former
+    explode + groupBy(doc, token) shuffle produced. Corpus counts are
+    attached as a ``sum OVER (PARTITION BY token)`` window on that frame
+    (the former separate groupBy(token) + join back executed the explode
+    subtree TWICE and shuffled raw instances twice) -> one groupBy(doc).
+    Net r12 batch 5: the (doc, token)-keyed Exchange is GONE (3 -> 2
+    exchanges; probe: identical 5k-row surface, 0.94 -> 0.79 s
+    alternating same-JVM). All per-instance sums become ``ct * f(c)``
+    over the compressed rows — identical integers (bits_sum, n_tokens
+    are exact in any grouping); ``ln_sum`` differs only in float
+    association, and ``avg_logprob`` is documented order-dependent and
+    excluded from hashed surfaces. Hot tokens ("the") still spread
+    across docs, never quadratically.
 
     Returns (id_col, *keep_cols, n_tokens, bits_sum, logfreq_milli,
     avg_logprob).
     """
     from pyspark.sql import Window
 
-    from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
+    from delta_kernel_rs_spark.operators.parallel import (
+        ensure_min_parallelism,
+        materialize_column,
+    )
 
     df = ensure_min_parallelism(df)
-    toks = df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols],
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    # sorted token array, materialized once per row (Generate barrier —
+    # the lambdas below reference it per element)
+    d1 = materialize_column(
+        df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                  F.col(text_col)),
+        F.array_sort(F.split(F.col(text_col), " ")),
+        "__s",
     )
-    dt = toks.groupBy(id_col, *keep_cols, "tok").agg(
-        F.count(F.lit(1)).alias("ct")
+    # run-end indices: i is the last index of its run iff i = n-1 or
+    # s[i+1] != s[i] (element_at is 1-based)
+    d2 = materialize_column(
+        d1,
+        F.expr(
+            "filter(transform(__s, (t, i) -> i), i -> "
+            "i = size(__s) - 1 OR "
+            "element_at(__s, i + 2) != element_at(__s, i + 1))"
+        ),
+        "__ends",
+    )
+    # histogram rows: (tok, ct) with ct = run length = ends[j] - ends[j-1]
+    d3 = materialize_column(
+        d2,
+        F.expr(
+            "transform(__ends, (e, j) -> struct("
+            "element_at(__s, e + 1) AS tok, "
+            "CAST(e - (CASE WHEN j = 0 THEN -1 "
+            "ELSE element_at(__ends, j) END) AS BIGINT) AS ct))"
+        ),
+        "__hist",
+    )
+    dt = d3.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode("__hist").alias("__h"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.col("__h.tok").alias("tok"), F.col("__h.ct").alias("ct"),
     )
     inst = dt.withColumn("c", F.sum("ct").over(Window.partitionBy("tok")))
     # same value as the former sum over the token-count frame, computed
