@@ -320,6 +320,64 @@ def chunk_documents(
     )
 
 
+def _token_histogram_rows(
+    df: DataFrame,
+    carry: list[Column],
+    text_col: str,
+    tok_alias: str = "tok",
+    ct_alias: str = "ct",
+) -> DataFrame:
+    """Explode ``df`` to one row per DISTINCT whitespace token per input
+    row: (*carry, tok_alias, ct_alias) where ct is the token's in-row
+    multiplicity.
+
+    Exactly the frame ``explode(split(text)) + groupBy(carry, tok)``
+    produces — but the histogram is a per-row function, so it is built
+    in-row from the ``array_sort``-ed token array (r12 batch 5, guide
+    §2.4): run ends are the indices where the sorted array changes
+    value, run lengths are adjacent-end differences via ``element_at``
+    index lookups. O(D log D) per row — no array accumulator is ever
+    concatenated (the O(D²) concat-fold shape this replaces was
+    rejected in the r12 scale-growth work). Each construction sits
+    behind a ``materialize_column`` Generate barrier because the
+    lambdas reference the previous array per element (CodegenFallback
+    expressions get no CSE). Rows with NULL text vanish exactly as
+    ``explode(split(NULL))`` dropped them.
+    """
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
+    d1 = materialize_column(
+        df, F.array_sort(F.split(F.col(text_col), " ")), "__s"
+    )
+    # run-end indices: i is the last index of its run iff i = n-1 or
+    # s[i+1] != s[i] (element_at is 1-based)
+    d2 = materialize_column(
+        d1,
+        F.expr(
+            "filter(transform(__s, (t, i) -> i), i -> "
+            "i = size(__s) - 1 OR "
+            "element_at(__s, i + 2) != element_at(__s, i + 1))"
+        ),
+        "__ends",
+    )
+    # histogram rows: (tok, ct) with ct = run length = ends[j] - ends[j-1]
+    d3 = materialize_column(
+        d2,
+        F.expr(
+            "transform(__ends, (e, j) -> struct("
+            "element_at(__s, e + 1) AS tok, "
+            "CAST(e - (CASE WHEN j = 0 THEN -1 "
+            "ELSE element_at(__ends, j) END) AS BIGINT) AS ct))"
+        ),
+        "__hist",
+    )
+    return d3.select(*carry, F.explode("__hist").alias("__h")).select(
+        *carry,
+        F.col("__h.tok").alias(tok_alias),
+        F.col("__h.ct").alias(ct_alias),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     top_k: int = 3,
@@ -330,21 +388,29 @@ def tfidf_top_terms(
 
     score = (tf / doc_len) * ln(N / df) — raw term frequency normalized by
     document length, classic log idf. r12 shape (guide §2.4): the
-    (doc, term) counts are ONE map-side-combined aggregation, and the
-    term-keyed document frequency is a count window OVER that frame —
-    the former separate `groupBy(term)` + join executed the tf subtree
-    twice and added a join; the window computes df on the same
-    term-partitioned pass the join would have needed anyway. N arrives
-    as a broadcast 1-row aggregate — no driver action. The per-document
-    cap is a rank window: Spark plans WindowGroupLimit, so each doc
-    materializes <= top_k rows on both sides of the final shuffle.
+    (doc, term) tf counts are an IN-ROW sorted-run histogram
+    (`_token_histogram_rows` — r12 batch 5; the former explode +
+    groupBy(doc, term) exchange is gone), and the term-keyed document
+    frequency is a count window OVER that frame — the former separate
+    `groupBy(term)` + join executed the tf subtree twice and added a
+    join; the window computes df on the same term-partitioned pass the
+    join would have needed anyway. N arrives as a broadcast 1-row
+    aggregate — no driver action. The per-document cap is a rank
+    window: Spark plans WindowGroupLimit, so each doc materializes
+    <= top_k rows on both sides of the final shuffle.
     """
-    words = ensure_min_parallelism(df).select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).alias("doc_len"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        F.col(text_col),
     )
-    tf = words.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _token_histogram_rows(
+        base,
+        [F.col(id_col), F.col("doc_len")],
+        text_col,
+        tok_alias="term",
+        ct_alias="tf",
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.withColumn(
@@ -416,48 +482,14 @@ def unigram_surprisal(
     """
     from pyspark.sql import Window
 
-    from delta_kernel_rs_spark.operators.parallel import (
-        ensure_min_parallelism,
-        materialize_column,
-    )
+    from delta_kernel_rs_spark.operators.parallel import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
-    # sorted token array, materialized once per row (Generate barrier —
-    # the lambdas below reference it per element)
-    d1 = materialize_column(
+    dt = _token_histogram_rows(
         df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
                   F.col(text_col)),
-        F.array_sort(F.split(F.col(text_col), " ")),
-        "__s",
-    )
-    # run-end indices: i is the last index of its run iff i = n-1 or
-    # s[i+1] != s[i] (element_at is 1-based)
-    d2 = materialize_column(
-        d1,
-        F.expr(
-            "filter(transform(__s, (t, i) -> i), i -> "
-            "i = size(__s) - 1 OR "
-            "element_at(__s, i + 2) != element_at(__s, i + 1))"
-        ),
-        "__ends",
-    )
-    # histogram rows: (tok, ct) with ct = run length = ends[j] - ends[j-1]
-    d3 = materialize_column(
-        d2,
-        F.expr(
-            "transform(__ends, (e, j) -> struct("
-            "element_at(__s, e + 1) AS tok, "
-            "CAST(e - (CASE WHEN j = 0 THEN -1 "
-            "ELSE element_at(__ends, j) END) AS BIGINT) AS ct))"
-        ),
-        "__hist",
-    )
-    dt = d3.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols],
-        F.explode("__hist").alias("__h"),
-    ).select(
-        F.col(id_col), *[F.col(c) for c in keep_cols],
-        F.col("__h.tok").alias("tok"), F.col("__h.ct").alias("ct"),
+        [F.col(id_col), *[F.col(c) for c in keep_cols]],
+        text_col,
     )
     inst = dt.withColumn("c", F.sum("ct").over(Window.partitionBy("tok")))
     # same value as the former sum over the token-count frame, computed
