@@ -959,6 +959,47 @@ def test_unigram_surprisal_exact_buckets(spark):
     assert abs(rows[0].avg_logprob - want0) < 1e-12
 
 
+def test_token_histogram_rows_matches_groupby(spark):
+    """r12 batch-5 pin: the in-row sorted-run token histogram
+    (_token_histogram_rows) must produce exactly the frame the former
+    ``explode(split(text)) + groupBy(id, tok)`` shuffle produced —
+    including the whitespace-splitting edge cases (empty string -> one
+    "" token, doubled spaces -> empty-string tokens, single token,
+    all-identical tokens, unicode) and NULL text (row dropped)."""
+    from pyspark.sql import functions as F
+
+    from delta_kernel_rs_spark.operators.text import _token_histogram_rows
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a b"),
+            (1, ""),
+            (2, "x  y"),          # doubled space -> empty-string token
+            (3, "solo"),
+            (4, "t t t t"),
+            (5, "né né café"),
+            (6, None),             # NULL text -> row dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.tok, r.ct)
+        for r in _token_histogram_rows(df, [F.col("doc_id")], "text").collect()
+    }
+    want = {
+        (r.doc_id, r.tok, r.ct)
+        for r in df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .collect()
+    }
+    assert got == want
+    assert not any(r[0] == 6 for r in got)  # NULL text vanished
+    assert (1, "", 1) in got  # empty text -> one empty-string token
+
+
 def test_minhash_band_signatures_match_python_replica(spark):
     """r12 pin: the map-only per-row MinHash minima (array_min over
     transform) must equal a from-scratch Python replica of the former
