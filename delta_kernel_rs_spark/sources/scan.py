@@ -218,9 +218,23 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
     # definitive inline leaf (the writer emits empty only for a leaf and
     # trims an oversized manifest to ABSENT, never to empty), so the
     # sidecar-column probe below is skipped; absence means info missing.
+    # Sidecar parquet schemas may be HETEROGENEOUS: the protocol lets a
+    # writer put any action-kind mix in each sidecar (a remove-only
+    # sidecar is legal), and without mergeSchema Spark infers the schema
+    # from one sampled file — whichever uuid-named sidecar sorts first —
+    # silently dropping the `add` column when a remove-only file wins
+    # (order-dependent: caught by the foreign-checkpoint fuzz only when
+    # the uuid ordering happened to expose it). Merge like the multipart
+    # branch in checkpoint_top_df already does.
+    def _read_sidecars(paths: list[str]) -> DataFrame:
+        reader = spark.read
+        if len(paths) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
     hint_sidecars = seg.hint_sidecar_files() if hasattr(seg, "hint_sidecar_files") else None
     if hint_sidecars:
-        ckpt = spark.read.parquet(*[_resolve_sidecar(s["path"]) for s in hint_sidecars])
+        ckpt = _read_sidecars([_resolve_sidecar(s["path"]) for s in hint_sidecars])
         return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
 
     ckpt = checkpoint_top_df(spark, seg)
@@ -232,7 +246,7 @@ def resolved_checkpoint_df(spark, seg) -> DataFrame:
             .collect()
         ]
         if sidecars:
-            ckpt = spark.read.parquet(*[_resolve_sidecar(p) for p in sidecars])
+            ckpt = _read_sidecars([_resolve_sidecar(p) for p in sidecars])
     return _conform_checkpoint_file_actions(ckpt, ADD_TYPE, REMOVE_TYPE)
 
 

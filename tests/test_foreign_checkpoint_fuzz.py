@@ -490,3 +490,79 @@ def test_foreign_checkpoint_structural_fuzz(spark, tmp_path, seed):
         assert latest_txn_version(storage, seg, TXN_APP) == TXN_VERSION, (
             f"[{flavor} seed={seed}] checkpoint txn action lost"
         )
+
+
+@pytest.mark.parametrize("hint_mode", ["absent", "full"])
+def test_remove_only_sidecar_sorting_first_keeps_adds(spark, tmp_path, hint_mode):
+    """Pin for an order-dependent full-suite failure: sidecar parquet
+    schemas are per-file (a remove-only sidecar has NO `add` column), and
+    reading the sidecar set without mergeSchema lets Spark infer the
+    schema from whichever uuid-named file it samples — when a remove-only
+    sidecar won, the adds vanished and the scan raised "empty log
+    segment". Deterministic repro: name the remove-only sidecar so it
+    sorts FIRST; cover both the `_last_checkpoint` sidecarFiles fast path
+    ("full") and the top-probe path ("absent")."""
+    rng = random.Random(7)
+    table = str(tmp_path / f"t_{hint_mode}")
+    log_dir = f"{table}/_delta_log"
+    os.makedirs(f"{log_dir}/_sidecars")
+
+    live = {
+        f"f-{i}.parquet": {"size": 100 + i, "pv": {}, "dv": None} for i in range(4)
+    }
+    types = {
+        "add": _add_type(rng, False),
+        "remove": _remove_type(rng),
+        "metaData": META,
+        "protocol": PROTO,
+        "sidecar": SIDECAR,
+        "checkpointMetadata": CKPT_META,
+        "txn": pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+        "domainMetadata": pa.struct(
+            [("domain", pa.string()), ("configuration", pa.string()),
+             ("removed", pa.bool_())]
+        ),
+    }
+    # remove-only sidecar named to sort FIRST; adds sort last
+    sc_removes = f"{log_dir}/_sidecars/00000000000000000000000000000000.parquet"
+    sc_adds = f"{log_dir}/_sidecars/ffffffffffffffffffffffffffffffff.parquet"
+    _write_actions_parquet(sc_removes, [_remove_row("gone-0.parquet")], types, rng)
+    _write_actions_parquet(
+        sc_adds,
+        [_add_row(rel, facts, rng, False) for rel, facts in live.items()],
+        types,
+        rng,
+    )
+    sidecar_infos = [
+        {"path": os.path.basename(p), "sizeInBytes": os.path.getsize(p),
+         "modificationTime": 1700000000000}
+        for p in (sc_removes, sc_adds)
+    ]
+    pm = _pm_rows(True)
+    next(r for r in pm if "metaData" in r)["metaData"]["partitionColumns"] = []
+    top_rows = (
+        pm
+        + [{"checkpointMetadata": {"version": 3}}]
+        + [{"sidecar": dict(si)} for si in sidecar_infos]
+    )
+    top = f"{log_dir}/{3:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    _write_actions_parquet(top, top_rows, types, rng)
+    v2info = {"filename": os.path.basename(top), "sidecars": sidecar_infos}
+    if hint_mode == "full":
+        hint = {
+            "version": 3,
+            "size": len(live) + 3,
+            "v2Checkpoint": {
+                "path": v2info["filename"],
+                "sidecarFiles": [
+                    {"path": s["path"], "sizeInBytes": s["sizeInBytes"]}
+                    for s in sidecar_infos
+                ],
+            },
+        }
+        with open(f"{log_dir}/_last_checkpoint", "w") as fh:
+            fh.write(json.dumps(hint))
+
+    want = _model_view(live, False)
+    assert _spark_view(spark, table, False) == want, f"[hint={hint_mode}]"
+    assert _pyreplay_view(table, False) == want, f"[hint={hint_mode}]"
