@@ -136,6 +136,132 @@ def _minhash_minima_arrow(batches):
         yield pa.RecordBatch.from_arrays([ids] + cols, names=names)
 
 
+def _band_rows_from_text_arrow(k: int, id_field: str):
+    """Whole LSH banding pass over Arrow batches of (id, text).
+
+    Per document: word k-shingles → 32-bit md5 hashes → 64 permutation
+    minima → 16 per-band md5 signatures, all inside one Python pass
+    (guide §4.2). Every step replays the engine/oracle contract
+    bit-for-bit:
+
+    * tokenization is ``text.split(" ")`` — same empty-string-preserving
+      single-space semantics as ``F.split(text, " ")`` / DuckDB
+      ``string_split(text, ' ')``;
+    * the shingle hash is the first 8 md5 hex chars as an unsigned int
+      (``md5_hash32``) mod P — ``int.from_bytes(md5(s).digest()[:4])`` is
+      that value exactly, and duplicates/order can't move a minimum so
+      ``array_distinct`` is unnecessary here;
+    * minima use the same exact int64 arithmetic as
+      ``_minhash_minima_arrow`` (a*x+b < 2^62, no overflow);
+    * band signatures are md5 over the comma-joined decimal minima —
+      byte-identical to ``md5(concat_ws(",", cast(m as string)...))``.
+
+    Docs with fewer than k words emit no rows (the with_word_shingles
+    filter). Output: one (id, band, band_sig) row per (doc, band).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    n_bands = N_PERMUTATIONS // BAND_ROWS
+    A = np.array([a for a, _ in PERMUTATIONS], dtype=np.int64).reshape(-1, 1)
+    B = np.array([b for _, b in PERMUTATIONS], dtype=np.int64).reshape(-1, 1)
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            # one flat hash array for the whole batch: per-doc segment
+            # boundaries drive a reduceat per permutation
+            flat: list[int] = []
+            doc_ids: list = []
+            offs: list[int] = []
+            counts: list[int] = []
+            for doc_id, text in zip(ids, texts):
+                if doc_id is None or text is None:
+                    continue
+                ws = text.split(" ")
+                n_sh = len(ws) - (k - 1)
+                if n_sh < 1:
+                    continue
+                doc_ids.append(doc_id)
+                offs.append(len(flat))
+                counts.append(n_sh)
+                join = " ".join
+                flat.extend(
+                    int.from_bytes(
+                        md5(join(ws[i : i + k]).encode("utf-8")).digest()[:4],
+                        "big",
+                    )
+                    for i in range(n_sh)
+                )
+            if not doc_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([], type=batch.schema.field(0).type),
+                        pa.array([], type=pa.int32()),
+                        pa.array([], type=pa.string()),
+                    ],
+                    names=[id_field, "band", "band_sig"],
+                )
+                continue
+            hs = np.array(flat, dtype=np.int64) % MINHASH_PRIME
+            offs_np = np.array(offs, dtype=np.int64)
+            # (64, n_shingles) permuted hashes → per-doc minima via reduceat
+            minima = np.empty((len(doc_ids), N_PERMUTATIONS), dtype=np.int64)
+            for p in range(N_PERMUTATIONS):
+                h = (A[p, 0] * hs + B[p, 0]) % MINHASH_PRIME
+                minima[:, p] = np.minimum.reduceat(h, offs_np)
+            out_ids, out_band, out_sig = [], [], []
+            for d, doc_id in enumerate(doc_ids):
+                row = minima[d]
+                for band in range(n_bands):
+                    seg = row[band * BAND_ROWS : (band + 1) * BAND_ROWS]
+                    sig = md5(
+                        ",".join(str(int(m)) for m in seg).encode("utf-8")
+                    ).hexdigest()
+                    out_ids.append(doc_id)
+                    out_band.append(band)
+                    out_sig.append(sig)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_sig, type=pa.string()),
+                ],
+                names=[id_field, "band", "band_sig"],
+            )
+
+    return gen
+
+
+def minhash_band_rows_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, band, band_sig) LSH bucket rows straight from raw text.
+
+    MAP-ONLY like minhash_band_signatures, but the whole banding pass —
+    tokenize, shingle, md5-hash, permutation minima, band signatures —
+    runs vectorized in ONE ``mapInArrow`` (r13, guide §4.2): the JVM
+    route evaluated three interpreted CodegenFallback HOF chains per row
+    (split+slice+concat shingling, per-shingle conv(substring(md5)))
+    before the Arrow minima pass, and re-ran the corpus-sized shingle
+    subtree that the verify joins already execute. Only (id, text)
+    crosses the boundary. Values are bit-identical to the JVM path (see
+    _band_rows_from_text_arrow) and stay pinned by the oracle gate.
+    """
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = T.StructType.fromDDL(
+        f"{id_col} {id_type}, band int, band_sig string"
+    )
+    src = ensure_min_parallelism(df.select(id_col, text_col))
+    return src.mapInArrow(_band_rows_from_text_arrow(k, id_col), schema)
+
+
 def minhash_band_signatures(
     df: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles"
 ) -> DataFrame:
@@ -229,7 +355,11 @@ def neardup_pairs_minhash(
     sets_df = docs.select(
         F.col(id_col), "shingles", F.size("shingles").alias("n_sh")
     )
-    bands = minhash_band_signatures(sets_df, id_col=id_col)
+    # Banding runs straight off (id, text) in one Arrow pass (r13, guide
+    # §4.2) — the JVM shingle subtree now executes ONLY for the verify
+    # sides (1 execution via ReusedExchange), not a second time for the
+    # signature input, and the interpreted per-shingle md5 HOF is gone.
+    bands = minhash_band_rows_from_text(df, id_col=id_col, text_col=text_col, k=k)
 
     # Candidate pairs per LSH bucket via ONE groupBy + in-row pair
     # expansion (r12, guide §2.4): the former bands⋈bands self-join
