@@ -725,56 +725,57 @@ def semantic_dedup(
 
     Returns (id_col, cluster_id, cluster_size, is_kept).
     """
-    # The assignment frame feeds FOUR consumers (both sides of the
-    # dominated self-join, the sizes aggregate, and the output projection);
-    # Catalyst executes each occurrence, so the whole 2×-Lloyd k-means
-    # subtree would run 4× (measured: 6.33 s → plans/r12 p31_before shows
-    # the assignment chain four times with zero ReusedExchange).
-    # localCheckpoint materializes it once per execution — honest
-    # per-run cost, no cross-run reuse (the RDD is fresh each call) —
-    # and truncates the iteration lineage exactly like cluster.py does
-    # (guide §5 "caching", §3.3 "materialise an intermediate").
+    # r13 (guide §2.4, §4.2): the r12 shape fed the assignment frame to
+    # FOUR consumers (dominated finder, sizes aggregate, two output
+    # joins) behind a localCheckpoint. But every output column is a
+    # per-CLUSTER fact — dominated-ness, cluster size, membership — so
+    # ONE applyInPandas over the centroid groups can emit the final rows
+    # directly: cluster_size is the group length, is_kept is the
+    # complement of the same numpy dominated set (shared code below).
+    # That removes the checkpoint materialization job, the sizes
+    # broadcast job, and both joins; the assignment frame now has a
+    # single consumer, so no materialization barrier is needed at all.
+    # The dominated arithmetic is untouched (_dominated_in_cluster,
+    # oracle-pinned bit-for-bit); the former inner sizes-join dropped
+    # rows with a NULL centroid_id (impossible unless the centroid seed
+    # set is empty), replicated by the null-group guard.
     assigned = kmeans_clusters(
         df, n_centroids=n_centroids, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, dims=dims,
-    ).localCheckpoint(eager=True)
-    # Dominated members per cluster via ONE applyInPandas over the
-    # centroid groups (r12 continuation, guide §4.2): the former
-    # self-join evaluated an interpreted (CodegenFallback) 64-dim
-    # aggregate/zip_with cosine fold per candidate pair — O(cluster²)
-    # interpreted folds. The pandas path ships each member's vector ONCE
-    # per cluster (not once per pair), and numpy replays the exact fold
-    # arithmetic vectorized (see _dominated_in_cluster — bit-identical
-    # dominated set, oracle-pinned). Scale posture unchanged: work and
-    # memory are O(cluster²) either way, blocked in 2048² tiles here;
-    # cluster sizes stay ~constant when n_centroids scales like an IVF
-    # nlist, and the former join had the same single-enormous-cluster
-    # skew exposure (one hash key) that this has (one group).
+    )
     id_type = assigned.schema[id_col].dataType.simpleString()
-    dominated = (
+    find = _dominated_in_cluster(id_col, vec_col, threshold)
+
+    def emit(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0 or pdf["centroid_id"].isnull().all():
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col].iloc[0:0],
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "cluster_size": pd.Series([], dtype="int64"),
+                    "is_kept": pd.Series([], dtype="bool"),
+                }
+            )
+        dominated = set(find(pdf)[id_col])
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster_id": pdf["centroid_id"],
+                "cluster_size": len(pdf),
+                "is_kept": [i not in dominated for i in pdf[id_col]],
+            }
+        )
+
+    return (
         assigned.select("centroid_id", id_col, vec_col, "norm2")
         .groupBy("centroid_id")
         .applyInPandas(
-            _dominated_in_cluster(id_col, vec_col, threshold),
-            schema=f"{id_col} {id_type}",
-        )
-        .withColumn("dominated", F.lit(True))
-    )
-    # n_centroids rows — an IVF-nlist-sized frame, broadcastable at any
-    # corpus scale (guide §3.1; size ESTIMATES on a derived aggregate are
-    # unreliable, so hint explicitly).
-    sizes = F.broadcast(
-        assigned.groupBy("centroid_id").agg(
-            F.count(F.lit(1)).alias("cluster_size")
-        )
-    )
-    return (
-        assigned.join(sizes, "centroid_id")
-        .join(dominated, id_col, "left")
-        .select(
-            id_col,
-            F.col("centroid_id").alias("cluster_id"),
-            "cluster_size",
-            F.coalesce(~F.col("dominated"), F.lit(True)).alias("is_kept"),
+            emit,
+            schema=(
+                f"{id_col} {id_type}, cluster_id long, "
+                "cluster_size long, is_kept boolean"
+            ),
         )
     )
