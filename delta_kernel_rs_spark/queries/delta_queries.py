@@ -646,26 +646,79 @@ def d07_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         net_changes,
     )
 
+    from delta_kernel_rs_spark.operators.parallel import materialize_column
+
     cdf_t = _fixture(spark, sf_dir, "cdf")
-    # one changes() call feeds both arms — the commit-metadata prepass
-    # (two commit-sized collects) runs once, not per arm. (Persisting the
-    # change frame was tried and measured SLOWER: materializing the wide
-    # frame costs more than the shared execution saves, and the cache
-    # defeats per-arm column pruning — PLANS.md round 7.)
+    # r13 (guide §2.4 re-executed-subtree class): the rows and net arms
+    # both consumed changes(0), so the whole change-feed subtree (four
+    # kind arms of parquet reads + constants joins) EXECUTED TWICE — once
+    # streamed through the rows projection, once into net_changes'
+    # groupBy. One groupBy over the change frame now derives BOTH arms:
+    # per (data-columns) key it collects the change events (the rows arm,
+    # re-emitted verbatim by the explode) and the net winner — the same
+    # max-by-(version, delete<insert<postimage) reduction net_changes
+    # performs, with update_preimage rows excluded from the winner exactly
+    # like net_changes' pre-filter (a key with only preimages yields a
+    # NULL winner, which the != 'delete' predicate drops — identical to
+    # the filtered-away group). The change subtree executes ONCE; the
+    # extra shuffle carries each change row exactly once, the same bytes
+    # net_changes' aggregation already exchanged.
     ch = cdf_t.changes(0)
-    rows = ch.select(*COLS, "_change_type", "_commit_version")
-    net = net_changes(ch, key_columns=COLS).select(
-        *COLS,
-        F.lit(None).cast("string").alias("_change_type"),
-        F.lit(None).cast("long").alias("_commit_version"),
+    grouped = ch.groupBy(*COLS).agg(
+        F.collect_list(F.struct("_change_type", "_commit_version")).alias("evs"),
+        F.max(
+            F.when(
+                F.col("_change_type") != "update_preimage",
+                F.struct(
+                    F.col("_commit_version").alias("v"),
+                    F.when(F.col("_change_type") == "update_postimage", 2)
+                    .when(F.col("_change_type") == "insert", 1)
+                    .otherwise(0)
+                    .alias("r"),
+                    F.col("_change_type").alias("ct"),
+                ),
+            )
+        ).alias("w"),
+    )
+    entry_type = (
+        "struct<arm:string,_change_type:string,_commit_version:bigint>"
+    )
+    rows_entries = F.transform(
+        F.col("evs"),
+        lambda e: F.struct(
+            F.lit("rows").alias("arm"),
+            e["_change_type"].alias("_change_type"),
+            e["_commit_version"].alias("_commit_version"),
+        ),
+    )
+    # zero-or-one net entry per key: filter's lambda may reference the
+    # outer winner column; a NULL winner (all-preimage key) is not
+    # != 'delete' and yields the empty array
+    net_entries = F.filter(
+        F.array(
+            F.struct(
+                F.lit("net").alias("arm"),
+                F.lit(None).cast("string").alias("_change_type"),
+                F.lit(None).cast("long").alias("_commit_version"),
+            ).cast(entry_type)
+        ),
+        lambda _: F.col("w.ct") != "delete",
+    )
+    rows_net = (
+        materialize_column(
+            grouped, F.concat(rows_entries, net_entries), "__entries"
+        )
+        .select(*COLS, F.explode("__entries").alias("e"))
+        .select(
+            F.col("e.arm").alias("arm"),
+            *COLS,
+            F.col("e._change_type").alias("_change_type"),
+            F.col("e._commit_version").alias("_commit_version"),
+        )
     )
     rtc_t = _fixture(spark, sf_dir, "rtc")
     lineage = changes_by_row_tracking(spark, rtc_t.path, base_version=0)
-    return (
-        _arm(rows, "rows")
-        .unionByName(_arm(net, "net"))
-        .unionByName(_arm(lineage, "lineage"))
-    )
+    return rows_net.unionByName(_arm(lineage, "lineage"))
 
 
 register(
