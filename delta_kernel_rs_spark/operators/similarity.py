@@ -581,6 +581,120 @@ def _assign_literal_centroids(
     )
 
 
+def _assign_centroids_arrow(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """Map-only max-cosine assignment vs driver-held centroids, scored in
+    numpy over Arrow batches (r13, guide §4.2).
+
+    Replaces the interpreted CodegenFallback HOF projection of
+    `_assign_literal_centroids` (measured ~1.1 s per execution at sf0.1
+    for what is 2000 rows × 8 centroids): norm2 and every dot product
+    replay the engine fold BIT-FOR-BIT — ``acc += double(x)*double(y)``
+    per dimension in index order, vectorized over rows (the same
+    construction `_dominated_in_cluster` pins against its fold replica),
+    then ``dot / sqrt(norm2 * cn2)`` with single correctly-rounded IEEE
+    ops. The argmax tie-break (max cosine, then lowest centroid id)
+    falls out of numpy's first-max-wins argmax over ascending-cid
+    columns; NaN agrees too (Spark orders NaN largest and breaks ties on
+    lowest cid — numpy argmax returns the FIRST NaN index).
+
+    Rows whose vector is NULL or not ``dims`` long take the JVM's
+    degenerate path: all-null cosines → lowest centroid id; norm2 is the
+    self-fold of whatever elements exist (the zip_with null-padding
+    semantics). Output matches `_assign_literal_centroids`:
+    (id_col, vec_col, norm2, centroid_id).
+    """
+    from pyspark.sql import types as T
+
+    cents = sorted(cents)
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = T.StructType.fromDDL(
+        f"{id_col} {id_type}, {vec_col} {vec_type}, "
+        "norm2 double, centroid_id long"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        k = len(cents)
+        cids = np.array([c for c, _ in cents], dtype=np.int64)
+        C = np.array([v for _, v in cents], dtype=np.float64) if k else None
+        cn2 = np.array(
+            [_py_fold_dot(v, v) for _, v in cents], dtype=np.float64
+        )
+        for batch in batches:
+            ids, vecs = batch.column(0), batch.column(1)
+            n = len(ids)
+            norm2 = np.full(n, np.nan)
+            centroid = np.full(n, -1, dtype=np.int64)
+            lens = (
+                pc.list_value_length(vecs)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            fast = lens == dims
+            if fast.any() and k:
+                sub = vecs.take(pa.array(np.nonzero(fast)[0]))
+                V = (
+                    sub.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .reshape(-1, dims)
+                )
+                m = V.shape[0]
+                n2 = np.zeros(m)
+                for i in range(dims):  # the engine fold, one dim at a time
+                    n2 += V[:, i] * V[:, i]
+                cos = np.empty((m, k))
+                for j in range(k):
+                    acc = np.zeros(m)
+                    Cj = C[j]
+                    for i in range(dims):
+                        acc += V[:, i] * Cj[i]
+                    cos[:, j] = acc / np.sqrt(n2 * cn2[j])
+                centroid[fast] = cids[np.argmax(cos, axis=1)]
+                norm2[fast] = n2
+            # degenerate rows: null / wrong-length vectors → all-null
+            # cosines → lowest cid; norm2 = self-fold of the raw list
+            # (zip_with null-padding makes every score null regardless)
+            slow_idx = np.nonzero(~fast)[0]
+            null_norm = np.zeros(n, dtype=bool)
+            if slow_idx.size:
+                low = int(cids.min()) if k else -1
+                pylists = vecs.to_pylist()
+                for r in slow_idx:
+                    v = pylists[r]
+                    centroid[r] = low
+                    if v is None or any(x is None for x in v):
+                        null_norm[r] = True
+                    else:
+                        norm2[r] = _py_fold_dot(v, v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    vecs,
+                    pa.array(norm2, type=pa.float64(), mask=null_norm),
+                    pa.array(centroid, type=pa.int64())
+                    if k
+                    else pa.nulls(n, type=pa.int64()),
+                ],
+                names=[id_col, vec_col, "norm2", "centroid_id"],
+            )
+
+    return ensure_min_parallelism(df.select(id_col, vec_col)).mapInArrow(
+        gen, schema
+    )
+
+
 def kmeans_clusters(
     df: DataFrame,
     n_centroids: int = 8,
@@ -612,7 +726,6 @@ def kmeans_clusters(
 
     Returns (id_col, vec_col, norm2, centroid_id).
     """
-    vecs = _with_norm2(ensure_min_parallelism(df), vec_col, dims)
     cents = sorted(
         (r[0], list(r[1]))
         for r in df.filter(F.col(id_col) < n_centroids)
@@ -621,7 +734,11 @@ def kmeans_clusters(
     )
     assigned = None
     for it in range(max(1, n_iters)):
-        assigned = _assign_literal_centroids(vecs, cents, id_col, vec_col)
+        # r13: assignment + norm2 scored in one numpy Arrow pass instead
+        # of the interpreted literal-HOF projection (bit-identical fold
+        # replay — see _assign_centroids_arrow; same-JVM A/B in
+        # OPTIMIZATION_r13.md)
+        assigned = _assign_centroids_arrow(df, cents, id_col, vec_col, dims)
         if it < n_iters - 1:
             cents = sorted(
                 (r[0], list(r[1]))
