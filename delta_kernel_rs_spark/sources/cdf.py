@@ -161,54 +161,23 @@ def table_changes(
         )
     )
 
-    # -- prepass: gate + ICT + cdc versions (ONE collect, O(commits)) -----
-    # Only commit-level facts cross to the driver here; per-file events
-    # stay in a DataFrame below (round-3 VERDICT named the O(file-actions)
-    # driver event list as the last CDF scale ceiling).
-    meta_rows = (
-        raw.select(
-            "version",
-            F.col("metaData").isNotNull().alias("has_meta"),
-            F.lower(
-                F.col("metaData.configuration").getItem("delta.enableChangeDataFeed")
-            ).alias("cdf_flag"),
-            F.col("commitInfo.inCommitTimestamp").alias("ict"),
-            F.col("cdc.path").isNotNull().alias("has_cdc"),
-        )
-        .filter(F.col("has_meta") | F.col("ict").isNotNull() | F.col("has_cdc"))
-        .groupBy("version")
-        .agg(
-            F.max(F.when(F.col("has_meta") & (F.coalesce(F.col("cdf_flag"), F.lit("false")) != "true"), 1).otherwise(0)).alias("gate"),
-            F.max("ict").alias("ict"),
-            F.max(F.col("has_cdc").cast("int")).alias("has_cdc"),
-        )
-        .collect()
-    )
-    gate_violations = [r.version for r in meta_rows if r.gate]
-    if gate_violations:
-        raise ChangeDataFeedError(
-            f"change data feed was not enabled at version {min(gate_violations)}; "
-            "the requested range cannot be served"
-        )
-    ict = {r.version: r.ict for r in meta_rows if r.ict is not None}
-    ts_of = {v: ict.get(v, mtime_ms[v]) for v in range(start_version, end_version + 1)}
-    cdc_versions = sorted(r.version for r in meta_rows if r.has_cdc)
-
     # -- distributed classification ---------------------------------------
     # One (version, path) event row per file action, built with a single
-    # groupBy: cdc supersedes add/remove for its commit, remove+add of the
-    # same path is a DV swap, bare adds/removes are whole-file
-    # inserts/deletes. The driver never holds these rows — only the path
-    # strings each arm's parquet read requires (collect_set below) and the
-    # O(commits) timestamp map ever leave the cluster.
-    ts_df = spark.createDataFrame(
-        [(v, t) for v, t in ts_of.items()], "version LONG, __ts LONG"
-    )
+    # groupBy: cdc supersedes add/remove for its commit (the per-version
+    # any-cdc fact is a WINDOW over the grouped frame — r13, formerly a
+    # separate driver collect), remove+add of the same path is a DV swap,
+    # bare adds/removes are whole-file inserts/deletes. The driver never
+    # holds these rows — only the path strings each arm's parquet read
+    # requires (collect_set below) and the O(commits) meta facts ever
+    # leave the cluster.
     abs_path_col = resolve_add_path(F.col("rel_path"), table_path)
+    from pyspark.sql import Window
+
     in_cdc_version = (
-        F.col("version").isin([int(v) for v in cdc_versions])
-        if cdc_versions
-        else F.lit(False)
+        F.max(F.col("cdc").isNotNull().cast("int")).over(
+            Window.partitionBy("version")
+        )
+        == 1
     )
     kind_col = (
         F.when(F.col("cdc").isNotNull(), F.lit("cdc"))
@@ -255,7 +224,6 @@ def table_changes(
             F.col("remove.deletionVector").alias("dv_old"),
         )
         .filter(F.col("kind").isNotNull())
-        .join(F.broadcast(ts_df), "version")
     )
 
     # The classified events frame is commit-METADATA-sized (one row per
@@ -279,20 +247,82 @@ def table_changes(
         lambda: events,
     )
 
-    # ONE job yields every arm's path list (strings only on the driver)
-    # plus whether the arm carries any DV descriptors — DV-free arms skip
-    # the exclusion subplan entirely.
-    kind_rows = (
-        events.groupBy("kind")
-        .agg(
-            F.collect_set("file_path").alias("paths"),
-            F.max(F.col("dv_new.storageType").isNotNull().cast("int")).alias("any_dv_new"),
-            F.max(F.col("dv_old.storageType").isNotNull().cast("int")).alias("any_dv_old"),
-        )
-        .collect()
+    # ONE job yields every prepass fact the driver needs (r13 — formerly
+    # two collects, i.e. two job submissions per changes() build): per
+    # KIND the path list + any-DV flags (DV-free arms skip the exclusion
+    # subplan entirely), and per VERSION the CDF gate + in-commit
+    # timestamp. Both branches are commit-metadata-sized; the union makes
+    # them one Spark job.
+    kind_summary = events.groupBy("kind").agg(
+        F.collect_set("file_path").alias("paths"),
+        F.max(F.col("dv_new.storageType").isNotNull().cast("int")).alias("any_dv_new"),
+        F.max(F.col("dv_old.storageType").isNotNull().cast("int")).alias("any_dv_old"),
+    ).select(
+        F.lit("kind").alias("tag"),
+        "kind",
+        "paths",
+        "any_dv_new",
+        "any_dv_old",
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("int").alias("gate"),
+        F.lit(None).cast("long").alias("ict"),
     )
-    paths_by_kind: dict[str, list[str]] = {r.kind: sorted(r.paths) for r in kind_rows}
-    dv_flags = {r.kind: (bool(r.any_dv_new), bool(r.any_dv_old)) for r in kind_rows}
+    meta_summary = (
+        raw.select(
+            "version",
+            F.col("metaData").isNotNull().alias("has_meta"),
+            F.lower(
+                F.col("metaData.configuration").getItem("delta.enableChangeDataFeed")
+            ).alias("cdf_flag"),
+            F.col("commitInfo.inCommitTimestamp").alias("ict"),
+        )
+        .filter(F.col("has_meta") | F.col("ict").isNotNull())
+        .groupBy("version")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("has_meta")
+                    & (F.coalesce(F.col("cdf_flag"), F.lit("false")) != "true"),
+                    1,
+                ).otherwise(0)
+            ).alias("gate"),
+            F.max("ict").alias("ict"),
+        )
+        .select(
+            F.lit("meta").alias("tag"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("array<string>").alias("paths"),
+            F.lit(None).cast("int").alias("any_dv_new"),
+            F.lit(None).cast("int").alias("any_dv_old"),
+            "version",
+            "gate",
+            "ict",
+        )
+    )
+    summary = kind_summary.unionByName(meta_summary).collect()
+    gate_violations = [r.version for r in summary if r.tag == "meta" and r.gate]
+    if gate_violations:
+        raise ChangeDataFeedError(
+            f"change data feed was not enabled at version {min(gate_violations)}; "
+            "the requested range cannot be served"
+        )
+    ict = {r.version: r.ict for r in summary if r.tag == "meta" and r.ict is not None}
+    ts_of = {v: ict.get(v, mtime_ms[v]) for v in range(start_version, end_version + 1)}
+    ts_df = spark.createDataFrame(
+        [(v, t) for v, t in ts_of.items()], "version LONG, __ts LONG"
+    )
+    # per-commit timestamps ride a broadcast join on top of the persisted
+    # classification frame (built AFTER the collect — ICT values come from
+    # the same summary job)
+    events = events.join(F.broadcast(ts_df), "version")
+    paths_by_kind: dict[str, list[str]] = {
+        r.kind: sorted(r.paths) for r in summary if r.tag == "kind"
+    }
+    dv_flags = {
+        r.kind: (bool(r.any_dv_new), bool(r.any_dv_old))
+        for r in summary
+        if r.tag == "kind"
+    }
 
     # -- shared arm plumbing ----------------------------------------------
     def with_lineage(df: DataFrame) -> DataFrame:
