@@ -447,26 +447,43 @@ def _choose_jaccard_method(
     docs (frequency scales linearly in corpus size, so sampled fanout
     is scaled back up by N/m) and compare against the cutoff.
     """
+    # r13 (guide §1.2, §5): the probe itself cost ~0.9 s of a ~2.4 s
+    # query — the sampled gram statistics ran interpreted
+    # (CodegenFallback) shingle HOFs plus an explode + two aggregations
+    # over the 2000-doc sample. The sample is BOUNDED (~2 MB of text),
+    # so the statistic is now computed on the driver from the collected
+    # raw sample — one cheap limit-collect plus the count-star job,
+    # ~0.3 s total. Same sampling policy (first JACCARD_AUTO_SAMPLE_DOCS
+    # rows), same per-(block, gram) frequency statistic, same cutoff —
+    # the decision is unchanged for any fixed input, and either choice
+    # is lossless (plan cost only, never the result).
     n_docs = df.count()
     m = min(n_docs, JACCARD_AUTO_SAMPLE_DOCS)
     if m == 0:
         return "count"
-    sample = with_word_shingles(df.limit(m), text_col=text_col, k=k)
-    posting = sample.select(
-        *[F.col(c) for c in block_cols], F.explode("shingles").alias("g")
+    sample = (
+        df.limit(JACCARD_AUTO_SAMPLE_DOCS)
+        .select(*[F.col(c) for c in block_cols], F.col(text_col))
+        .collect()
     )
-    stats = (
-        posting.groupBy(*block_cols, "g")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .agg(
-            F.sum("f").alias("tot"),
-            F.sum(F.col("f") * F.col("f")).alias("f2"),
-        )
-        .collect()[0]
-    )
-    if not stats.tot:
+    from collections import Counter
+
+    freq: Counter = Counter()
+    for row in sample:
+        text = row[text_col]
+        if text is None:
+            continue
+        ws = text.split(" ")
+        if len(ws) < k:
+            continue
+        block = tuple(row[c] for c in block_cols)
+        for g in {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}:
+            freq[(block, g)] += 1
+    tot = sum(freq.values())
+    if not tot:
         return "count"
-    est_fanout = (stats.f2 / stats.tot) * (n_docs / m)
+    f2 = sum(f * f for f in freq.values())
+    est_fanout = (f2 / tot) * (n_docs / m)
     return "prefix" if est_fanout > JACCARD_AUTO_FANOUT_CUTOFF else "count"
 
 
