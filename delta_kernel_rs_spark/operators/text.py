@@ -350,7 +350,12 @@ def _token_histogram_rows(
         df, F.array_sort(F.split(F.col(text_col), " ")), "__s"
     )
     # run-end indices: i is the last index of its run iff i = n-1 or
-    # s[i+1] != s[i] (element_at is 1-based)
+    # s[i+1] != s[i] (element_at is 1-based).
+    # PREDICATE ORDER IS LOAD-BEARING under spark.sql.ansi.enabled
+    # (ADVICE r12): OR short-circuits left-to-right in both interpreted
+    # and codegen paths, so element_at(__s, i + 2) is never evaluated
+    # for the last index; swapping the disjuncts would raise an
+    # out-of-bounds error under ANSI mode (non-ANSI would return NULL).
     d2 = materialize_column(
         d1,
         F.expr(
@@ -387,7 +392,16 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document.
 
     score = (tf / doc_len) * ln(N / df) — raw term frequency normalized by
-    document length, classic log idf. r12 shape (guide §2.4): the
+    document length, classic log idf.
+
+    Input contract (ADVICE r12): ``id_col`` values must be UNIQUE — the
+    in-row histogram emits one histogram per input ROW, so a duplicated
+    id would be df-counted once per copy and could repeat a term within
+    its top_k (the pre-r12 explode + groupBy(id, term) merged such
+    copies instead). The fixture tables and every registered query
+    satisfy this; callers feeding non-unique ids must pre-dedup.
+
+    r12 shape (guide §2.4): the
     (doc, term) tf counts are an IN-ROW sorted-run histogram
     (`_token_histogram_rows` — r12 batch 5; the former explode +
     groupBy(doc, term) exchange is gone), and the term-keyed document
@@ -441,6 +455,10 @@ def unigram_surprisal(
     frequency-based quality/outlier scorer (CCNet/Gopher lineage: a doc
     whose tokens are corpus-rare is an outlier; one whose tokens are all
     stopwords is boilerplate).
+
+    Input contract (ADVICE r12): ``id_col`` values must be UNIQUE — the
+    in-row histogram emits one histogram per input row, so duplicated
+    ids would double-count in the token window (see tfidf_top_terms).
 
     Two scores per document:
 

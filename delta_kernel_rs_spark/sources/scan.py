@@ -294,7 +294,15 @@ def _conform_checkpoint_file_actions(ckpt: DataFrame, add_type, remove_type) -> 
         ckpt = ckpt.withColumn("add", F.col("add").withField("stats", json_stats))
         by_name = {f.name: f.dataType for f in ckpt.schema.fields}
     for col_name, target in (("add", add_type), ("remove", remove_type)):
-        if col_name in by_name and (
+        if col_name not in by_name:
+            # a single one-kind sidecar (e.g. remove-only) yields a frame
+            # with the other action column ABSENT — conform it to a typed
+            # NULL column so resolved checkpoint frames always expose both
+            # (ADVICE r12: the reference avoids schema variance by reading
+            # sidecars with an explicit action schema; consumers should
+            # not need an `if "add" in columns` guard)
+            ckpt = ckpt.withColumn(col_name, F.lit(None).cast(target))
+        elif (
             not isinstance(by_name[col_name], T.StructType)
             or {f.name for f in by_name[col_name].fields}
             != {f.name for f in target.fields}
